@@ -1,0 +1,133 @@
+"""Data-layer parity tests: tokenizer, vocab, caption parsing, batching."""
+
+import os
+import textwrap
+
+import numpy as np
+import pytest
+
+from icee_tpu.data.tokenize import word_tokenize
+from icee_tpu.data.vocab import SPECIALS, Vocabulary, build_vocab, load_vocab
+from icee_tpu.data import captions as C
+from icee_tpu.data.pipeline import make_batch, pad_captions
+
+
+def test_word_tokenize_matches_nltk_regex_tokenizer():
+    # word_tokenize must equal NLTKWordTokenizer (the data-free core of
+    # nltk.word_tokenize) on single-sentence caption text.
+    from nltk.tokenize.destructive import NLTKWordTokenizer
+
+    ref = NLTKWordTokenizer()
+    cases = [
+        "seorang anak laki-laki sedang bermain bola",
+        "dua anjing berlari, dengan cepat",
+        'anak "kecil" itu tersenyum',
+        "ibu dan ayah duduk di taman",
+    ]
+    for text in cases:
+        assert word_tokenize(text) == ref.tokenize(text)
+
+
+def test_vocab_roundtrip_and_specials(tmp_path):
+    v = Vocabulary()
+    for s in SPECIALS:
+        v.add_word(s)
+    v.add_word("kucing")
+    assert v.pad == 0 and v.start == 1 and v.end == 2 and v.unk == 3
+    assert v("kucing") == 4
+    assert v("tidakada") == v.unk  # OOV fallback, build_vocab.py:21-24
+    p = str(tmp_path / "vocab.pkl")
+    v.save(p)
+    v2 = load_vocab(p)
+    assert v2.word2idx == v.word2idx and v2.idx2word == v.idx2word
+
+
+def test_build_vocab_threshold_and_order(tmp_path):
+    # Words below threshold are dropped; kept words preserve corpus order
+    # after the four specials (build_vocab.py:44-61).
+    txt = tmp_path / "train.txt"
+    txt.write_text(
+        "a.jpg#0\tanjing berlari di taman.\n"
+        "a.jpg#1\tanjing bermain di taman\n"
+        "b.jpg#0\tkucing tidur di rumah\n"
+    )
+    v = build_vocab(str(txt), threshold=2)
+    words = [v.idx2word[i] for i in range(len(v))]
+    assert words[:4] == list(SPECIALS)
+    assert "anjing" in words and "di" in words
+    assert "kucing" not in words  # freq 1 < 2
+    # periods stripped before tokenization
+    assert "." not in words
+    # corpus order: anjing appears before di
+    assert words.index("anjing") < words.index("di")
+
+
+def test_parse_caption_file(tmp_path):
+    txt = tmp_path / "caps.txt"
+    txt.write_text("img1.jpg#0\tseekor anjing\nimg1.jpg#1\tanjing lain\n"
+                   "img2.jpg#0\tkucing\n")
+    pairs = C.parse_caption_file(str(txt))
+    assert pairs == [
+        ("img1.jpg", "seekor anjing"),
+        ("img1.jpg", "anjing lain"),
+        ("img2.jpg", "kucing"),
+    ]
+    m = C.image_caption_map(str(txt))
+    assert m["img1.jpg"] == ["seekor anjing", "anjing lain"]
+
+
+def test_load_caption_dataset_references(tmp_path, tiny_vocab):
+    txt = tmp_path / "caps.txt"
+    txt.write_text("i1.jpg#0\tanak bermain bola\ni1.jpg#1\tanak di lapangan\n")
+    ds = C.load_caption_dataset(str(txt), tiny_vocab)
+    assert len(ds) == 2
+    # every example of the same image carries both refs (for BLEU)
+    assert len(ds[0].all_caption_ids) == 2
+    assert ds[0].caption_ids[0] == tiny_vocab.start
+    assert ds[0].caption_ids[-1] == tiny_vocab.end
+
+
+def test_paired_style_dataset(tmp_path, tiny_vocab):
+    fac = tmp_path / "fac.txt"
+    fac.write_text("i1.jpg#0\tanak bermain\ni1.jpg#1\tanak berlari\n")
+    sty = tmp_path / "sty.txt"
+    sty.write_text("i1.jpg#0\tanak bermain dengan senang\n")
+    ds = C.load_paired_style_dataset(str(fac), str(sty), tiny_vocab)
+    # 1 styled caption x 2 factual captions = 2 pairs (seq2seq pairing)
+    assert len(ds) == 2
+    assert ds[0].target_ids == ds[1].target_ids
+    assert ds[0].source_ids != ds[1].source_ids
+
+
+def test_pad_and_make_batch():
+    caps = [[1, 5, 6, 2], [1, 5, 2]]
+    padded, lengths = pad_captions(caps, max_len=6)
+    assert padded.shape == (2, 6)
+    assert lengths.tolist() == [4, 3]
+    assert padded[1].tolist() == [1, 5, 2, 0, 0, 0]
+
+    batch = make_batch(caps, max_len=6, batch_size=4)
+    assert batch.captions.shape == (4, 6)
+    assert batch.sample_mask.tolist() == [True, True, False, False]
+    assert batch.lengths.tolist() == [4, 3, 0, 0]
+
+
+def test_batch_loader_deterministic_shuffle():
+    from icee_tpu.data.pipeline import BatchLoader
+
+    seen = []
+
+    def example_fn(idx):
+        seen.append(idx.copy())
+        return make_batch([[1, 2]] * len(idx), max_len=4, batch_size=3)
+
+    loader = BatchLoader(10, 3, example_fn, shuffle=True, seed=7, prefetch=2)
+    b1 = list(loader)
+    assert len(b1) == 4  # ceil(10/3)
+    order1 = np.concatenate(seen[:4])
+    seen.clear()
+    loader2 = BatchLoader(10, 3, example_fn, shuffle=True, seed=7, prefetch=0)
+    list(loader2)
+    order2 = np.concatenate(seen)
+    np.testing.assert_array_equal(order1, order2)
+    assert sorted(order1.tolist()) == list(range(10))

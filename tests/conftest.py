@@ -9,12 +9,21 @@ interpreter mode.
 
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+# Hard override: the ambient sitecustomize.py registers the axon TPU backend
+# in every interpreter and forces jax.config jax_platforms="axon,cpu",
+# ignoring the JAX_PLATFORMS env var.  Tests must run on the virtual CPU
+# mesh, so override the *config* after import (backends init lazily, so this
+# lands before any backend is created).
+os.environ["JAX_PLATFORMS"] = "cpu"
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
         flags + " --xla_force_host_platform_device_count=8"
     ).strip()
+
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
 
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402

@@ -1,0 +1,470 @@
+"""Training regimes (reference SURVEY.md T1-T6) as host-side epoch drivers
+over jitted steps.
+
+All regimes share the reference's control policy (``train_multitask.py:
+180-269``): per-epoch factual track then emotion track(s), teacher-forced
+validation with loss / perplexity / top-5 / corpus BLEU-4, LR x0.8 after 4
+non-improving epochs per track, early stop after 10 for all tracks, best-BLEU
+checkpointing, and a beam-decoded sample caption printed per validation.
+
+Differences from the reference are all mechanical, not semantic: batches are
+fixed-shape with masks, the per-batch device loop is one jitted step, and the
+CNN backbone runs once per unique image into a feature cache instead of every
+epoch (``SURVEY.md §7`` — the backbone is frozen, so eval-mode features are
+constant; pass ``backbone_train_bn`` features per-epoch for bit-faithful BN
+drift if required).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import time
+from typing import Callable, Dict, List, Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from icee_tpu.core.config import (
+    EMOTIONS,
+    MODES,
+    DecoderConfig,
+    Seq2SeqConfig,
+    TrainConfig,
+    mode_id,
+)
+from icee_tpu.checkpoint.ckpt import CheckpointState, save_checkpoint
+from icee_tpu.evaluation.bleu import corpus_bleu
+from icee_tpu.evaluation.metrics import AverageMeter, perplexity
+from icee_tpu.train import optim
+from icee_tpu.train.steps import (
+    make_attention_steps,
+    make_caption_steps,
+    make_seq2seq_steps,
+)
+
+
+def strip_specials(ids: Sequence[int], start: int, end: int) -> List[int]:
+    """Drop <start>/<end> ids (val BLEU pre-processing,
+    ``train_multitask.py:316-333``)."""
+    return [int(w) for w in ids if w != start and w != end]
+
+
+def _log(log_path: Optional[str], text: str) -> None:
+    print(text)
+    if log_path:
+        with open(log_path, "a+") as f:
+            f.write(text + "\n")
+
+
+@dataclasses.dataclass
+class EpochStats:
+    loss: float
+    top5: float = 0.0
+    bleu4: float = 0.0
+    batch_time: float = 0.0
+
+
+class MultitaskTrainer:
+    """T2/T3 (and the NIC copies): interleaved factual + single-emotion
+    training with BLEU-driven plateau control.
+
+    ``family``: 'factored' | 'nic' | 'factored_att' | 'nic_att'.
+    Loaders yield :class:`icee_tpu.data.pipeline.CaptionBatch` whose
+    ``images`` field holds encoder features — pooled (B, 2048->head) for the
+    global families, spatial (B, P, 2048) for the attention families.
+    """
+
+    def __init__(
+        self,
+        cfg: DecoderConfig,
+        tcfg: TrainConfig,
+        vocab,
+        dec_params,
+        head_params=None,
+        family: str = "factored",
+        sample_fn: Optional[Callable] = None,
+        log_path: Optional[str] = None,
+        model_dir: str = "models",
+        data_name: str = "flickr8k_id",
+    ) -> None:
+        self.cfg, self.tcfg, self.vocab = cfg, tcfg, vocab
+        self.family = family
+        self.attention = family.endswith("_att")
+        self.factored = family.startswith("factored")
+        self.dec = dec_params
+        self.head = head_params
+        self.sample_fn = sample_fn
+        self.log_path = log_path
+        self.model_dir = model_dir
+        self.data_name = data_name
+        self.rng = jax.random.PRNGKey(tcfg.seed)
+
+        self.optimizer = optim.make_adam(tcfg.lr_caption, tcfg)
+        self.lang_optimizer = optim.make_adam(tcfg.lr_language, tcfg)
+        if self.attention:
+            steps = make_attention_steps(cfg, tcfg, self.optimizer,
+                                         self.lang_optimizer, self.factored)
+        else:
+            steps = make_caption_steps(cfg, tcfg, self.optimizer,
+                                       self.lang_optimizer, self.factored)
+        self.factual_step, self.emotion_step, self.val_step = steps
+
+        if self.attention:
+            self.opt_state = self.optimizer.init(self.dec)
+        else:
+            self.opt_state = self.optimizer.init((self.dec, self.head))
+        self.lang_opt_state = self.lang_optimizer.init(self.dec)
+
+        self.epochs_since_improvement = {"factual": 0, "emotion": 0}
+        self.best_bleu4 = {"factual": 0.0, "emotion": 0.0}
+        self.start_epoch = 0
+
+    # -- single epochs ----------------------------------------------------
+
+    def _next_rng(self):
+        self.rng, k = jax.random.split(self.rng)
+        return k
+
+    def _run_train(self, loader, style: Optional[int], log_step: int,
+                   tag: str) -> EpochStats:
+        losses = AverageMeter()
+        t0 = time.time()
+        for i, batch in enumerate(loader):
+            feats = jnp.asarray(batch.images)
+            caps = jnp.asarray(batch.captions)
+            lens = jnp.asarray(batch.lengths)
+            smask = jnp.asarray(batch.sample_mask)
+            if style is None or style == 0:
+                if self.attention:
+                    self.dec, self.opt_state, loss = self.factual_step(
+                        self.dec, self.opt_state, feats, caps, lens, smask,
+                        self._next_rng())
+                else:
+                    self.dec, self.head, self.opt_state, loss = \
+                        self.factual_step(self.dec, self.head, self.opt_state,
+                                          feats, caps, lens, smask,
+                                          self._next_rng())
+            else:
+                s = jnp.asarray(style)
+                if self.attention:
+                    self.dec, self.lang_opt_state, loss = self.emotion_step(
+                        self.dec, self.lang_opt_state, feats, caps, lens,
+                        smask, s, self._next_rng())
+                else:
+                    self.dec, self.head, self.lang_opt_state, loss = \
+                        self.emotion_step(self.dec, self.head,
+                                          self.lang_opt_state, feats, caps,
+                                          lens, smask, s, self._next_rng())
+            if i % log_step == 0:
+                print(f"Step [{i}/{len(loader)}], [{tag}], "
+                      f"Loss: {float(loss):.4f}")
+            losses.update(float(loss), int(batch.lengths.sum()))
+        return EpochStats(loss=losses.avg, batch_time=time.time() - t0)
+
+    def _run_val(self, loader, style: int) -> EpochStats:
+        losses, top5s = AverageMeter(), AverageMeter()
+        references, hypotheses = [], []
+        start, end = self.vocab.start, self.vocab.end
+        t0 = time.time()
+        last_feat = None
+        for batch in loader:
+            feats = jnp.asarray(batch.images)
+            loss, top5, preds = self.val_step(
+                self.dec, *(() if self.attention else (self.head,)),
+                feats, jnp.asarray(batch.captions), jnp.asarray(batch.lengths),
+                jnp.asarray(batch.sample_mask), jnp.asarray(style))
+            n_tok = int(batch.lengths.sum())
+            losses.update(float(loss), n_tok)
+            top5s.update(float(top5), n_tok)
+            preds = np.asarray(preds)
+            shift = 1 if self.attention else 0
+            for b in range(batch.batch_size):
+                if not batch.sample_mask[b]:
+                    continue
+                refs = [strip_specials(r, start, end)
+                        for r in batch.references[b]]
+                references.append(refs)
+                L = max(int(batch.lengths[b]) - shift, 0)
+                hypotheses.append(
+                    strip_specials(preds[b, :L].tolist(), start, end))
+            last_feat = feats
+        bleu4 = corpus_bleu(references, hypotheses)
+        if self.sample_fn is not None and last_feat is not None:
+            caption = self.sample_fn(self.dec, self.head, last_feat[0:1], style)
+            print(caption)
+        return EpochStats(loss=losses.avg, top5=top5s.avg, bleu4=bleu4,
+                          batch_time=time.time() - t0)
+
+    # -- full regime ------------------------------------------------------
+
+    def train(self, data_loader, val_loader, emotion_loader, val_emotion_loader,
+              num_epochs: Optional[int] = None) -> Dict:
+        tcfg = self.tcfg
+        num_epochs = num_epochs or tcfg.num_epochs
+        emo = mode_id(tcfg.mode)
+        for epoch in range(self.start_epoch, num_epochs):
+            imp_fac = self.epochs_since_improvement["factual"]
+            imp_emo = self.epochs_since_improvement["emotion"]
+            if imp_fac >= tcfg.early_stop_patience and \
+                    imp_emo >= tcfg.early_stop_patience:
+                break
+            if imp_fac > 0 and imp_fac % tcfg.lr_decay_patience == 0:
+                lr = optim.decay_lr(self.opt_state, tcfg.lr_decay_factor)
+                _log(self.log_path, f"DECAYING learning rate to {lr:f}")
+            if imp_emo > 0 and imp_emo % tcfg.lr_decay_patience == 0:
+                lr = optim.decay_lr(self.lang_opt_state, tcfg.lr_decay_factor)
+                _log(self.log_path, f"DECAYING language learning rate to {lr:f}")
+
+            # factual track
+            tr = self._run_train(data_loader, 0, tcfg.log_step, "FAC")
+            va = self._run_val(val_loader, 0)
+            _log(self.log_path,
+                 f"Epoch [{epoch}/{num_epochs}], [FAC], "
+                 f"Batch Time: {tr.batch_time + va.batch_time:.3f}, "
+                 f"Top-5 Acc: {va.top5:.3f}, BLEU-4 Score: {va.bleu4}\n"
+                 f"\tTrain Loss: {tr.loss:.4f} | "
+                 f"Train Perplexity: {perplexity(tr.loss):5.4f}\n"
+                 f"\tVal   Loss: {va.loss:.4f} | "
+                 f"Val   Perplexity: {perplexity(va.loss):5.4f}")
+            is_best_fac = va.bleu4 > self.best_bleu4["factual"]
+            self.best_bleu4["factual"] = max(va.bleu4,
+                                             self.best_bleu4["factual"])
+            self.epochs_since_improvement["factual"] = (
+                0 if is_best_fac
+                else self.epochs_since_improvement["factual"] + 1)
+
+            # emotion track (single --mode emotion, train_multitask.py:139-147)
+            tr_e = self._run_train(emotion_loader, emo, tcfg.log_step_emotion,
+                                   tcfg.mode[:3].upper())
+            va_e = self._run_val(val_emotion_loader, emo)
+            _log(self.log_path,
+                 f"Epoch [{epoch}/{num_epochs}], [{tcfg.mode[:3].upper()}], "
+                 f"Top-5 Acc: {va_e.top5:.3f}, BLEU-4 Score: {va_e.bleu4}\n"
+                 f"\tTrain Loss: {tr_e.loss:.4f} | "
+                 f"Train Perplexity: {perplexity(tr_e.loss):5.4f}\n"
+                 f"\tVal   Loss: {va_e.loss:.4f} | "
+                 f"Val   Perplexity: {perplexity(va_e.loss):5.4f}")
+            is_best_emo = va_e.bleu4 > self.best_bleu4["emotion"]
+            self.best_bleu4["emotion"] = max(va_e.bleu4,
+                                             self.best_bleu4["emotion"])
+            self.epochs_since_improvement["emotion"] = (
+                0 if is_best_emo
+                else self.epochs_since_improvement["emotion"] + 1)
+
+            self.save(epoch, is_best_emo)
+        return {"best_bleu4": self.best_bleu4}
+
+    def train_factual_only(self, data_loader, val_loader,
+                           num_epochs: Optional[int] = None) -> Dict:
+        """T4: stage-1 factual pretraining (``train_transfer_fac.py:83-160``);
+        produces the FAC_BEST checkpoint the transfer stage resumes from."""
+        tcfg = self.tcfg
+        num_epochs = num_epochs or tcfg.num_epochs
+        for epoch in range(self.start_epoch, num_epochs):
+            imp = self.epochs_since_improvement["factual"]
+            if imp >= tcfg.early_stop_patience:
+                break
+            if imp > 0 and imp % tcfg.lr_decay_patience == 0:
+                optim.decay_lr(self.opt_state, tcfg.lr_decay_factor)
+            tr = self._run_train(data_loader, 0, tcfg.log_step, "FAC")
+            va = self._run_val(val_loader, 0)
+            _log(self.log_path,
+                 f"Epoch [{epoch}/{num_epochs}], [FAC], Top-5 Acc: "
+                 f"{va.top5:.3f}, BLEU-4 Score: {va.bleu4}\n"
+                 f"\tTrain Loss: {tr.loss:.4f} | Val Loss: {va.loss:.4f}")
+            is_best = va.bleu4 > self.best_bleu4["factual"]
+            self.best_bleu4["factual"] = max(va.bleu4,
+                                             self.best_bleu4["factual"])
+            self.epochs_since_improvement["factual"] = (
+                0 if is_best else self.epochs_since_improvement["factual"] + 1)
+            self.save(epoch, is_best, mode_tag="FAC")
+        return {"best_bleu4": self.best_bleu4}
+
+    def save(self, epoch: int, is_best: bool, mode_tag: Optional[str] = None):
+        state = CheckpointState(
+            epoch=epoch,
+            epochs_since_improvement=self.epochs_since_improvement,
+            best_bleu4=self.best_bleu4,
+            params={"decoder": self.dec, "head": self.head},
+            opt_states={"optimizer": self.opt_state,
+                        "lang_optimizer": self.lang_opt_state},
+        )
+        save_checkpoint(self.model_dir, self.data_name,
+                        mode_tag or self.tcfg.mode[:3].upper(), state, is_best)
+
+
+class TransferTrainer(MultitaskTrainer):
+    """T5: stage-2 transfer fine-tune from a factual checkpoint.
+
+    StyleNet: language optimizer masked to style-S tensors + output head
+    (``train_transfer.py:94-115``); NIC: masked to the LSTM cell
+    (``nic/train_transfer.py:92-96``).  Supervised vs unsupervised is purely
+    a data question (paired vs unpaired emotion corpus) — same loop.
+    """
+
+    def __init__(self, *args, **kwargs):
+        super().__init__(*args, **kwargs)
+        from icee_tpu.models.factored_lstm import style_param_mask
+
+        if self.factored:
+            mask = style_param_mask(self.dec, include_output_head=True)
+        else:
+            mask = jax.tree_util.tree_map(lambda _: False, self.dec)
+            mask["cell"] = jax.tree_util.tree_map(lambda _: True,
+                                                  self.dec["cell"])
+        self.lang_optimizer = optim.make_adam(
+            self.tcfg.lr_language, self.tcfg, param_mask=mask)
+        steps = (make_attention_steps if self.attention else make_caption_steps)(
+            self.cfg, self.tcfg, self.optimizer, self.lang_optimizer,
+            self.factored)
+        self.factual_step, self.emotion_step, self.val_step = steps
+        self.lang_opt_state = self.lang_optimizer.init(self.dec)
+
+    def train_transfer(self, emotion_loader, val_emotion_loader,
+                       num_epochs: Optional[int] = None) -> Dict:
+        """Emotion-only fine-tuning loop (``train_transfer.py:128-207``)."""
+        tcfg = self.tcfg
+        num_epochs = num_epochs or tcfg.num_epochs
+        emo = mode_id(tcfg.mode)
+        for epoch in range(self.start_epoch, num_epochs):
+            imp = self.epochs_since_improvement["emotion"]
+            if imp >= tcfg.early_stop_patience:
+                break
+            if imp > 0 and imp % tcfg.lr_decay_patience == 0:
+                optim.decay_lr(self.lang_opt_state, tcfg.lr_decay_factor)
+            tr = self._run_train(emotion_loader, emo, tcfg.log_step_emotion,
+                                 tcfg.mode[:3].upper())
+            va = self._run_val(val_emotion_loader, emo)
+            _log(self.log_path,
+                 f"Epoch [{epoch}/{num_epochs}], [{tcfg.mode[:3].upper()}], "
+                 f"Top-5 Acc: {va.top5:.3f}, BLEU-4 Score: {va.bleu4}\n"
+                 f"\tTrain Loss: {tr.loss:.4f} | Val Loss: {va.loss:.4f}")
+            is_best = va.bleu4 > self.best_bleu4["emotion"]
+            self.best_bleu4["emotion"] = max(va.bleu4,
+                                             self.best_bleu4["emotion"])
+            self.epochs_since_improvement["emotion"] = (
+                0 if is_best else self.epochs_since_improvement["emotion"] + 1)
+            self.save(epoch, is_best)
+        return {"best_bleu4": self.best_bleu4}
+
+
+class PaperRegimeTrainer(MultitaskTrainer):
+    """T1: the StyleNet-paper regime (``stylenet/train.py``) — factual pass
+    plus *text-only* emotion passes, one Adam per emotion over that emotion's
+    S slice (``train.py:135-150``).
+
+    The reference script is stale (its 3-tuple unpack crashes on the 4-tuple
+    collate, ``train.py:232`` — SURVEY.md §7 quirks); this implementation
+    realizes the intended regime on the working data layer.  Text-only
+    batches carry no features (``features=None`` path of the decoder).
+    """
+
+    def __init__(self, *args, **kwargs):
+        super().__init__(*args, **kwargs)
+        self.style_optimizers = {}
+        self.style_opt_states = {}
+        for emo in EMOTIONS:
+            sid = mode_id(emo)
+            tx = optim.make_style_adam(self.tcfg.lr_language, sid, self.tcfg)
+            self.style_optimizers[emo] = tx
+            self.style_opt_states[emo] = tx.init(self.dec)
+        # text-only emotion step: no features, per-style optimizer
+        cfg, tcfg = self.cfg, self.tcfg
+        from icee_tpu.evaluation.metrics import masked_cross_entropy
+        from icee_tpu.models import factored_lstm as fl_mod
+        import optax as _optax
+
+        def make_step(tx):
+            @jax.jit
+            def step(dec, opt_state, captions, lengths, sample_mask, style, rng):
+                def loss_fn(d):
+                    logits = fl_mod.forward(
+                        d, cfg, captions, None, style,
+                        tcfg.teacher_forcing_ratio, rng, True)
+                    return masked_cross_entropy(logits, captions, lengths,
+                                                sample_mask)
+
+                loss, grads = jax.value_and_grad(loss_fn)(dec)
+                updates, opt_state = tx.update(grads, opt_state, dec)
+                return _optax.apply_updates(dec, updates), opt_state, loss
+
+            return step
+
+        self.style_steps = {emo: make_step(self.style_optimizers[emo])
+                            for emo in EMOTIONS}
+
+    def train(self, data_loader, style_loaders: Dict[str, object],
+              num_epochs: Optional[int] = None) -> None:
+        num_epochs = num_epochs or self.tcfg.num_epochs
+        for epoch in range(num_epochs):
+            self._run_train(data_loader, 0, self.tcfg.log_step, "FAC")
+            for emo, loader in style_loaders.items():
+                sid = mode_id(emo)
+                step = self.style_steps[emo]
+                for batch in loader:
+                    self.dec, self.style_opt_states[emo], loss = step(
+                        self.dec, self.style_opt_states[emo],
+                        jnp.asarray(batch.captions), jnp.asarray(batch.lengths),
+                        jnp.asarray(batch.sample_mask), jnp.asarray(sid),
+                        self._next_rng())
+            self.save(epoch, is_best=False, mode_tag="PAPER")
+
+
+class Seq2SeqTrainer:
+    """T6 (``seq2seq/train.py``): factual autoencode pass + per-emotion
+    decoder passes.  Reference quirk preserved: the emotion pass feeds the
+    *factual* caption as both source and target
+    (``seq2seq/train.py:316-317``), so loaders only need (image, src)."""
+
+    def __init__(self, cfg: Seq2SeqConfig, tcfg: TrainConfig, vocab, params,
+                 head, log_path: Optional[str] = None):
+        self.cfg, self.tcfg, self.vocab = cfg, tcfg, vocab
+        self.params, self.head = params, head
+        self.log_path = log_path
+        self.rng = jax.random.PRNGKey(tcfg.seed)
+        self.optimizer = optim.make_adam(tcfg.lr_caption, tcfg)
+        self.emotion_optimizer = optim.make_adam(tcfg.lr_language, tcfg)
+        (self.factual_step, self.emotion_step, self.val_factual,
+         self.val_emotion) = make_seq2seq_steps(
+            cfg, tcfg, self.optimizer, self.emotion_optimizer)
+        self.opt_state = self.optimizer.init((params["encoder"], head))
+        self.emotion_opt_state = self.emotion_optimizer.init(params["decoders"])
+
+    def _next_rng(self):
+        self.rng, k = jax.random.split(self.rng)
+        return k
+
+    def train(self, data_loader, emotion_loaders: Dict[str, object],
+              num_epochs: Optional[int] = None) -> None:
+        num_epochs = num_epochs or self.tcfg.num_epochs
+        for epoch in range(num_epochs):
+            losses = AverageMeter()
+            for batch in data_loader:
+                self.params, self.head, self.opt_state, loss = \
+                    self.factual_step(
+                        self.params, self.head, self.opt_state,
+                        jnp.asarray(batch.images), jnp.asarray(batch.captions),
+                        jnp.asarray(batch.lengths),
+                        jnp.asarray(batch.sample_mask), self._next_rng())
+                losses.update(float(loss), int(batch.lengths.sum()))
+            _log(self.log_path,
+                 f"Epoch [{epoch}/{num_epochs}], [FAC], "
+                 f"Loss {losses.avg:.4f}")
+            for emo, loader in emotion_loaders.items():
+                eid = mode_id(emo) - 1
+                e_losses = AverageMeter()
+                for batch in loader:
+                    caps = jnp.asarray(batch.captions)
+                    lens = jnp.asarray(batch.lengths)
+                    # dst = src (reference overwrite, seq2seq/train.py:316-317)
+                    self.params, self.emotion_opt_state, loss = \
+                        self.emotion_step(
+                            self.params, self.head, self.emotion_opt_state,
+                            jnp.asarray(batch.images), caps, lens, caps, lens,
+                            jnp.asarray(batch.sample_mask), jnp.asarray(eid),
+                            self._next_rng())
+                    e_losses.update(float(loss), int(batch.lengths.sum()))
+                _log(self.log_path,
+                     f"Epoch [{epoch}/{num_epochs}], "
+                     f"[{emo[:3].upper()}], Loss {e_losses.avg:.4f}")

@@ -1,0 +1,75 @@
+"""Benchmark: flagship beam-decode throughput on one TPU chip.
+
+Decodes a batch of images with the StyleNet FactoredLSTM at the flagship
+configuration (V=8192, E=300, H=512, F=512, beam k=5, max 40 steps) using the
+jit+vmap masked beam search — the TPU-native replacement for the reference's
+one-image-at-a-time Python beam loop (``stylenet/model.py:198-294``).
+
+Baseline: 7.779 captions/sec measured for the reference-style CPU PyTorch
+decode at identical sizes (``scripts/baseline_torch.py``; the reference repo
+publishes no throughput numbers, BASELINE.md).  BASELINE.json's target is
+>=10x that.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+"""
+
+import json
+import time
+
+import numpy as np
+
+TORCH_CPU_BASELINE_CPS = 7.779  # scripts/baseline_torch.py, single thread
+
+V, E, H, F = 8192, 300, 512, 512
+K, MAX_STEPS = 5, 40
+BATCH = 256
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    from icee_tpu.core.config import DecoderConfig
+    from icee_tpu.decode.beam import beam_search
+    from icee_tpu.models import factored_lstm as fl
+
+    cfg = DecoderConfig(vocab_size=V, embed_size=E, hidden_size=H,
+                        factored_size=F, max_seq_length=MAX_STEPS)
+    dec = fl.init_params(jax.random.PRNGKey(0), cfg)
+    # bf16 weights: MXU-native precision for the decode path
+    dec = jax.tree_util.tree_map(lambda x: x.astype(jnp.bfloat16), dec)
+
+    rng = np.random.default_rng(0)
+    feats = jnp.asarray(rng.standard_normal((BATCH, K, E)), jnp.bfloat16)
+
+    def one(feat):
+        return beam_search(
+            embed_fn=lambda t: fl.embed(dec, t),
+            step_fn=lambda x, s: fl.decode_step(dec, x, s, jnp.asarray(1)),
+            init_model_state=(jnp.zeros((K, H), jnp.bfloat16),
+                              jnp.zeros((K, H), jnp.bfloat16)),
+            start_token=1, end_token=2, k=K, max_seq_length=MAX_STEPS,
+            vocab_size=V, first_input=feat)
+
+    decode = jax.jit(jax.vmap(one))
+    res = decode(feats)
+    jax.block_until_ready(res.tokens)  # compile + warmup
+
+    n_runs = 5
+    t0 = time.perf_counter()
+    for _ in range(n_runs):
+        res = decode(feats)
+        jax.block_until_ready(res.tokens)
+    dt = time.perf_counter() - t0
+
+    cps = BATCH * n_runs / dt
+    print(json.dumps({
+        "metric": "beam_decode_captions_per_sec",
+        "value": round(cps, 2),
+        "unit": "captions/sec/chip",
+        "vs_baseline": round(cps / TORCH_CPU_BASELINE_CPS, 2),
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -64,7 +64,8 @@ def factored_lstm_cell(
     g_t = jnp.tanh(z[:, 3])
     c_new = f_t * c + i_t * g_t
     h_new = o_t * c_new  # reference quirk: no tanh (model.py:153)
-    return h_new, c_new
+    # bf16-in / f32-accumulate / bf16-out: keep the scan carry dtype stable
+    return h_new.astype(h.dtype), c_new.astype(c.dtype)
 
 
 def lstm_cell(
@@ -83,7 +84,7 @@ def lstm_cell(
     o_t = jax.nn.sigmoid(z[..., 3 * h_dim : 4 * h_dim])
     c_new = f_t * c + i_t * g_t
     h_new = o_t * jnp.tanh(c_new)
-    return h_new, c_new
+    return h_new.astype(h.dtype), c_new.astype(c.dtype)
 
 
 def multilayer_lstm_cell(

@@ -1,0 +1,189 @@
+"""Shared CLI plumbing: configs from flags, feature providers, model builders.
+
+The reference hard-codes user-specific absolute paths as argparse defaults
+(``train_multitask.py:577-581``); here defaults are relative and every CLI
+shares one flag vocabulary.
+
+Feature sourcing (three ways, first available wins):
+
+1. ``--feature_cache path.npz`` — precomputed ``{image_name: feature}``
+   arrays (the TPU-native fast path: encode each unique image ONCE, reuse
+   across epochs — the reference re-runs the frozen ResNet every epoch),
+2. ``--image_dir`` + optional ``--resnet_weights`` (torch ``.pth``
+   state_dict or ``.npz``) — runs the JAX ResNet-152 backbone,
+3. random-but-deterministic per-image features (no weights available —
+   offline smoke mode, clearly logged).
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import zlib
+from typing import Callable, Optional
+
+import numpy as np
+
+from icee_tpu.core.config import (
+    AttentionDecoderConfig,
+    DecoderConfig,
+    EncoderConfig,
+    Seq2SeqConfig,
+    TrainConfig,
+)
+
+
+def add_model_flags(p: argparse.ArgumentParser) -> None:
+    p.add_argument("--embed_size", type=int, default=300)
+    p.add_argument("--hidden_size", type=int, default=512)
+    p.add_argument("--factored_size", type=int, default=512)
+    p.add_argument("--attention_size", type=int, default=512)
+    p.add_argument("--num_layers", type=int, default=1)
+    p.add_argument("--dropout", type=float, default=0.5)
+    p.add_argument("--max_seq_length", type=int, default=40)
+
+
+def add_train_flags(p: argparse.ArgumentParser) -> None:
+    p.add_argument("--mode", type=str, default="happy")
+    p.add_argument("--num_epochs", type=int, default=120)
+    p.add_argument("--caption_batch_size", type=int, default=64)
+    p.add_argument("--language_batch_size", type=int, default=96)
+    p.add_argument("--lr_caption", type=float, default=2e-4)
+    p.add_argument("--lr_language", type=float, default=5e-4)
+    p.add_argument("--grad_clip", type=float, default=0.5)
+    p.add_argument("--log_step", type=int, default=50)
+    p.add_argument("--log_step_emotion", type=int, default=5)
+    p.add_argument("--log_path", type=str, default="out.log")
+    p.add_argument("--model_path", type=str, default="models/")
+    p.add_argument("--seed", type=int, default=0)
+
+
+def add_data_flags(p: argparse.ArgumentParser) -> None:
+    p.add_argument("--vocab_path", type=str, default="data/flickr8k_id/vocab.pkl")
+    p.add_argument("--image_dir", type=str, default=None)
+    p.add_argument("--caption_path", type=str,
+                   default="data/flickr8k_id/train.txt")
+    p.add_argument("--val_caption_path", type=str,
+                   default="data/flickr8k_id/val.txt")
+    p.add_argument("--happy_path", type=str,
+                   default="data/flickr8k_id/happy/train.txt")
+    p.add_argument("--val_happy_path", type=str,
+                   default="data/flickr8k_id/happy/val.txt")
+    p.add_argument("--sad_path", type=str,
+                   default="data/flickr8k_id/sad/train.txt")
+    p.add_argument("--val_sad_path", type=str,
+                   default="data/flickr8k_id/sad/val.txt")
+    p.add_argument("--angry_path", type=str,
+                   default="data/flickr8k_id/angry/train.txt")
+    p.add_argument("--val_angry_path", type=str,
+                   default="data/flickr8k_id/angry/val.txt")
+    p.add_argument("--num_workers", type=int, default=4)
+    p.add_argument("--crop_size", type=int, default=224)
+    p.add_argument("--feature_cache", type=str, default=None,
+                   help="npz of precomputed image features")
+    p.add_argument("--resnet_weights", type=str, default=None,
+                   help="torch .pth state_dict or .npz for ResNet-152")
+
+
+def decoder_config(args, vocab_size: int, attention: bool = False):
+    cls = AttentionDecoderConfig if attention else DecoderConfig
+    return cls(
+        vocab_size=vocab_size,
+        embed_size=args.embed_size,
+        hidden_size=args.hidden_size,
+        factored_size=args.factored_size,
+        num_layers=args.num_layers,
+        dropout=args.dropout,
+        max_seq_length=args.max_seq_length,
+        **({"attention_size": args.attention_size} if attention else {}),
+    )
+
+
+def train_config(args) -> TrainConfig:
+    return TrainConfig(
+        mode=args.mode,
+        num_epochs=args.num_epochs,
+        caption_batch_size=args.caption_batch_size,
+        language_batch_size=args.language_batch_size,
+        lr_caption=args.lr_caption,
+        lr_language=args.lr_language,
+        grad_clip=args.grad_clip,
+        log_step=args.log_step,
+        log_step_emotion=args.log_step_emotion,
+        max_caption_len=args.max_seq_length + 2,
+        seed=args.seed,
+        crop_size=args.crop_size,
+    )
+
+
+def load_resnet_params(path: Optional[str]):
+    """Backbone weights from torch .pth / .npz, or random init."""
+    import jax
+    from icee_tpu.models import resnet
+
+    if path is None:
+        return resnet.init_params(jax.random.PRNGKey(0))
+    if path.endswith(".npz"):
+        sd = dict(np.load(path))
+        return resnet.import_torch_state_dict(sd)
+    import torch
+
+    sd = torch.load(path, map_location="cpu")
+    if hasattr(sd, "state_dict"):
+        sd = sd.state_dict()
+    # strip an "resnet." wrapper prefix if present (EncoderCNN pickles)
+    sd = {k.removeprefix("resnet."): v for k, v in sd.items()}
+    return resnet.import_torch_state_dict(sd)
+
+
+def make_feature_provider(
+    args, spatial: bool = False, grid: int = 14
+) -> Callable[[str], np.ndarray]:
+    """image name -> encoder feature array (see module docstring)."""
+    if args.feature_cache and os.path.exists(args.feature_cache):
+        cache = dict(np.load(args.feature_cache))
+        return lambda name: cache[name]
+
+    if args.image_dir:
+        import jax
+        import jax.numpy as jnp
+        from icee_tpu.data.transforms import host_decode_resize, normalize
+        from icee_tpu.models import resnet
+
+        backbone = load_resnet_params(args.resnet_weights)
+        if args.resnet_weights is None:
+            print("WARNING: no --resnet_weights given; backbone is randomly "
+                  "initialized (offline smoke mode)")
+
+        @jax.jit
+        def run(img):
+            x = normalize(img[None])
+            if spatial:
+                out, _ = resnet.spatial_features(backbone, x, grid=grid)
+                return out[0].reshape(grid * grid, -1)
+            out, _ = resnet.global_features(backbone, x)
+            return out[0]
+
+        memo = {}
+
+        def provider(name):
+            if name not in memo:
+                img = host_decode_resize(
+                    os.path.join(args.image_dir, name), args.crop_size)
+                memo[name] = np.asarray(run(jnp.asarray(img)))
+            return memo[name]
+
+        return provider
+
+    print("WARNING: no images or feature cache; using deterministic random "
+          "features (offline smoke mode)")
+    feat_dim = 2048
+
+    def provider(name):
+        seed = zlib.crc32(name.encode()) & 0xFFFFFFFF
+        rng = np.random.default_rng(seed)
+        if spatial:
+            return rng.standard_normal((grid * grid, feat_dim)).astype(np.float32)
+        return rng.standard_normal((feat_dim,)).astype(np.float32)
+
+    return provider

@@ -1,0 +1,126 @@
+"""``python -m icee_tpu.cli.evaluate`` — held-out-test BLEU evaluator
+(reference ``stylenet/evaluator.py:59-139``): beam-decode every test image in
+``--mode``, print ref/pred pairs, report corpus BLEU-1..4 with cumulative
+weights.
+
+TPU-native difference: the reference decodes one image at a time in Python;
+here the whole test set beam-decodes as jit+vmap batches (the bench.py path,
+hundreds of captions/sec/chip).
+
+Parity note: like the reference, BLEU here is computed over raw id sequences
+INCLUDING ``<start>``/``<end>`` (``evaluator.py:74-104`` — unlike the
+trainers' validation BLEU which strips them).
+"""
+
+import argparse
+
+import numpy as np
+
+
+def evaluate(dec_params, head, cfg, vocab, dataset, provider, mode_idx,
+             batch_size=64, k=5, print_pairs=True):
+    import jax
+    import jax.numpy as jnp
+
+    from icee_tpu.decode.beam import beam_search
+    from icee_tpu.models import encoder as enc_mod
+    from icee_tpu.models import factored_lstm as fl
+    from icee_tpu.evaluation.bleu import bleu_1_to_4
+
+    def one(feat):
+        return beam_search(
+            embed_fn=lambda t: fl.embed(dec_params, t),
+            step_fn=lambda x, s: fl.decode_step(dec_params, x, s,
+                                                jnp.asarray(mode_idx)),
+            init_model_state=fl.initial_state(k, cfg),
+            start_token=vocab.start, end_token=vocab.end, k=k,
+            max_seq_length=cfg.max_seq_length, vocab_size=cfg.vocab_size,
+            first_input=jnp.tile(feat[None, :], (k, 1)),
+        )
+
+    decode = jax.jit(jax.vmap(one))
+
+    # one beam decode per unique image (evaluator decodes per test line; lines
+    # repeat images with different refs — the reference decodes per line, so
+    # mirror that)
+    references, hypotheses = [], []
+    for i in range(0, len(dataset), batch_size):
+        chunk = dataset[i : i + batch_size]
+        pooled = np.stack([provider(ex.image) for ex in chunk])
+        feats, _ = enc_mod.encode_global_from_pooled(
+            head, jnp.asarray(pooled), train=False)
+        # pad chunk to batch_size for a single compiled shape
+        n = feats.shape[0]
+        if n < batch_size:
+            feats = jnp.concatenate(
+                [feats, jnp.zeros((batch_size - n, feats.shape[1]),
+                                  feats.dtype)])
+        res = decode(feats)
+        toks = np.asarray(res.tokens)
+        lens = np.asarray(res.length)
+        for b, ex in enumerate(chunk):
+            refs = [list(map(int, r)) for r in ex.all_caption_ids]
+            hyp = toks[b, : lens[b]].tolist()
+            references.append(refs)
+            hypotheses.append(hyp)
+            if print_pairs:
+                print("ref", " ".join(vocab.idx2word[w] for w in refs[0]))
+                print("pred", " ".join(vocab.idx2word[w] for w in hyp))
+    return bleu_1_to_4(references, hypotheses)
+
+
+def main(args) -> None:
+    import jax
+
+    from icee_tpu.cli import common
+    from icee_tpu.core.config import EncoderConfig, mode_id
+    from icee_tpu.data.captions import load_caption_dataset
+    from icee_tpu.data.vocab import load_vocab
+    from icee_tpu.models import encoder as enc_mod
+    from icee_tpu.models import factored_lstm as fl
+
+    vocab = load_vocab(args.vocab_path)
+    cfg = common.decoder_config(args, len(vocab))
+    dataset = load_caption_dataset(args.test_path, vocab)
+    provider = common.make_feature_provider(args)
+
+    if args.checkpoint_path:
+        from icee_tpu.checkpoint.ckpt import load_checkpoint
+        from icee_tpu.models import encoder as enc
+
+        template = {
+            "decoder": fl.init_params(jax.random.PRNGKey(0), cfg),
+            "head": enc.init_head_params(
+                jax.random.PRNGKey(1), EncoderConfig(embed_size=cfg.embed_size)),
+        }
+        restored = load_checkpoint(args.checkpoint_path, {"params": template})
+        dec, head = restored["params"]["decoder"], restored["params"]["head"]
+    else:
+        print("WARNING: no --checkpoint_path; random weights (smoke mode)")
+        dec = fl.init_params(jax.random.PRNGKey(0), cfg)
+        head = enc_mod.init_head_params(
+            jax.random.PRNGKey(1), EncoderConfig(embed_size=cfg.embed_size))
+
+    b1, b2, b3, b4 = evaluate(dec, head, cfg, vocab, dataset, provider,
+                              mode_id(args.mode), batch_size=args.batch_size)
+    print("BLEU-1", b1)
+    print("BLEU-2", b2)
+    print("BLEU-3", b3)
+    print("BLEU-4", b4)
+
+
+if __name__ == "__main__":
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--checkpoint_path", type=str, default=None)
+    parser.add_argument("--mode", type=str, default="factual")
+    parser.add_argument("--image_dir", type=str, default=None)
+    parser.add_argument("--test_path", type=str, required=True)
+    parser.add_argument("--vocab_path", type=str, required=True)
+    parser.add_argument("--batch_size", type=int, default=64)
+    parser.add_argument("--feature_cache", type=str, default=None)
+    parser.add_argument("--resnet_weights", type=str, default=None)
+    parser.add_argument("--crop_size", type=int, default=224)
+    from icee_tpu.cli.common import add_model_flags
+
+    add_model_flags(parser)
+    main(parser.parse_args())

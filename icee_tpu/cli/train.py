@@ -1,0 +1,162 @@
+"""``python -m icee_tpu.cli.train`` — unified training CLI for every regime.
+
+One entry point replaces the reference's per-regime scripts, selected by
+``--trainer`` (flags otherwise mirror ``train_multitask.py:560-634``):
+
+- ``multitask``      -> T2 (``stylenet/train_multitask.py``) / NIC copy
+- ``multitask_att``  -> T3 (``train_multitask_att.py``)
+- ``transfer_fac``   -> T4 stage-1 factual pretraining
+- ``transfer``       -> T5 stage-2 style fine-tune (masked optimizer)
+- ``paper``          -> T1 StyleNet-paper regime (text-only style corpora)
+- ``seq2seq``        -> T6 (``seq2seq/train.py``)
+
+``--family {stylenet,nic}`` picks the factored vs plain decoder.
+"""
+
+import argparse
+
+
+def main(args) -> None:
+    import jax
+
+    from icee_tpu.cli import common
+    from icee_tpu.core.config import EncoderConfig, Seq2SeqConfig
+    from icee_tpu.data.captions import (
+        load_caption_dataset,
+        load_styled_caption_dataset,
+    )
+    from icee_tpu.data.pipeline import caption_dataset_loader, BatchLoader, make_batch
+    from icee_tpu.data.vocab import load_vocab
+    from icee_tpu.models import attention as att_mod
+    from icee_tpu.models import encoder as enc_mod
+    from icee_tpu.models import factored_lstm as fl
+    from icee_tpu.models import lstm as nic_mod
+    from icee_tpu.models import seq2seq as s2s
+    from icee_tpu.train.loops import (
+        MultitaskTrainer,
+        PaperRegimeTrainer,
+        Seq2SeqTrainer,
+        TransferTrainer,
+    )
+
+    vocab = load_vocab(args.vocab_path)
+    attention = args.trainer.endswith("_att") or args.attention
+    cfg = common.decoder_config(args, len(vocab), attention=attention)
+    tcfg = common.train_config(args)
+    ecfg = EncoderConfig(embed_size=args.embed_size)
+    provider = common.make_feature_provider(args, spatial=attention)
+
+    emo_paths = {"happy": (args.happy_path, args.val_happy_path),
+                 "sad": (args.sad_path, args.val_sad_path),
+                 "angry": (args.angry_path, args.val_angry_path)}
+
+    def loader(path, bs):
+        ds = load_caption_dataset(path, vocab)
+        return caption_dataset_loader(
+            ds, batch_size=bs, max_len=tcfg.max_caption_len,
+            image_provider=provider, shuffle=True, seed=args.seed)
+
+    family = "factored" if args.family == "stylenet" else "nic"
+    if attention:
+        family += "_att"
+
+    key = jax.random.PRNGKey(args.seed)
+    if family == "factored":
+        dec = fl.init_params(key, cfg)
+    elif family == "nic":
+        dec = nic_mod.init_params(key, cfg)
+    elif family == "factored_att":
+        dec = att_mod.init_factored_att_params(key, cfg)
+    else:
+        dec = att_mod.init_rnn_att_params(key, cfg)
+    head = None if attention else enc_mod.init_head_params(
+        jax.random.PRNGKey(args.seed + 1), ecfg)
+
+    common_kw = dict(
+        cfg=cfg, tcfg=tcfg, vocab=vocab, dec_params=dec, head_params=head,
+        family=family, log_path=args.log_path, model_dir=args.model_path,
+        data_name=args.data_name)
+
+    if args.trainer in ("multitask", "multitask_att"):
+        trainer = MultitaskTrainer(**common_kw)
+        emo_train, emo_val = emo_paths[args.mode]
+        trainer.train(
+            loader(args.caption_path, tcfg.caption_batch_size),
+            loader(args.val_caption_path, tcfg.caption_batch_size),
+            loader(emo_train, tcfg.language_batch_size),
+            loader(emo_val, tcfg.language_batch_size))
+    elif args.trainer == "transfer_fac":
+        trainer = MultitaskTrainer(**common_kw)
+        trainer.train_factual_only(
+            loader(args.caption_path, tcfg.caption_batch_size),
+            loader(args.val_caption_path, tcfg.caption_batch_size))
+    elif args.trainer == "transfer":
+        trainer = TransferTrainer(**common_kw)
+        if args.checkpoint_path:
+            from icee_tpu.checkpoint.ckpt import load_checkpoint
+
+            restored = load_checkpoint(
+                args.checkpoint_path,
+                {"params": {"decoder": dec, "head": head}})
+            trainer.dec = restored["params"]["decoder"]
+            trainer.head = restored["params"]["head"]
+        emo_train, emo_val = emo_paths[args.mode]
+        trainer.train_transfer(
+            loader(emo_train, tcfg.language_batch_size),
+            loader(emo_val, tcfg.language_batch_size))
+    elif args.trainer == "paper":
+        trainer = PaperRegimeTrainer(**common_kw)
+
+        def style_loader(path):
+            ds = load_styled_caption_dataset(path, vocab)
+
+            def example_fn(idx):
+                return make_batch([ds[i] for i in idx],
+                                  max_len=tcfg.max_caption_len,
+                                  batch_size=tcfg.language_batch_size)
+
+            return BatchLoader(len(ds), tcfg.language_batch_size, example_fn,
+                               seed=args.seed)
+
+        trainer.train(
+            loader(args.caption_path, tcfg.caption_batch_size),
+            {emo: style_loader(p[0]) for emo, p in emo_paths.items()})
+    elif args.trainer == "seq2seq":
+        scfg = Seq2SeqConfig(vocab_size=len(vocab),
+                             embed_size=args.embed_size,
+                             hidden_size=args.hidden_size,
+                             num_layers=args.num_layers,
+                             dropout=args.dropout,
+                             max_seq_length=args.max_seq_length)
+        params = s2s.init_params(key, scfg)
+        head = enc_mod.init_head_params(jax.random.PRNGKey(args.seed + 1), ecfg)
+        trainer = Seq2SeqTrainer(scfg, tcfg, vocab, params, head,
+                                 log_path=args.log_path)
+        trainer.train(
+            loader(args.caption_path, tcfg.caption_batch_size),
+            {emo: loader(p[0], tcfg.language_batch_size)
+             for emo, p in emo_paths.items()})
+    else:
+        raise SystemExit(f"unknown --trainer {args.trainer}")
+
+
+if __name__ == "__main__":
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--trainer", type=str, default="multitask",
+                        choices=["multitask", "multitask_att", "transfer_fac",
+                                 "transfer", "paper", "seq2seq"])
+    parser.add_argument("--family", type=str, default="stylenet",
+                        choices=["stylenet", "nic"])
+    parser.add_argument("--attention", action="store_true")
+    parser.add_argument("--checkpoint_path", type=str, default=None,
+                        help="resume/fine-tune source checkpoint")
+    parser.add_argument("--data_name", type=str, default="flickr8k_id")
+    from icee_tpu.cli.common import (add_data_flags, add_model_flags,
+                                     add_train_flags)
+
+    add_model_flags(parser)
+    add_train_flags(parser)
+    add_data_flags(parser)
+    args = parser.parse_args()
+    print(args)
+    main(args)

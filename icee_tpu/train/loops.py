@@ -119,6 +119,43 @@ class MultitaskTrainer:
         self.epochs_since_improvement = {"factual": 0, "emotion": 0}
         self.best_bleu4 = {"factual": 0.0, "emotion": 0.0}
         self.start_epoch = 0
+        if self.sample_fn is None and not self.attention:
+            self.sample_fn = self._default_sample_fn
+
+    def _default_sample_fn(self, dec, head, feat, style):
+        """Beam-decode one caption from a pooled feature (the per-validation
+        sample print, ``train_multitask.py:344-359``)."""
+        import jax.numpy as jnp
+
+        from icee_tpu.decode.beam import beam_search
+        from icee_tpu.models import encoder as enc_mod
+        from icee_tpu.models import factored_lstm as fl_mod
+        from icee_tpu.models import lstm as nic_mod
+
+        k = 5
+        feats_head, _ = enc_mod.encode_global_from_pooled(head, feat, False)
+        if self.factored:
+            embed_fn = lambda t: fl_mod.embed(dec, t)  # noqa: E731
+            step_fn = lambda x, s: fl_mod.decode_step(  # noqa: E731
+                dec, x, s, jnp.asarray(style))
+            init = fl_mod.initial_state(k, self.cfg)
+        else:
+            embed_fn = lambda t: nic_mod.embed(dec, t)  # noqa: E731
+            step_fn = lambda x, s: nic_mod.decode_step(dec, x, s)  # noqa: E731
+            init = nic_mod.initial_state(k, self.cfg)
+        res = beam_search(
+            embed_fn=embed_fn, step_fn=step_fn, init_model_state=init,
+            start_token=self.vocab.start, end_token=self.vocab.end, k=k,
+            max_seq_length=self.cfg.max_seq_length,
+            vocab_size=self.cfg.vocab_size,
+            first_input=jnp.tile(feats_head, (k, 1)))
+        ids = np.asarray(res.tokens)[: int(res.length)]
+        words = []
+        for wid in ids:
+            words.append(self.vocab.idx2word[int(wid)])
+            if words[-1] == "<end>":
+                break
+        return words
 
     # -- single epochs ----------------------------------------------------
 

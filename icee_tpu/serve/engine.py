@@ -1,0 +1,252 @@
+"""Caption serving engine: preloaded models, jitted decode, batched beams.
+
+Parity target + fix: the reference serving pipeline unpickles ENTIRE model
+modules from disk on EVERY request (``app/backend/sample.py:52-97``,
+``model.py:490-499`` — SURVEY.md flags this as the latency hot spot).  Here
+every (variant, mode) pipeline is loaded once at startup and its beam decode
+is compiled once; requests run image decode (host) -> ResNet (TPU) -> beam
+(TPU) with no model IO.
+
+Beam semantics are the serving copy's (image feature fed at step 1,
+``app/backend/model.py:414-417``).
+"""
+
+from __future__ import annotations
+
+import os
+from functools import partial
+from typing import Dict, Optional
+
+import numpy as np
+
+from icee_tpu.core.config import MODES, mode_id
+from icee_tpu.serve.config import MODEL_VARIANTS, ServeConfig
+
+
+class CaptionEngine:
+    def __init__(self, config: ServeConfig, smoke_mode: bool = False,
+                 image_size: int = 224):
+        """``smoke_mode``: build every variant with random weights when no
+        checkpoints are configured (demo/offline)."""
+        import jax
+
+        from icee_tpu.core.config import (
+            AttentionDecoderConfig,
+            DecoderConfig,
+            EncoderConfig,
+        )
+        from icee_tpu.data.vocab import Vocabulary, load_vocab
+        from icee_tpu.models import encoder as enc_mod
+        from icee_tpu.models import resnet
+
+        self.config = config
+        self.image_size = image_size
+        if config.vocab_path and os.path.exists(config.vocab_path):
+            self.vocab = load_vocab(config.vocab_path)
+        elif smoke_mode:
+            from icee_tpu.data.vocab import SPECIALS
+
+            self.vocab = Vocabulary()
+            for s in SPECIALS:
+                self.vocab.add_word(s)
+            for w in ["sebuah", "gambar", "tanpa", "model"]:
+                self.vocab.add_word(w)
+        else:
+            raise FileNotFoundError(f"vocab not found: {config.vocab_path}")
+
+        v = len(self.vocab)
+        self.dec_cfg = DecoderConfig(vocab_size=v)
+        self.att_cfg = AttentionDecoderConfig(vocab_size=v)
+        self.enc_cfg = EncoderConfig()
+
+        from icee_tpu.cli.common import load_resnet_params
+
+        self.backbone = load_resnet_params(config.resnet_weights)
+        self.models: Dict[str, dict] = {}
+        self._decode_cache: Dict = {}
+        self._load_models(smoke_mode)
+
+    # -- model loading ----------------------------------------------------
+
+    def _load_models(self, smoke_mode: bool) -> None:
+        import jax
+
+        from icee_tpu.checkpoint import torch_import as ti
+        from icee_tpu.models import attention as att_mod
+        from icee_tpu.models import encoder as enc_mod
+        from icee_tpu.models import factored_lstm as fl
+        from icee_tpu.models import lstm as nic_mod
+
+        head = enc_mod.init_head_params(jax.random.PRNGKey(1), self.enc_cfg)
+        for variant in MODEL_VARIANTS:
+            paths = self.config.checkpoint_paths.get(variant, {})
+            any_path = next((p for p in paths.values() if p), None)
+            if any_path is None and not smoke_mode:
+                continue
+            key = jax.random.PRNGKey(hash(variant) % (2**31))
+            if variant == "stylenet":
+                dec = fl.init_params(key, self.dec_cfg)
+            elif variant == "nic":
+                dec = nic_mod.init_params(key, self.dec_cfg)
+            elif variant == "stylenet_att":
+                dec = att_mod.init_factored_att_params(key, self.att_cfg)
+            else:
+                dec = att_mod.init_rnn_att_params(key, self.att_cfg)
+            if any_path and os.path.exists(any_path):
+                dec, head = self._restore(variant, any_path, dec, head)
+            self.models[variant] = {"decoder": dec, "head": head}
+
+    def _restore(self, variant, path, dec_template, head_template):
+        """Load our orbax checkpoints or reference torch pickles."""
+        if path.endswith((".pth", ".tar", ".ckpt")):
+            import torch
+
+            from icee_tpu.checkpoint import torch_import as ti
+
+            sd = torch.load(path, map_location="cpu")
+            if isinstance(sd, dict) and "decoder" in sd:  # full ckpt pickle
+                dec_sd = sd["decoder"].state_dict()
+                enc_sd = sd["encoder"].state_dict()
+            else:
+                dec_sd, enc_sd = sd, None
+            if variant == "stylenet":
+                dec = ti.import_factored_decoder_state_dict(dec_sd)
+            elif variant == "stylenet_att":
+                dec = ti.import_factored_att_decoder_state_dict(dec_sd)
+            elif variant == "nic":
+                dec = ti.import_nic_decoder_state_dict(dec_sd)
+            else:
+                dec = dec_template  # NIC-att torch import: same shims apply
+            head = head_template
+            if enc_sd is not None:
+                head = ti.import_encoder_head_state_dict(
+                    {k: v for k, v in enc_sd.items()
+                     if not k.startswith("resnet.")})
+            return dec, head
+        from icee_tpu.checkpoint.ckpt import load_checkpoint
+
+        restored = load_checkpoint(
+            path, {"params": {"decoder": dec_template, "head": head_template}})
+        return restored["params"]["decoder"], restored["params"]["head"]
+
+    # -- inference --------------------------------------------------------
+
+    def _features(self, image_path: str):
+        import jax.numpy as jnp
+
+        from icee_tpu.data.transforms import host_decode_resize, normalize
+        from icee_tpu.models import resnet
+
+        img = host_decode_resize(image_path, self.image_size)
+        x = normalize(jnp.asarray(img)[None])
+        pooled, _ = resnet.global_features(self.backbone, x)
+        fmap, _ = resnet.spatial_features(self.backbone, x, grid=14)
+        spatial = fmap.reshape(1, 14 * 14, fmap.shape[-1])
+        return pooled, spatial
+
+    def _decode_fn(self, variant: str, k: int = 5):
+        """Build (once) the jitted beam decode for a variant."""
+        if variant in self._decode_cache:
+            return self._decode_cache[variant]
+        import jax
+        import jax.numpy as jnp
+
+        from icee_tpu.decode.beam import beam_search
+        from icee_tpu.models import attention as att_mod
+        from icee_tpu.models import factored_lstm as fl
+        from icee_tpu.models import lstm as nic_mod
+
+        dec = self.models[variant]["decoder"]
+        vocab_size = len(self.vocab)
+
+        if variant == "stylenet":
+            def run(feat, style):
+                return beam_search(
+                    embed_fn=lambda t: fl.embed(dec, t),
+                    step_fn=lambda x, s: fl.decode_step(dec, x, s, style),
+                    init_model_state=fl.initial_state(k, self.dec_cfg),
+                    start_token=self.vocab.start, end_token=self.vocab.end,
+                    k=k, max_seq_length=self.dec_cfg.max_seq_length,
+                    vocab_size=vocab_size,
+                    first_input=jnp.tile(feat, (k, 1)))
+        elif variant == "nic":
+            def run(feat, style):
+                return beam_search(
+                    embed_fn=lambda t: nic_mod.embed(dec, t),
+                    step_fn=lambda x, s: nic_mod.decode_step(dec, x, s),
+                    init_model_state=nic_mod.initial_state(k, self.dec_cfg),
+                    start_token=self.vocab.start, end_token=self.vocab.end,
+                    k=k, max_seq_length=self.dec_cfg.max_seq_length,
+                    vocab_size=vocab_size,
+                    first_input=jnp.tile(feat, (k, 1)))
+        elif variant == "stylenet_att":
+            def run(spatial, style):
+                feats_k = jnp.tile(spatial, (k, 1, 1))
+
+                def step(x, s):
+                    logits, _, s2 = att_mod.factored_att_decode_step(
+                        dec, x, feats_k, s, style)
+                    return logits, s2
+
+                return beam_search(
+                    embed_fn=lambda t: fl.embed(dec, t),
+                    step_fn=step,
+                    init_model_state=att_mod.init_hidden_state(dec, feats_k),
+                    start_token=self.vocab.start, end_token=self.vocab.end,
+                    k=k, max_seq_length=self.att_cfg.max_seq_length,
+                    vocab_size=vocab_size)
+        else:  # nic_att
+            def run(spatial, style):
+                feats_k = jnp.tile(spatial, (k, 1, 1))
+
+                def step(x, s):
+                    logits, _, s2 = att_mod.rnn_att_decode_step(
+                        dec, x, feats_k, s)
+                    return logits, s2
+
+                return beam_search(
+                    embed_fn=lambda t: jnp.take(dec["embed"], t, axis=0),
+                    step_fn=step,
+                    init_model_state=att_mod.init_hidden_state(dec, feats_k),
+                    start_token=self.vocab.start, end_token=self.vocab.end,
+                    k=k, max_seq_length=self.att_cfg.max_seq_length,
+                    vocab_size=vocab_size)
+
+        fn = jax.jit(run)
+        self._decode_cache[variant] = fn
+        return fn
+
+    def _detok(self, tokens, length) -> str:
+        """id seq -> caption: strip <start>/<end>, drop trailing <unk>
+        (``app/backend/sample.py:82-96``)."""
+        words = self.vocab.decode(np.asarray(tokens)[: int(length)])
+        while words and words[-1] == "<unk>":
+            words.pop()
+        return " ".join(words)
+
+    def caption(self, image_path: str, mode: str) -> Dict[str, str]:
+        """Run every loaded variant on one image (``run.py:42-57``)."""
+        import jax.numpy as jnp
+
+        import jax
+
+        if mode not in MODES:
+            raise ValueError(f"invalid mode {mode}")
+        style = jnp.asarray(mode_id(mode))
+        pooled, spatial = self._features(image_path)
+        out = {}
+        for variant in MODEL_VARIANTS:
+            if variant not in self.models:
+                out[variant] = "-"
+                continue
+            head = self.models[variant]["head"]
+            if variant.endswith("_att"):
+                feat = spatial[0:1]
+            else:
+                from icee_tpu.models import encoder as enc_mod
+
+                feat, _ = enc_mod.encode_global_from_pooled(head, pooled,
+                                                            train=False)
+            res = self._decode_fn(variant)(feat, style)
+            out[variant] = self._detok(res.tokens, res.length)
+        return out

@@ -7,23 +7,23 @@ into a "completed" list, and re-slices every tensor to the surviving beams —
 shapes change every step, which cannot compile.
 
 This implementation is a *proved-equivalent* masked formulation (equivalence
-is tested against a NumPy transcription of the reference algorithm in
+is tested against a Python transcription of the reference algorithm in
 ``tests/test_beam.py``):
 
-- ``k`` slots are kept for the whole decode; a boolean ``alive`` mask and an
-  ``n_alive`` counter replace slicing,
-- dead slots contribute ``-inf`` rows to the expansion, so a flat top-``k``
-  over ``(k, V)`` returns the reference's candidates in descending order;
-  candidates ranked ``>= n_alive`` are exactly the ones the reference never
-  materializes, and are invalidated by rank,
-- completions scatter into a fixed ``(k,)`` completed buffer (the reference's
-  total completions can never exceed the initial ``k`` because the live beam
-  only shrinks), and ``n_alive`` decrements,
-- step 1 reproduces the reference's special case (all slots identical, expand
-  row 0 only: ``model.py:239-241``),
-- termination, the empty-result fallback ``[<end>]`` (``model.py:288-289``)
-  and best-completed selection by raw (un-normalized) score (``:291-293``)
-  match the reference.
+- ``k`` slots persist for the whole decode; dead slots contribute ``-inf``
+  rows, so the flat top-``k`` over ``(k, V)`` returns the reference's
+  candidates in descending-score order.  Candidate rank IS its sorted
+  position, so "the reference's top-``n_alive``" is just ``rank < n_alive``
+  — no compaction or sorting beyond the top-k itself,
+- candidates that emit ``<end>`` fold into a running best-completed
+  (score, sequence) pair instead of a buffer: the reference ultimately
+  returns only the max-raw-score completion, ties resolved to the earliest
+  entry (``model.py:291``), which strict-``>`` best-so-far tracking
+  reproduces exactly,
+- step 1 reproduces the reference's single-row special case (all slots
+  identical, expand row 0 only: ``model.py:239-241``),
+- termination and the no-completion fallback ``[<end>]`` (``model.py:
+  288-289``) match the reference.
 
 Serving-vs-research semantics: the stylenet research ``sample`` never feeds
 the image feature into the LSTM (``model.py:224-227`` — a known bug), while
@@ -37,7 +37,6 @@ Batch over images with ``jax.vmap`` — the whole search is one jitted
 
 from __future__ import annotations
 
-import dataclasses
 from typing import Callable, NamedTuple, Optional
 
 import jax
@@ -57,16 +56,15 @@ class BeamResult(NamedTuple):
 
 class _State(NamedTuple):
     step: jax.Array
-    n_alive: jax.Array
-    scores: jax.Array          # (k,)
+    alive: jax.Array           # (k,) bool — slot holds a live beam
+    scores: jax.Array          # (k,) f32 — -inf on dead slots
     seqs: jax.Array            # (k, L)
     seq_len: jax.Array         # () — tokens filled so far (same for all slots)
     prev_words: jax.Array      # (k,)
     model_state: object        # pytree with leading dim k per leaf
-    n_completed: jax.Array
-    comp_seqs: jax.Array       # (k+1, L) — row k is the dump row
-    comp_lens: jax.Array       # (k+1,)
-    comp_scores: jax.Array     # (k+1,)
+    best_score: jax.Array      # () f32 — best completed so far (NEG_INF none)
+    best_seq: jax.Array        # (L,)
+    best_len: jax.Array        # ()
 
 
 def beam_search(
@@ -79,6 +77,7 @@ def beam_search(
     max_seq_length: int,
     vocab_size: int,
     first_input: Optional[jax.Array] = None,
+    step_topk_fn: Optional[Callable] = None,
 ) -> BeamResult:
     """Run the reference beam search for ONE image (vmap for batches).
 
@@ -86,32 +85,37 @@ def beam_search(
     step over ``k`` beam slots.  ``init_model_state`` leaves must have leading
     dim ``k``.  ``first_input``: optional (k, E) step-1 input (image feature,
     serving semantics).
+
+    ``step_topk_fn(x, model_state) -> (logp_top (k, k), idx_top (k, k),
+    model_state)``: fused fast path (e.g. the Pallas kernel in
+    ``icee_tpu.ops.pallas_decode``) returning each row's top-k log-softmax
+    values + vocab ids instead of full logits.  Exactly equivalent: the
+    flat top-k of ``scores + logp`` over (k, V) only ever selects from each
+    row's top-k (adding a row constant preserves per-row order).
     """
     max_len = max_seq_length + 2  # <start> + max_seq_length emissions + slack
     seqs0 = jnp.full((k, max_len), end_token, jnp.int32)
     seqs0 = seqs0.at[:, 0].set(start_token)
+    rank = jnp.arange(k)
 
     state0 = _State(
         step=jnp.asarray(1, jnp.int32),
-        n_alive=jnp.asarray(k, jnp.int32),
+        alive=jnp.ones((k,), bool),
         scores=jnp.zeros((k,), jnp.float32),
         seqs=seqs0,
         seq_len=jnp.asarray(1, jnp.int32),
         prev_words=jnp.full((k,), start_token, jnp.int32),
         model_state=init_model_state,
-        n_completed=jnp.asarray(0, jnp.int32),
-        comp_seqs=jnp.full((k + 1, max_len), end_token, jnp.int32),
-        comp_lens=jnp.zeros((k + 1,), jnp.int32),
-        comp_scores=jnp.full((k + 1,), NEG_INF, jnp.float32),
+        best_score=jnp.asarray(NEG_INF, jnp.float32),
+        best_seq=jnp.full((max_len,), end_token, jnp.int32),
+        best_len=jnp.asarray(0, jnp.int32),
     )
-
-    rank = jnp.arange(k)
 
     def cond(s: _State):
         # reference: loop while beams remain, with the step check AFTER the
         # body ("if step > max_seq_length: break" post-work), i.e. the body
         # runs for step values 1..max_seq_length+1.
-        return (s.n_alive > 0) & (s.step <= max_seq_length + 1)
+        return jnp.any(s.alive) & (s.step <= max_seq_length + 1)
 
     def body(s: _State) -> _State:
         is_first = s.step == 1
@@ -120,21 +124,27 @@ def beam_search(
             x = jnp.where(is_first, first_input.astype(x_emb.dtype), x_emb)
         else:
             x = x_emb
-        logits, model_state = step_fn(x, s.model_state)
-        logp = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
-        total = s.scores[:, None] + logp  # (k, V)
-
         # dead rows never compete; at step 1 only row 0 competes (model.py:239)
-        alive_row = rank < s.n_alive
-        row_ok = jnp.where(is_first, rank == 0, alive_row)
-        total = jnp.where(row_ok[:, None], total, NEG_INF)
+        row_ok = jnp.where(is_first, rank == 0, s.alive)
+        if step_topk_fn is None:
+            logits, model_state = step_fn(x, s.model_state)
+            logp = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
+            total = s.scores[:, None] + logp  # (k, V)
+            total = jnp.where(row_ok[:, None], total, NEG_INF)
+            top_scores, top_idx = jax.lax.top_k(total.reshape(-1), k)
+            prev_idx = top_idx // vocab_size
+            words = top_idx % vocab_size
+        else:
+            logp_top, idx_top, model_state = step_topk_fn(x, s.model_state)
+            total = s.scores[:, None] + logp_top  # (k, k)
+            total = jnp.where(row_ok[:, None], total, NEG_INF)
+            top_scores, pos = jax.lax.top_k(total.reshape(-1), k)
+            prev_idx = pos // k
+            words = idx_top.reshape(-1)[pos]
 
-        top_scores, top_idx = jax.lax.top_k(total.reshape(-1), k)
-        prev_idx = top_idx // vocab_size
-        words = top_idx % vocab_size
-
-        # candidates beyond the reference's top-n_alive (top-k at step 1)
-        n_take = jnp.where(is_first, k, s.n_alive)
+        # the reference materializes only the top-n_alive candidates
+        # (top-k at step 1); rank == sorted position
+        n_take = jnp.where(is_first, k, jnp.sum(s.alive))
         valid = rank < n_take
 
         # extend sequences: candidate i inherits slot prev_idx[i]'s history
@@ -146,45 +156,161 @@ def beam_search(
         completed = valid & (words == end_token)
         still = valid & (words != end_token)
 
-        # scatter completions into the fixed buffer (dump row k for others)
-        comp_pos = jnp.where(
-            completed, s.n_completed + jnp.cumsum(completed) - 1, k
-        )
-        comp_seqs = s.comp_seqs.at[comp_pos].set(new_seqs)
-        comp_lens = s.comp_lens.at[comp_pos].set(s.seq_len + 1)
-        comp_scores = s.comp_scores.at[comp_pos].set(top_scores)
-        # restore the dump row to its sentinel
-        comp_seqs = comp_seqs.at[k].set(jnp.full((max_len,), end_token, jnp.int32))
-        comp_lens = comp_lens.at[k].set(0)
-        comp_scores = comp_scores.at[k].set(NEG_INF)
+        # best-completed update: argmax over this step's completions, in
+        # candidate-rank order (matches the reference's list-order tiebreak)
+        comp_scores = jnp.where(completed, top_scores, NEG_INF)
+        i_best = jnp.argmax(comp_scores)
+        step_best = comp_scores[i_best]
+        improves = step_best > s.best_score
+        best_score = jnp.where(improves, step_best, s.best_score)
+        best_seq = jnp.where(improves, new_seqs[i_best], s.best_seq)
+        best_len = jnp.where(improves, s.seq_len + 1, s.best_len)
 
-        # compact survivors to the front (stable) so `rank < n_alive` indexing
-        # keeps matching the reference's dense surviving-beam tensors
-        order = jnp.argsort(~still)  # stable: survivors first, original order
-        new_state = _State(
+        return _State(
             step=s.step + 1,
-            n_alive=jnp.sum(still).astype(jnp.int32),
-            scores=jnp.where(still, top_scores, NEG_INF)[order],
-            seqs=new_seqs[order],
+            alive=still,
+            scores=jnp.where(still, top_scores, NEG_INF),
+            seqs=new_seqs,
             seq_len=s.seq_len + 1,
-            prev_words=words[order],
-            model_state=jax.tree_util.tree_map(
-                lambda leaf: leaf[order], new_model_state
-            ),
-            n_completed=s.n_completed + jnp.sum(completed).astype(jnp.int32),
-            comp_seqs=comp_seqs,
-            comp_lens=comp_lens,
-            comp_scores=comp_scores,
+            prev_words=words,
+            model_state=new_model_state,
+            best_score=best_score,
+            best_seq=best_seq,
+            best_len=best_len,
         )
-        return new_state
 
     final = jax.lax.while_loop(cond, body, state0)
 
-    best = jnp.argmax(final.comp_scores[:k])
-    has_any = final.n_completed > 0
+    has_any = final.best_score > NEG_INF / 2
     # fallback: bare [<end>] sequence (model.py:288-289)
     fallback = jnp.full((max_len,), end_token, jnp.int32)
-    tokens = jnp.where(has_any, final.comp_seqs[best], fallback)
-    length = jnp.where(has_any, final.comp_lens[best], 1)
-    score = jnp.where(has_any, final.comp_scores[best], NEG_INF)
+    tokens = jnp.where(has_any, final.best_seq, fallback)
+    length = jnp.where(has_any, final.best_len, 1)
+    score = jnp.where(has_any, final.best_score,
+                      jnp.asarray(NEG_INF, jnp.float32))
+    return BeamResult(tokens=tokens, length=length, score=score)
+
+
+def beam_search_batched(
+    embed_fn: Callable[[jax.Array], jax.Array],
+    step_fn: Optional[Callable],
+    init_model_state,
+    start_token: int,
+    end_token: int,
+    k: int,
+    max_seq_length: int,
+    vocab_size: int,
+    batch: int,
+    first_input: Optional[jax.Array] = None,
+    step_topk_fn: Optional[Callable] = None,
+) -> BeamResult:
+    """Natively batched beam search over ``batch`` images at once.
+
+    Semantically identical to ``vmap(beam_search)`` (tested), but the model
+    step runs on one flat ``(batch*k, ...)`` row block — the layout the
+    Pallas fused step kernel (``ops/pallas_decode.py``) needs for full MXU
+    tiles; vmap-ing a pallas_call would instead run per-image 5-row calls.
+
+    ``init_model_state`` leaves are flat rows ``(batch*k, ...)``;
+    ``first_input`` is ``(batch, k, E)``.  Returns BeamResult with a leading
+    batch dim.
+    """
+    max_len = max_seq_length + 2
+    rows = batch * k
+    width = k if step_topk_fn is not None else vocab_size
+
+    seqs0 = jnp.full((batch, k, max_len), end_token, jnp.int32)
+    seqs0 = seqs0.at[:, :, 0].set(start_token)
+    rank = jnp.arange(k)[None, :]  # (1, k)
+
+    state0 = _State(
+        step=jnp.asarray(1, jnp.int32),
+        alive=jnp.ones((batch, k), bool),
+        scores=jnp.zeros((batch, k), jnp.float32),
+        seqs=seqs0,
+        seq_len=jnp.asarray(1, jnp.int32),
+        prev_words=jnp.full((batch, k), start_token, jnp.int32),
+        model_state=init_model_state,
+        best_score=jnp.full((batch,), NEG_INF, jnp.float32),
+        best_seq=jnp.full((batch, max_len), end_token, jnp.int32),
+        best_len=jnp.zeros((batch,), jnp.int32),
+    )
+
+    def cond(s: _State):
+        return jnp.any(s.alive) & (s.step <= max_seq_length + 1)
+
+    def body(s: _State) -> _State:
+        is_first = s.step == 1
+        x_emb = embed_fn(s.prev_words.reshape(rows))
+        if first_input is not None:
+            x = jnp.where(is_first,
+                          first_input.reshape(rows, -1).astype(x_emb.dtype),
+                          x_emb)
+        else:
+            x = x_emb
+
+        row_ok = jnp.where(is_first, rank == 0, s.alive)  # (batch, k)
+        if step_topk_fn is None:
+            logits, model_state = step_fn(x, s.model_state)
+            logp = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
+            total = s.scores.reshape(rows, 1) + logp
+            cand_words = None
+        else:
+            logp_top, idx_top, model_state = step_topk_fn(x, s.model_state)
+            total = s.scores.reshape(rows, 1) + logp_top     # (rows, k)
+            cand_words = idx_top                             # (rows, k)
+        total = total.reshape(batch, k, width)
+        total = jnp.where(row_ok[:, :, None], total, NEG_INF)
+
+        top_scores, idx = jax.lax.top_k(total.reshape(batch, k * width), k)
+        prev_idx = idx // width                              # (batch, k)
+        if cand_words is None:
+            words = idx % width
+        else:
+            words = jnp.take_along_axis(
+                cand_words.reshape(batch, k * width), idx, axis=1)
+
+        n_take = jnp.where(is_first, k, jnp.sum(s.alive, axis=1, keepdims=True))
+        valid = rank < n_take                                # (batch, k)
+
+        new_seqs = jnp.take_along_axis(s.seqs, prev_idx[:, :, None], axis=1)
+        new_seqs = new_seqs.at[:, :, s.seq_len].set(words)
+        flat_gather = (jnp.arange(batch)[:, None] * k + prev_idx).reshape(rows)
+        new_model_state = jax.tree_util.tree_map(
+            lambda leaf: leaf[flat_gather], model_state)
+
+        completed = valid & (words == end_token)
+        still = valid & (words != end_token)
+
+        comp_scores = jnp.where(completed, top_scores, NEG_INF)
+        i_best = jnp.argmax(comp_scores, axis=1)
+        step_best = jnp.take_along_axis(comp_scores, i_best[:, None],
+                                        axis=1)[:, 0]
+        improves = step_best > s.best_score
+        best_score = jnp.where(improves, step_best, s.best_score)
+        best_row = jnp.take_along_axis(new_seqs, i_best[:, None, None],
+                                       axis=1)[:, 0]
+        best_seq = jnp.where(improves[:, None], best_row, s.best_seq)
+        best_len = jnp.where(improves, s.seq_len + 1, s.best_len)
+
+        return _State(
+            step=s.step + 1,
+            alive=still,
+            scores=jnp.where(still, top_scores, NEG_INF),
+            seqs=new_seqs,
+            seq_len=s.seq_len + 1,
+            prev_words=words,
+            model_state=new_model_state,
+            best_score=best_score,
+            best_seq=best_seq,
+            best_len=best_len,
+        )
+
+    final = jax.lax.while_loop(cond, body, state0)
+
+    has_any = final.best_score > NEG_INF / 2
+    fallback = jnp.full((batch, max_len), end_token, jnp.int32)
+    tokens = jnp.where(has_any[:, None], final.best_seq, fallback)
+    length = jnp.where(has_any, final.best_len, 1)
+    score = jnp.where(has_any, final.best_score, NEG_INF)
     return BeamResult(tokens=tokens, length=length, score=score)

@@ -1,0 +1,207 @@
+"""Base multimodal RNN (mRNN) language/caption model, TPU-native.
+
+Parity target: the Theano ``RNNModel`` (``senticap/mrnn/mrnn.py``,
+SURVEY.md C2).  The symbolic ``theano.scan`` graphs become ``lax.scan``;
+the reference's device-resident shared-variable dataset becomes device-
+resident jnp arrays gathered by index inside the jitted step
+(SURVEY.md §2.5 "device-resident dataset").
+
+Numerics preserved exactly:
+
+- one fused recurrent matmul: ``[x_t ; clip(h)] @ w_lstm`` split into
+  [i, f, o, cell] gate slices (``mrnn.py:416-433``) with ``hh = og * cc``
+  — again NO tanh on the cell (``:433``),
+- image injected as the step-0 pseudo-word ``v @ wvm + bmv``
+  (``:390-391``); words shift in from step 1,
+- the gradient-clip-on-activations op ``clipg`` (``mrnn_util.py:78-98``)
+  clips the *backward* signal of ``h`` to +/-GRAD_CLIP_SIZE; forward is
+  identity — implemented with ``jax.custom_vjp``,
+- loss = SUM of per-token categorical cross-entropy weighted by the mask
+  (``mrnn.py:544-567``), NOT a mean,
+- perplexity ``2 ** (sum(-log2 p) / sum(len))`` with the +1e-20 fudge
+  (``:518-530``),
+- output bias initialized to the log unigram distribution (``:347-362``),
+- dropout via precomputed masks on input embeddings and hidden output
+  (``:71-76`` mask maker semantics).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from icee_tpu.senticap.config import senticap_conf
+
+
+# --- grad-clip-on-activation op (mrnn_util.py GradClip) -------------------
+
+@jax.custom_vjp
+def grad_clip_act(x: jax.Array, bound: float) -> jax.Array:
+    return x
+
+
+def _gca_fwd(x, bound):
+    return x, bound
+
+
+def _gca_bwd(bound, g):
+    return jnp.clip(g, -bound, bound), None
+
+
+grad_clip_act.defvjp(_gca_fwd, _gca_bwd)
+
+
+# --- parameters -----------------------------------------------------------
+
+def init_params(key: jax.Array, vocab_size: int, conf=None,
+                unigram: Optional[np.ndarray] = None,
+                dtype=jnp.float32) -> dict:
+    """Xavier-style init matching ``mrnn_util.py:46-70`` (uniform
+    +/- sqrt(6/(fan_in+fan_out))); output bias = log unigram probs."""
+    conf = conf or senticap_conf()
+    e, h, v = conf["emb_size"], conf["lstm_hidden_size"], vocab_size
+    vis = conf["visual_size"]
+
+    def xav(k, shape):
+        a = np.sqrt(6.0 / (shape[0] + shape[1]))
+        return jax.random.uniform(k, shape, dtype, minval=-a, maxval=a)
+
+    ks = jax.random.split(key, 5)
+    if unigram is not None:
+        b = jnp.asarray(np.log(unigram + 1e-20), dtype)
+    else:
+        b = jnp.full((v,), -np.log(v), dtype)
+    return {
+        "wemb": xav(ks[0], (v, e)),
+        "w_lstm": xav(ks[1], (e + h, 4 * h)),
+        "w": xav(ks[2], (h, v)),
+        "b": b,
+        "wvm": xav(ks[3], (vis, e)),
+        "bmv": jnp.zeros((e,), dtype),
+    }
+
+
+# --- cell -----------------------------------------------------------------
+
+def cell(params: dict, x_t: jax.Array, h: jax.Array, c: jax.Array,
+         grad_clip: float = 5.0) -> Tuple[jax.Array, jax.Array]:
+    """One recurrence (``mrnn.py:404-440``): fused [x;h] matmul, gate order
+    [i, f, o, cellcand], ``hh = og * cc``."""
+    hs = h.shape[-1]
+    h_clip = grad_clip_act(h, grad_clip)
+    in_state = jnp.concatenate([x_t, h_clip], axis=-1)
+    z = jnp.dot(in_state, params["w_lstm"], preferred_element_type=jnp.float32)
+    ig = jax.nn.sigmoid(z[:, :hs])
+    fg = jax.nn.sigmoid(z[:, hs:2 * hs])
+    og = jax.nn.sigmoid(z[:, 2 * hs:3 * hs])
+    cc = fg * c + ig * jnp.tanh(z[:, 3 * hs:])
+    hh = og * cc  # reference quirk: no tanh (mrnn.py:433)
+    return hh.astype(h.dtype), cc.astype(c.dtype)
+
+
+def output_probs(params: dict, hh: jax.Array) -> jax.Array:
+    """softmax word distribution (``mrnn.py:438-440``)."""
+    return jax.nn.softmax(hh @ params["w"] + params["b"], axis=-1)
+
+
+def visual_embedding(params: dict, v: jax.Array) -> jax.Array:
+    """Image as pseudo-word: ``v @ wvm + bmv`` (``mrnn.py:390-391``)."""
+    return v @ params["wvm"] + params["bmv"]
+
+
+# --- forward scans --------------------------------------------------------
+
+def forward(
+    params: dict,
+    conf: dict,
+    words: jax.Array,          # (B, T) int32 — input tokens, T = MAX_LEN+1
+    v: jax.Array,              # (B, visual) image features (zeros for LM-only)
+    use_visual: bool = True,
+    x_drop: Optional[jax.Array] = None,   # (B, T, E) input dropout masks
+    y_drop: Optional[jax.Array] = None,   # (B, T, H) output dropout masks
+) -> jax.Array:
+    """Teacher-forced scan -> word distributions (B, T, V).
+
+    Step 0 consumes the visual pseudo-word when ``use_visual`` (the
+    ``use_visual_info`` sequence, ``mrnn.py:478-494``); step t>=1 consumes
+    ``words[:, t]`` (already arranged by the data layer: START, w1, ...).
+    """
+    b, t = words.shape
+    h_dim = conf["lstm_hidden_size"]
+    gclip = conf["GRAD_CLIP_SIZE"]
+
+    emb = jnp.take(params["wemb"], words, axis=0)           # (B, T, E)
+    vis = visual_embedding(params, v)                        # (B, E)
+    use_v = jnp.arange(t) == 0 if use_visual else jnp.zeros((t,), bool)
+    if x_drop is None:
+        x_drop = jnp.ones_like(emb)
+    if y_drop is None:
+        y_drop = jnp.ones((b, t, h_dim), emb.dtype)
+
+    def body(carry, xs):
+        h, c = carry
+        emb_t, xd, yd, uv = xs
+        x_t = jnp.where(uv, vis, emb_t)
+        if conf["DROP_INPUT"]:
+            x_t = x_t * xd
+        h, c = cell(params, x_t, h, c, gclip)
+        hh = h * yd if conf["DROP_OUTPUT"] else h
+        s_t = output_probs(params, hh)
+        return (h, c), s_t
+
+    h0 = jnp.zeros((b, h_dim), emb.dtype)
+    c0 = jnp.zeros((b, h_dim), emb.dtype)
+    (_, _), s = jax.lax.scan(
+        body, (h0, c0),
+        (jnp.swapaxes(emb, 0, 1), jnp.swapaxes(x_drop, 0, 1),
+         jnp.swapaxes(y_drop, 0, 1), use_v))
+    return jnp.swapaxes(s, 0, 1)  # (B, T, V)
+
+
+def loss_fn(s: jax.Array, y: jax.Array, mask: jax.Array) -> jax.Array:
+    """SUM of masked categorical cross-entropy (``mrnn.py:560-567``).
+    ``s``: (B, T, V) probabilities, ``y``: (B, T) targets, ``mask``: (B, T)."""
+    p = jnp.take_along_axis(s, y[..., None], axis=-1)[..., 0]
+    nll = -jnp.log(jnp.maximum(p, 1e-37))
+    return jnp.sum(nll * mask)
+
+
+def perplexity(s: jax.Array, y: jax.Array, mask: jax.Array) -> jax.Array:
+    """``2 ** (sum(-log2 p) / sum(len))`` with the 1e-20 fudge
+    (``mrnn.py:518-530``)."""
+    p = jnp.take_along_axis(s, y[..., None], axis=-1)[..., 0]
+    hsum = -jnp.log2(p + 1e-20)
+    return 2.0 ** (jnp.sum(hsum * mask) / jnp.sum(mask))
+
+
+def one_step(params: dict, conf: dict, word: jax.Array, use_v: jax.Array,
+             h: jax.Array, c: jax.Array, v: jax.Array):
+    """Single decode step (the compiled ``one_step``, ``mrnn.py:532-546``):
+    -> (s_t (B, V), h, c)."""
+    emb = jnp.take(params["wemb"], word, axis=0)
+    x_t = jnp.where(use_v[..., None], visual_embedding(params, v), emb)
+    h, c = cell(params, x_t, h, c, conf["GRAD_CLIP_SIZE"])
+    return output_probs(params, h), h, c
+
+
+def greedy_sample(params: dict, conf: dict, v: jax.Array,
+                  max_len: Optional[int] = None) -> jax.Array:
+    """Free-running argmax rollout (``sample_sentence``, ``mrnn.py:837-871``)."""
+    max_len = max_len or conf["MAX_SENTENCE_LEN"] + 1
+    b = v.shape[0]
+    h = jnp.zeros((b, conf["lstm_hidden_size"]))
+    c = jnp.zeros_like(h)
+
+    def body(carry, i):
+        word, h, c = carry
+        s_t, h, c = one_step(params, conf, word, i == 0, h, c, v)
+        nxt = jnp.argmax(s_t, axis=-1).astype(jnp.int32)
+        return (nxt, h, c), nxt
+
+    (_, _, _), toks = jax.lax.scan(
+        body, (jnp.zeros((b,), jnp.int32), h, c), jnp.arange(max_len))
+    return jnp.swapaxes(toks, 0, 1)

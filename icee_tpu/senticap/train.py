@@ -1,0 +1,252 @@
+"""SentiCap training drivers (reference ``train_mscoco.py`` /
+``train_joint.py``, SURVEY C10), TPU-native.
+
+The reference compiles a Theano ``train(indx)`` whose minibatch gather
+happens on device from shared arrays (``mrnn.py:570-677``); here the split
+is device-resident (``io.device_dataset``) and one jitted step gathers rows
+by an index vector, computes the forward/loss/cost, and applies the
+reference RMSProp pipeline — the whole epoch runs as N device calls with no
+host transfer but the index vectors.
+
+``train_base``   = COCO base-model regime (``train_mscoco.py:1-59``).
+``train_switched`` = the switch ("gap filler") regime: load a base model,
+seed both paths, optimize ONLY the switch set with the LAMBDA_N/LAMBDA_GAM
+loss (``train_joint.py:322-451``).
+"""
+
+from __future__ import annotations
+
+import time
+from typing import Callable, Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from icee_tpu.senticap import io as sio
+from icee_tpu.senticap import model as base_model
+from icee_tpu.senticap import switched as sw_model
+from icee_tpu.senticap.config import senticap_conf
+from icee_tpu.senticap.solver import make_solver
+
+
+def _epoch_indices(n: int, batch: int, rng: np.random.Generator):
+    idx = rng.permutation(n)
+    n_batches = n // batch
+    return idx[: n_batches * batch].reshape(n_batches, batch)
+
+
+def make_base_step(conf: dict, solver):
+    """Jitted base-model step over device-resident data."""
+
+    @jax.jit
+    def step(params, opt_state, data, idx, key):
+        x = data["X"][idx]
+        y = data["Y"][idx]
+        mask = data["Xlen"][idx]
+        v = data["V"][idx]
+        kx, ky = jax.random.split(key)
+        b, t = x.shape
+        x_drop = jax.random.bernoulli(
+            kx, 1.0 - conf["DROP_INPUT_FRACTION"],
+            (b, t, conf["emb_size"])).astype(jnp.float32) / (
+                1.0 - conf["DROP_INPUT_FRACTION"])
+        y_drop = jax.random.bernoulli(
+            ky, 1.0 - conf["DROP_OUTPUT_FRACTION"],
+            (b, t, conf["lstm_hidden_size"])).astype(jnp.float32) / (
+                1.0 - conf["DROP_OUTPUT_FRACTION"])
+
+        def cost_fn(p):
+            s = base_model.forward(p, conf, x, v, True, x_drop, y_drop)
+            loss = base_model.loss_fn(s, y, mask)
+            l2 = sum(jnp.sum(q ** 2) for q in jax.tree_util.tree_leaves(p))
+            return loss + conf["L2_REG_CONST"] * l2, loss
+
+        (cost, loss), grads = jax.value_and_grad(cost_fn, has_aux=True)(params)
+        updates, opt_state = solver.update(grads, opt_state, params)
+        import optax
+
+        params = optax.apply_updates(params, updates)
+        return params, opt_state, loss
+
+    return step
+
+
+def make_switched_step(conf: dict, solver):
+    @jax.jit
+    def step(params, opt_state, data, idx, key):
+        x = data["X"][idx]
+        y = data["Y"][idx]
+        mask = data["Xlen"][idx]
+        v = data["V"][idx]
+        sw = data["SW"][idx]
+        senti0 = data["senti"][idx][0]
+        kx, ky = jax.random.split(key)
+        b, t = x.shape
+        x_drop = jax.random.bernoulli(
+            kx, 1.0 - conf["DROP_INPUT_FRACTION"],
+            (b, t, conf["emb_size"])).astype(jnp.float32) / (
+                1.0 - conf["DROP_INPUT_FRACTION"])
+        y_drop = jax.random.bernoulli(
+            ky, 1.0 - conf["DROP_OUTPUT_FRACTION"],
+            (b, t, conf["lstm_hidden_size"])).astype(jnp.float32) / (
+                1.0 - conf["DROP_OUTPUT_FRACTION"])
+        tmask = sw_model.switch_param_mask(params)
+
+        def cost_fn(p):
+            s, la, l1a = sw_model.forward(p, conf, x, v, senti0, x_drop,
+                                          y_drop)
+            loss = sw_model.loss_fn(conf, s, y, mask, sw, la, l1a)
+            return sw_model.cost_fn(p, conf, loss, tmask), loss
+
+        (cost, loss), grads = jax.value_and_grad(cost_fn, has_aux=True)(params)
+        updates, opt_state = solver.update(grads, opt_state, params)
+        import optax
+
+        params = optax.apply_updates(params, updates)
+        return params, opt_state, loss
+
+    return step
+
+
+def train_base(
+    dataset: sio.SentiDataset,
+    vocab_size: int,
+    conf: Optional[dict] = None,
+    num_epochs: int = 10,
+    unigram: Optional[np.ndarray] = None,
+    callbacks: Optional[list] = None,
+    seed: int = 0,
+):
+    """Base-model training loop (``train_complete``, ``mrnn.py:727-770``)."""
+    conf = conf or senticap_conf()
+    params = base_model.init_params(jax.random.PRNGKey(seed), vocab_size,
+                                    conf, unigram)
+    solver = make_solver(conf)
+    opt_state = solver.init(params)
+    step = make_base_step(conf, solver)
+    data = sio.device_dataset(dataset)
+    rng = np.random.default_rng(seed)
+    key = jax.random.PRNGKey(seed)
+    batch = min(conf["batch_size_val"], dataset.X.shape[0])
+    for epoch in range(num_epochs):
+        t0 = time.time()
+        losses = []
+        for idx in _epoch_indices(dataset.X.shape[0], batch, rng):
+            key, k = jax.random.split(key)
+            params, opt_state, loss = step(params, opt_state, data,
+                                           jnp.asarray(idx), k)
+            losses.append(float(loss))
+        print(f"[senticap base] epoch {epoch}: loss "
+              f"{np.mean(losses):.3f} ({time.time() - t0:.1f}s)")
+        for cb in callbacks or []:
+            cb(epoch, params)
+    return params, opt_state
+
+
+def train_switched(
+    dataset: sio.SentiDataset,
+    base_params: dict,
+    vocab_size: int,
+    conf: Optional[dict] = None,
+    num_epochs: int = 10,
+    callbacks: Optional[list] = None,
+    seed: int = 0,
+):
+    """Switch training (``run_train_gap_filler``, ``train_joint.py:322-451``):
+    seed both paths from the base model, train only the switch set."""
+    conf = conf or senticap_conf()
+    params = sw_model.init_params(jax.random.PRNGKey(seed), vocab_size, conf,
+                                  base=base_params)
+    solver = make_solver(conf, sw_model.switch_param_mask(params))
+    opt_state = solver.init(params)
+    step = make_switched_step(conf, solver)
+    data = sio.device_dataset(dataset)
+    rng = np.random.default_rng(seed)
+    key = jax.random.PRNGKey(seed)
+    batch = min(conf["batch_size_val"], dataset.X.shape[0])
+    for epoch in range(num_epochs):
+        t0 = time.time()
+        losses = []
+        for idx in _epoch_indices(dataset.X.shape[0], batch, rng):
+            key, k = jax.random.split(key)
+            params, opt_state, loss = step(params, opt_state, data,
+                                           jnp.asarray(idx), k)
+            losses.append(float(loss))
+        print(f"[senticap switch] epoch {epoch}: loss "
+              f"{np.mean(losses):.3f} ({time.time() - t0:.1f}s)")
+        for cb in callbacks or []:
+            cb(epoch, params)
+    return params, opt_state
+
+
+def validation_perplexity(params, conf, dataset: sio.SentiDataset,
+                          switched: bool = False, base_only: bool = False
+                          ) -> float:
+    """Masked corpus perplexity (``get_val_perplexity``; ``base_only``
+    evaluates the background model inside a switched param set,
+    ``mrnn_switched.py:1301``)."""
+    data = sio.device_dataset(dataset)
+    if switched and not base_only:
+        s, _, _ = sw_model.forward(params, conf, data["X"], data["V"],
+                                   data["senti"][0])
+    else:
+        p = {k: params[k] for k in ("wemb", "w_lstm", "w", "b", "wvm", "bmv")}
+        s = base_model.forward(p, conf, data["X"], data["V"])
+    return float(base_model.perplexity(s, data["Y"], data["Xlen"]))
+
+
+def decode_split(params, conf, dataset: sio.SentiDataset, i2w: Dict[int, str],
+                 switched: bool = True, beam_size: int = 20):
+    """Test path (``run_load_gap_filler``, ``train_joint.py:91-320``): per
+    image decode the styled (senti=+1) and descriptive (senti=-1) sentence
+    with attention traces."""
+    from icee_tpu.senticap.beam import beam_decode
+
+    out = []
+    hs = conf["lstm_hidden_size"]
+    for i in range(dataset.V.shape[0]):
+        v = jnp.asarray(dataset.V[i : i + 1])
+
+        def make_step(senti_val):
+            def one(words, use_v, h, c):
+                b = words.shape[0]
+                vv = jnp.tile(v, (b, 1))
+                if h is None:
+                    width = 2 * hs if switched else hs
+                    h_in = jnp.zeros((b, width))
+                    c_in = jnp.zeros((b, width))
+                else:
+                    h_in, c_in = jnp.asarray(h), jnp.asarray(c)
+                if switched:
+                    s, h2, c2, att = sw_model.one_step(
+                        params, conf, jnp.asarray(words),
+                        jnp.asarray(use_v), h_in, c_in, vv,
+                        jnp.asarray(senti_val))
+                    return s, h2, c2, att
+                s, h2, c2 = base_model.one_step(
+                    params, conf, jnp.asarray(words),
+                    jnp.asarray(np.full((words.shape[0],), use_v)),
+                    h_in, c_in, vv)
+                return s, h2, c2
+
+            return one
+
+        if switched:
+            _, pos_ids, att = beam_decode(make_step(1.0), dataset.V[i],
+                                          beam_size, conf["MAX_SENTENCE_LEN"],
+                                          with_attention=True)
+            _, des_ids = beam_decode(make_step(-1.0), dataset.V[i], beam_size,
+                                     conf["MAX_SENTENCE_LEN"])
+            out.append({
+                "image": dataset.ids[i],
+                "positive": [i2w[w] for w in pos_ids[:-1]],
+                "descriptive": [i2w[w] for w in des_ids[:-1]],
+                "attention": att,
+            })
+        else:
+            _, ids = beam_decode(make_step(-1.0), dataset.V[i], beam_size,
+                                 conf["MAX_SENTENCE_LEN"])
+            out.append({"image": dataset.ids[i],
+                        "caption": [i2w[w] for w in ids[:-1]]})
+    return out

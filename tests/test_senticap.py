@@ -1,0 +1,222 @@
+"""SentiCap family tests: cell math quirks, loss formulas, solver parity,
+switch masking, end-to-end base + switch training on synthetic data."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from icee_tpu.senticap import io as sio
+from icee_tpu.senticap import model as M
+from icee_tpu.senticap import switched as SW
+from icee_tpu.senticap import train as T
+from icee_tpu.senticap.config import SWITCH_PARAMS, senticap_conf
+from icee_tpu.senticap.solver import adadelta, make_solver, rmsprop
+from icee_tpu.senticap.sentiment import SentiScores, reward, switch_targets
+
+CONF = senticap_conf(emb_size=16, lstm_hidden_size=20, visual_size=12,
+                     MAX_SENTENCE_LEN=6, batch_size_val=4,
+                     DROP_INPUT=False, DROP_OUTPUT=False)
+VOCAB = 30
+
+
+def test_cell_matches_numpy_oracle(rng):
+    params = M.init_params(jax.random.PRNGKey(0), VOCAB, CONF)
+    b, e, h = 3, 16, 20
+    x = rng.standard_normal((b, e)).astype(np.float32)
+    hh = rng.standard_normal((b, h)).astype(np.float32)
+    cc = rng.standard_normal((b, h)).astype(np.float32)
+    h2, c2 = M.cell(params, jnp.asarray(x), jnp.asarray(hh), jnp.asarray(cc))
+
+    w = np.asarray(params["w_lstm"])
+    z = np.concatenate([x, hh], 1) @ w
+    sig = lambda a: 1 / (1 + np.exp(-a))  # noqa: E731
+    ig, fg, og = sig(z[:, :h]), sig(z[:, h:2*h]), sig(z[:, 2*h:3*h])
+    c_o = fg * cc + ig * np.tanh(z[:, 3*h:])
+    h_o = og * c_o  # NO tanh (mrnn.py:433)
+    np.testing.assert_allclose(np.asarray(h2), h_o, rtol=1e-5, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(c2), c_o, rtol=1e-5, atol=1e-5)
+
+
+def test_grad_clip_act_clips_backward_only(rng):
+    x = jnp.asarray(rng.standard_normal((4,)).astype(np.float32))
+    # forward identity
+    np.testing.assert_array_equal(np.asarray(M.grad_clip_act(x, 5.0)),
+                                  np.asarray(x))
+    g = jax.grad(lambda a: jnp.sum(M.grad_clip_act(a, 0.5) * 100.0))(x)
+    np.testing.assert_allclose(np.asarray(g), 0.5)  # 100 clipped to 0.5
+
+
+def test_forward_visual_step0(rng):
+    params = M.init_params(jax.random.PRNGKey(0), VOCAB, CONF)
+    words = jnp.asarray(rng.integers(0, VOCAB, (2, 7)), jnp.int32)
+    v = jnp.asarray(rng.standard_normal((2, 12)).astype(np.float32))
+    s = M.forward(params, CONF, words, v)
+    assert s.shape == (2, 7, VOCAB)
+    np.testing.assert_allclose(np.asarray(s.sum(-1)), 1.0, rtol=1e-5)
+    # step 0 ignores words: changing word[:,0] must not change s[:,0]
+    words2 = words.at[:, 0].set((words[:, 0] + 1) % VOCAB)
+    s2 = M.forward(params, CONF, words2, v)
+    np.testing.assert_allclose(np.asarray(s[:, 0]), np.asarray(s2[:, 0]),
+                               rtol=1e-6)
+
+
+def test_loss_is_masked_sum_and_perplexity_log2(rng):
+    s = jax.nn.softmax(jnp.asarray(
+        rng.standard_normal((2, 3, 5)).astype(np.float32)))
+    y = jnp.asarray(rng.integers(0, 5, (2, 3)), jnp.int32)
+    mask = jnp.asarray([[1, 1, 0], [1, 0, 0]], jnp.float32)
+    p = np.take_along_axis(np.asarray(s), np.asarray(y)[..., None], -1)[..., 0]
+    want = -(np.log(p) * np.asarray(mask)).sum()
+    np.testing.assert_allclose(float(M.loss_fn(s, y, mask)), want, rtol=1e-5)
+    want_ppl = 2 ** ((-np.log2(p + 1e-20) * np.asarray(mask)).sum()
+                     / np.asarray(mask).sum())
+    np.testing.assert_allclose(float(M.perplexity(s, y, mask)), want_ppl,
+                               rtol=1e-5)
+
+
+def test_rmsprop_matches_reference_formula(rng):
+    g = {"p": jnp.asarray(rng.standard_normal((4,)).astype(np.float32))}
+    tx = rmsprop(0.01, 0.9)
+    state = tx.init(g)
+    up1, state = tx.update(g, state, None)
+    cache = 0.1 * np.asarray(g["p"]) ** 2
+    want = -(0.01 * np.asarray(g["p"])) / np.sqrt(cache + 1e-8)
+    np.testing.assert_allclose(np.asarray(up1["p"]), want, rtol=1e-5)
+
+
+def test_adadelta_first_step(rng):
+    g = {"p": jnp.asarray(rng.standard_normal((4,)).astype(np.float32))}
+    tx = adadelta(0.95)
+    state = tx.init(g)
+    up, _ = tx.update(g, state, None)
+    gsq = 0.05 * np.asarray(g["p"]) ** 2
+    want = -(np.sqrt(1e-8) / np.sqrt(gsq + 1e-8)) * np.asarray(g["p"])
+    np.testing.assert_allclose(np.asarray(up["p"]), want, rtol=1e-4)
+
+
+def test_switched_descriptive_equals_base(rng):
+    """senti <= -0.5 must output exactly the background distribution."""
+    base = M.init_params(jax.random.PRNGKey(0), VOCAB, CONF)
+    params = SW.init_params(jax.random.PRNGKey(1), VOCAB, CONF, base=base)
+    # perturb the sw path so a mixing bug would show
+    params["w_sw"] = params["w_sw"] + 0.3 * jax.random.normal(
+        jax.random.PRNGKey(9), params["w_sw"].shape)
+    words = jnp.asarray(rng.integers(0, VOCAB, (2, 7)), jnp.int32)
+    v = jnp.asarray(rng.standard_normal((2, 12)).astype(np.float32))
+    s_sw, _, _ = SW.forward(params, CONF, words, v, jnp.asarray(-1.0))
+    s_base = M.forward(base, CONF, words, v)
+    np.testing.assert_allclose(np.asarray(s_sw), np.asarray(s_base),
+                               rtol=1e-5, atol=1e-6)
+
+
+def test_switched_styled_mixes(rng):
+    base = M.init_params(jax.random.PRNGKey(0), VOCAB, CONF)
+    params = SW.init_params(jax.random.PRNGKey(1), VOCAB, CONF, base=base)
+    params["w_sw"] = params["w_sw"] + 0.3 * jax.random.normal(
+        jax.random.PRNGKey(9), params["w_sw"].shape)
+    words = jnp.asarray(rng.integers(0, VOCAB, (2, 7)), jnp.int32)
+    v = jnp.asarray(rng.standard_normal((2, 12)).astype(np.float32))
+    s_pos, la, l1a = SW.forward(params, CONF, words, v, jnp.asarray(1.0))
+    s_base = M.forward(base, CONF, words, v)
+    assert not np.allclose(np.asarray(s_pos), np.asarray(s_base))
+    # att traces are valid log-sigmoids
+    assert np.all(np.asarray(la) < 0) and np.all(np.asarray(l1a) < 0)
+
+
+def test_switched_loss_formula(rng):
+    s = jax.nn.softmax(jnp.asarray(
+        rng.standard_normal((1, 3, 5)).astype(np.float32)))
+    y = jnp.asarray(rng.integers(0, 5, (1, 3)), jnp.int32)
+    mask = jnp.ones((1, 3))
+    sw = jnp.asarray([[1.0, 0.0, 0.0]])
+    la = jnp.log(jnp.asarray([[0.9, 0.2, 0.3]]))
+    l1a = jnp.log(1.0 - jnp.exp(la))
+    got = float(SW.loss_fn(CONF, s, y, mask, sw, la, l1a))
+    p = np.take_along_axis(np.asarray(s), np.asarray(y)[..., None], -1)[..., 0]
+    ce = -np.log(p)
+    lam_n, lam_g = CONF["LAMBDA_N"], CONF["LAMBDA_GAM"]
+    want = ce.sum() + lam_n * (ce * (1 - np.asarray(sw))).sum() + (
+        (1 + lam_n) * lam_g * (np.asarray(sw) * -np.asarray(la)
+                               + (1 - np.asarray(sw)) * -np.asarray(l1a))
+    ).sum()
+    np.testing.assert_allclose(got, want, rtol=1e-5)
+
+
+def _toy_dataset(rng, n=8):
+    records = []
+    for i in range(n):
+        records.append({
+            "image": f"img{i % 4}",
+            "tokens": ["a", "dog", "runs", "fast"][: 2 + i % 3],
+            "sentiment": 1.0,
+            "switch": [0, 1, 0, 0],
+        })
+    caps = [r["tokens"] for r in records]
+    w2i, i2w = sio.build_vocab(caps, min_freq=1)
+    feats = {f"img{j}": rng.standard_normal((12,)).astype(np.float32)
+             for j in range(4)}
+    ds = sio.make_split(records, feats, w2i, max_len=6, visual_size=12)
+    return ds, w2i, i2w
+
+
+def test_make_split_layout(rng):
+    ds, w2i, i2w = _toy_dataset(rng)
+    assert ds.X.shape[1] == 7
+    # input starts with STOP-as-START; target ends with STOP at position len
+    assert ds.X[0, 0] == 0
+    n_tok = int(ds.Xlen[0].sum()) - 1
+    assert ds.Y[0, n_tok] == 0
+
+
+def test_base_and_switch_training_learn(rng):
+    ds, w2i, i2w = _toy_dataset(rng)
+    conf = dict(CONF)
+    conf["batch_size_val"] = 4
+    params, _ = T.train_base(ds, len(w2i), conf, num_epochs=8, seed=0)
+    ppl0 = T.validation_perplexity(params, conf, ds)
+    assert np.isfinite(ppl0) and ppl0 < len(w2i)  # better than uniform
+
+    sw_params, _ = T.train_switched(ds, params, len(w2i), conf, num_epochs=2,
+                                    seed=0)
+    # frozen set untouched, switch set moved
+    np.testing.assert_array_equal(np.asarray(sw_params["wemb"]),
+                                  np.asarray(params["wemb"]))
+    assert not np.allclose(np.asarray(sw_params["att_w"]), 0.0)
+    ppl_sw = T.validation_perplexity(sw_params, conf, ds, switched=True)
+    assert np.isfinite(ppl_sw)
+
+
+def test_beam_decode_and_test_path(rng):
+    ds, w2i, i2w = _toy_dataset(rng)
+    conf = dict(CONF)
+    params, _ = T.train_base(ds, len(w2i), conf, num_epochs=3, seed=0)
+    sw_params = SW.init_params(jax.random.PRNGKey(1), len(w2i), conf,
+                               base=params)
+    out = T.decode_split(sw_params, conf, ds, i2w, switched=True, beam_size=3)
+    assert len(out) == ds.V.shape[0]
+    assert "positive" in out[0] and "descriptive" in out[0]
+    assert isinstance(out[0]["attention"], list)
+
+
+def test_grow_vocab_copies_closest(rng):
+    params = SW.init_params(jax.random.PRNGKey(0), VOCAB, CONF)
+    grown = SW.grow_vocab(params, [("joyful", VOCAB), ("gloomy", VOCAB + 1)],
+                          closest_fn=lambda w: 3)
+    assert grown["wemb"].shape[0] == VOCAB + 2
+    np.testing.assert_array_equal(np.asarray(grown["wemb"][VOCAB]),
+                                  np.asarray(grown["wemb"][3]))
+    np.testing.assert_array_equal(np.asarray(grown["w_sw"][:, VOCAB + 1]),
+                                  np.asarray(grown["w_sw"][:, 3]))
+
+
+def test_sentiment_utils(tmp_path):
+    assert reward(1.0, 1.0) == 1.0
+    assert reward(1.0, 0.0) < 1e-5
+    lex = tmp_path / "lex.tsv"
+    lex.write_text("dog\thappy\t0.8\ndog\tangry\t-0.6\n")
+    s = SentiScores(str(lex))
+    assert s.sentiment_of("happy", "dog") == 0.8
+    assert s.sentiment_of("sad", "dog") is None
+    sw = switch_targets(["a", "happy", "dog", "runs"], s)
+    assert sw == [0.0, 1.0, 0.0, 0.0]

@@ -2,8 +2,12 @@
 
 Decodes a batch of images with the StyleNet FactoredLSTM at the flagship
 configuration (V=8192, E=300, H=512, F=512, beam k=5, max 40 steps) using the
-jit+vmap masked beam search — the TPU-native replacement for the reference's
-one-image-at-a-time Python beam loop (``stylenet/model.py:198-294``).
+natively-batched masked beam search driven by the Pallas fused decode-step
+kernel (cell + vocab-tiled output head + streaming exact top-k + logsumexp,
+``icee_tpu/ops/pallas_decode.py``) — the TPU-native replacement for the
+reference's one-image-at-a-time Python beam loop
+(``stylenet/model.py:198-294``).  Falls back to the pure-XLA batched beam if
+the kernel fails to compile on the local runtime.
 
 Baseline: 7.779 captions/sec measured for the reference-style CPU PyTorch
 decode at identical sizes (``scripts/baseline_torch.py``; the reference repo
@@ -30,8 +34,9 @@ def main():
     import jax.numpy as jnp
 
     from icee_tpu.core.config import DecoderConfig
-    from icee_tpu.decode.beam import beam_search
+    from icee_tpu.decode.beam import beam_search_batched
     from icee_tpu.models import factored_lstm as fl
+    from icee_tpu.ops.pallas_decode import fused_decode_step_topk
 
     cfg = DecoderConfig(vocab_size=V, embed_size=E, hidden_size=H,
                         factored_size=F, max_seq_length=MAX_STEPS)
@@ -41,19 +46,35 @@ def main():
 
     rng = np.random.default_rng(0)
     feats = jnp.asarray(rng.standard_normal((BATCH, K, E)), jnp.bfloat16)
+    style = jnp.asarray(1)
+    zeros = jnp.zeros((BATCH * K, H), jnp.bfloat16)
 
-    def one(feat):
-        return beam_search(
+    def topk_step(x, state):
+        h, c = state
+        vals, idx, h2, c2 = fused_decode_step_topk(
+            dec, x, h, c, style, ktop=K, row_block=256, v_tile=2048)
+        return vals, idx, (h2, c2)
+
+    def run(feats, fused):
+        return beam_search_batched(
             embed_fn=lambda t: fl.embed(dec, t),
-            step_fn=lambda x, s: fl.decode_step(dec, x, s, jnp.asarray(1)),
-            init_model_state=(jnp.zeros((K, H), jnp.bfloat16),
-                              jnp.zeros((K, H), jnp.bfloat16)),
+            step_fn=(None if fused
+                     else (lambda x, s: fl.decode_step(dec, x, s, style))),
+            init_model_state=(zeros, zeros),
             start_token=1, end_token=2, k=K, max_seq_length=MAX_STEPS,
-            vocab_size=V, first_input=feat)
+            vocab_size=V, batch=BATCH, first_input=feats,
+            step_topk_fn=topk_step if fused else None)
 
-    decode = jax.jit(jax.vmap(one))
-    res = decode(feats)
-    jax.block_until_ready(res.tokens)  # compile + warmup
+    decode = None
+    for fused in (True, False):
+        try:
+            f = jax.jit(lambda ft, fu=fused: run(ft, fu))
+            jax.block_until_ready(f(feats).tokens)  # compile + warmup
+            decode = f
+            break
+        except Exception as e:  # Pallas unavailable -> XLA fallback
+            print(f"# fused path unavailable ({type(e).__name__}); falling back")
+    assert decode is not None
 
     n_runs = 5
     t0 = time.perf_counter()

@@ -92,20 +92,22 @@ def _kernel(x_ref, h_ref, c_ref,
         x = x_ref[:]
         h = h_ref[:]
         c = c_ref[:]
-        b = x.shape[0]
-        v = jnp.dot(x, vw_ref[:], preferred_element_type=jnp.float32)
-        v = v.reshape(b, 4, f_dim) + vb_ref[:]
-        s = jnp.einsum("bgf,gfk->bgk", v, sw_ref[:],
-                       preferred_element_type=jnp.float32) + sb_ref[:]
-        u = jnp.einsum("bgf,gfh->bgh", s, uw_ref[:],
-                       preferred_element_type=jnp.float32) + ub_ref[:]
-        w = jnp.dot(h, ww_ref[:], preferred_element_type=jnp.float32)
-        w = w.reshape(b, 4, h_dim) + wb_ref[:]
-        z = u + w
-        i_t = jax.nn.sigmoid(z[:, 0])
-        f_t = jax.nn.sigmoid(z[:, 1])
-        o_t = jax.nn.sigmoid(z[:, 2])
-        g_t = jnp.tanh(z[:, 3])
+        v_all = jnp.dot(x, vw_ref[:], preferred_element_type=jnp.float32)
+        w_all = jnp.dot(h, ww_ref[:], preferred_element_type=jnp.float32)
+        # Mosaic has no batched matmul with mismatched batch dims: unroll the
+        # 4 gates into plain 2-D dots (static Python loop)
+        z = []
+        for g in range(4):
+            v_g = v_all[:, g * f_dim:(g + 1) * f_dim] + vb_ref[g, :]
+            s_g = jnp.dot(v_g.astype(sw_ref.dtype), sw_ref[g],
+                          preferred_element_type=jnp.float32) + sb_ref[g, :]
+            u_g = jnp.dot(s_g.astype(uw_ref.dtype), uw_ref[g],
+                          preferred_element_type=jnp.float32) + ub_ref[g, :]
+            z.append(u_g + w_all[:, g * h_dim:(g + 1) * h_dim] + wb_ref[g, :])
+        i_t = jax.nn.sigmoid(z[0])
+        f_t = jax.nn.sigmoid(z[1])
+        o_t = jax.nn.sigmoid(z[2])
+        g_t = jnp.tanh(z[3])
         c_new = f_t * c.astype(jnp.float32) + i_t * g_t
         h_new = o_t * c_new  # reference quirk: no tanh (model.py:153)
         h_scr[:] = h_new

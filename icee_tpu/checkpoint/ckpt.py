@@ -73,6 +73,17 @@ def save_checkpoint(
     return path
 
 
+def load_params(path: str) -> dict:
+    """Raw-restore a checkpoint and return just its ``params`` subtree as
+    jnp arrays — for inference/serving/tooling consumers that don't need the
+    optimizer state (a full-structure template is only required to restore
+    exact optax state types, see :func:`load_checkpoint`)."""
+    import jax.numpy as jnp
+
+    tree = ocp.StandardCheckpointer().restore(os.path.abspath(path))
+    return jax.tree_util.tree_map(jnp.asarray, tree["params"])
+
+
 def load_checkpoint(path: str, template: Optional[dict] = None) -> dict:
     """Restore a checkpoint pytree.  ``template`` (same structure, abstract or
     concrete leaves) restores exact optax state types; without it the raw

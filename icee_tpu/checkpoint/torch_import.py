@@ -95,6 +95,25 @@ def import_factored_att_decoder_state_dict(sd: Mapping, dtype=jnp.float32) -> di
     return params
 
 
+def import_nic_att_decoder_state_dict(sd: Mapping, dtype=jnp.float32) -> dict:
+    """``DecoderRNNAtt`` state_dict (nic/model_att.py:73-161): embedding +
+    LSTMCell(E+2048 -> H) + output linear + single attention net + h/c init
+    + gating projection."""
+    params = import_nic_decoder_state_dict(sd, dtype)
+    params["attention"] = {
+        "enc_w": jnp.asarray(_linear_w(sd, "attention.encoder_att"), dtype),
+        "enc_b": jnp.asarray(_linear_b(sd, "attention.encoder_att"), dtype),
+        "dec_w": jnp.asarray(_linear_w(sd, "attention.decoder_att"), dtype),
+        "dec_b": jnp.asarray(_linear_b(sd, "attention.decoder_att"), dtype),
+        "full_w": jnp.asarray(_linear_w(sd, "attention.full_att"), dtype),
+        "full_b": jnp.asarray(_linear_b(sd, "attention.full_att"), dtype),
+    }
+    for name in ("init_h", "init_c", "f_beta"):
+        params[f"{name}_w"] = jnp.asarray(_linear_w(sd, name), dtype)
+        params[f"{name}_b"] = jnp.asarray(_linear_b(sd, name), dtype)
+    return params
+
+
 def import_nic_decoder_state_dict(sd: Mapping, dtype=jnp.float32) -> dict:
     """``DecoderRNN`` state_dict (nic/model.py:48-53): embedding + LSTMCell +
     output linear.  torch LSTMCell weights are (4H, in) in [i,f,g,o] order —

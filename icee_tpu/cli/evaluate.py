@@ -85,16 +85,10 @@ def main(args) -> None:
     provider = common.make_feature_provider(args)
 
     if args.checkpoint_path:
-        from icee_tpu.checkpoint.ckpt import load_checkpoint
-        from icee_tpu.models import encoder as enc
+        from icee_tpu.checkpoint.ckpt import load_params
 
-        template = {
-            "decoder": fl.init_params(jax.random.PRNGKey(0), cfg),
-            "head": enc.init_head_params(
-                jax.random.PRNGKey(1), EncoderConfig(embed_size=cfg.embed_size)),
-        }
-        restored = load_checkpoint(args.checkpoint_path, {"params": template})
-        dec, head = restored["params"]["decoder"], restored["params"]["head"]
+        params = load_params(args.checkpoint_path)
+        dec, head = params["decoder"], params["head"]
     else:
         print("WARNING: no --checkpoint_path; random weights (smoke mode)")
         dec = fl.init_params(jax.random.PRNGKey(0), cfg)

@@ -61,10 +61,9 @@ def main(args) -> None:
             sd = sd.state_dict()
         dec = import_factored_decoder_state_dict(sd)
     elif args.decoder_path:
-        from icee_tpu.checkpoint.ckpt import load_checkpoint
+        from icee_tpu.checkpoint.ckpt import load_params
 
-        template = fl.init_params(jax.random.PRNGKey(0), cfg)
-        dec = load_checkpoint(args.decoder_path, template)
+        dec = load_params(args.decoder_path)["decoder"]
     else:
         print("WARNING: no --decoder_path; random decoder (smoke mode)")
         dec = fl.init_params(jax.random.PRNGKey(0), cfg)

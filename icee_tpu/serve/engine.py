@@ -116,18 +116,17 @@ class CaptionEngine:
             elif variant == "nic":
                 dec = ti.import_nic_decoder_state_dict(dec_sd)
             else:
-                dec = dec_template  # NIC-att torch import: same shims apply
+                dec = ti.import_nic_att_decoder_state_dict(dec_sd)
             head = head_template
             if enc_sd is not None:
                 head = ti.import_encoder_head_state_dict(
                     {k: v for k, v in enc_sd.items()
                      if not k.startswith("resnet.")})
             return dec, head
-        from icee_tpu.checkpoint.ckpt import load_checkpoint
+        from icee_tpu.checkpoint.ckpt import load_params
 
-        restored = load_checkpoint(
-            path, {"params": {"decoder": dec_template, "head": head_template}})
-        return restored["params"]["decoder"], restored["params"]["head"]
+        params = load_params(path)
+        return params["decoder"], params["head"]
 
     # -- inference --------------------------------------------------------
 

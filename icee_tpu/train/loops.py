@@ -87,6 +87,7 @@ class MultitaskTrainer:
         log_path: Optional[str] = None,
         model_dir: str = "models",
         data_name: str = "flickr8k_id",
+        metrics_path: Optional[str] = None,
     ) -> None:
         self.cfg, self.tcfg, self.vocab = cfg, tcfg, vocab
         self.family = family
@@ -98,6 +99,9 @@ class MultitaskTrainer:
         self.log_path = log_path
         self.model_dir = model_dir
         self.data_name = data_name
+        from icee_tpu.utils.logging import MetricsLogger
+
+        self.metrics = MetricsLogger(metrics_path)
         self.rng = jax.random.PRNGKey(tcfg.seed)
 
         self.optimizer = optim.make_adam(tcfg.lr_caption, tcfg)
@@ -264,6 +268,9 @@ class MultitaskTrainer:
                  f"Train Perplexity: {perplexity(tr.loss):5.4f}\n"
                  f"\tVal   Loss: {va.loss:.4f} | "
                  f"Val   Perplexity: {perplexity(va.loss):5.4f}")
+            self.metrics.log("epoch_factual", epoch=epoch, train_loss=tr.loss,
+                             val_loss=va.loss, top5=va.top5, bleu4=va.bleu4,
+                             lr=optim.get_lr(self.opt_state))
             is_best_fac = va.bleu4 > self.best_bleu4["factual"]
             self.best_bleu4["factual"] = max(va.bleu4,
                                              self.best_bleu4["factual"])
@@ -282,6 +289,10 @@ class MultitaskTrainer:
                  f"Train Perplexity: {perplexity(tr_e.loss):5.4f}\n"
                  f"\tVal   Loss: {va_e.loss:.4f} | "
                  f"Val   Perplexity: {perplexity(va_e.loss):5.4f}")
+            self.metrics.log("epoch_emotion", epoch=epoch, mode=tcfg.mode,
+                             train_loss=tr_e.loss, val_loss=va_e.loss,
+                             top5=va_e.top5, bleu4=va_e.bleu4,
+                             lr=optim.get_lr(self.lang_opt_state))
             is_best_emo = va_e.bleu4 > self.best_bleu4["emotion"]
             self.best_bleu4["emotion"] = max(va_e.bleu4,
                                              self.best_bleu4["emotion"])

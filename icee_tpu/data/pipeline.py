@@ -181,18 +181,38 @@ def caption_dataset_loader(
     seed: int = 0,
     prefetch: int = 2,
 ) -> BatchLoader:
-    """Loader over :class:`icee_tpu.data.captions.CaptionExample` lists."""
+    """Loader over :class:`icee_tpu.data.captions.CaptionExample` lists.
+
+    Captions are encoded ONCE into flat ragged storage; per-batch padding is
+    the threaded C++ batcher (``icee_tpu.native``, NumPy fallback) — the
+    reference instead re-tokenizes text in DataLoader workers every epoch.
+    """
+    from icee_tpu.native import RaggedCaptions
+
+    rag = RaggedCaptions([e.caption_ids for e in examples])
 
     def example_fn(indices: np.ndarray) -> CaptionBatch:
         exs = [examples[i] for i in indices]
         images = None
         if image_provider is not None:
             images = np.stack([image_provider(e.image) for e in exs])
-        return make_batch(
-            [e.caption_ids for e in exs],
-            max_len=max_len,
-            batch_size=batch_size,
+        captions, lengths = rag.batch(indices, max_len=max_len)
+        n = len(indices)
+        if n < batch_size:
+            captions = np.concatenate(
+                [captions, np.zeros((batch_size - n, max_len), np.int32)])
+            lengths = np.concatenate(
+                [lengths, np.zeros((batch_size - n,), np.int32)])
+            if images is not None:
+                images = np.concatenate(
+                    [images,
+                     np.zeros((batch_size - n,) + images.shape[1:],
+                              images.dtype)])
+        return CaptionBatch(
             images=images,
+            captions=captions,
+            lengths=lengths,
+            sample_mask=np.arange(batch_size) < n,
             references=[e.all_caption_ids for e in exs],
         )
 

@@ -18,25 +18,47 @@ import numpy as np
 
 
 def evaluate(dec_params, head, cfg, vocab, dataset, provider, mode_idx,
-             batch_size=64, k=5, print_pairs=True):
+             batch_size=64, k=5, print_pairs=True, attention=False):
     import jax
     import jax.numpy as jnp
 
     from icee_tpu.decode.beam import beam_search
+    from icee_tpu.models import attention as att_mod
     from icee_tpu.models import encoder as enc_mod
     from icee_tpu.models import factored_lstm as fl
     from icee_tpu.evaluation.bleu import bleu_1_to_4
 
-    def one(feat):
-        return beam_search(
-            embed_fn=lambda t: fl.embed(dec_params, t),
-            step_fn=lambda x, s: fl.decode_step(dec_params, x, s,
-                                                jnp.asarray(mode_idx)),
-            init_model_state=fl.initial_state(k, cfg),
-            start_token=vocab.start, end_token=vocab.end, k=k,
-            max_seq_length=cfg.max_seq_length, vocab_size=cfg.vocab_size,
-            first_input=jnp.tile(feat[None, :], (k, 1)),
-        )
+    style = jnp.asarray(mode_idx)
+
+    if attention:
+        # the reference evaluator targets the attention model
+        # (evaluator.py:33-56 loads DecoderFactoredLSTMAtt)
+        def one(spatial):
+            feats_k = jnp.tile(spatial[None], (k, 1, 1))
+
+            def step(x, s):
+                logits, _, s2 = att_mod.factored_att_decode_step(
+                    dec_params, x, feats_k, s, style)
+                return logits, s2
+
+            return beam_search(
+                embed_fn=lambda t: fl.embed(dec_params, t),
+                step_fn=step,
+                init_model_state=att_mod.init_hidden_state(dec_params,
+                                                           feats_k),
+                start_token=vocab.start, end_token=vocab.end, k=k,
+                max_seq_length=cfg.max_seq_length,
+                vocab_size=cfg.vocab_size)
+    else:
+        def one(feat):
+            return beam_search(
+                embed_fn=lambda t: fl.embed(dec_params, t),
+                step_fn=lambda x, s: fl.decode_step(dec_params, x, s, style),
+                init_model_state=fl.initial_state(k, cfg),
+                start_token=vocab.start, end_token=vocab.end, k=k,
+                max_seq_length=cfg.max_seq_length, vocab_size=cfg.vocab_size,
+                first_input=jnp.tile(feat[None, :], (k, 1)),
+            )
 
     decode = jax.jit(jax.vmap(one))
 
@@ -47,13 +69,16 @@ def evaluate(dec_params, head, cfg, vocab, dataset, provider, mode_idx,
     for i in range(0, len(dataset), batch_size):
         chunk = dataset[i : i + batch_size]
         pooled = np.stack([provider(ex.image) for ex in chunk])
-        feats, _ = enc_mod.encode_global_from_pooled(
-            head, jnp.asarray(pooled), train=False)
+        if attention:
+            feats = jnp.asarray(pooled)  # (n, P, 2048) spatial grids
+        else:
+            feats, _ = enc_mod.encode_global_from_pooled(
+                head, jnp.asarray(pooled), train=False)
         # pad chunk to batch_size for a single compiled shape
         n = feats.shape[0]
         if n < batch_size:
             feats = jnp.concatenate(
-                [feats, jnp.zeros((batch_size - n, feats.shape[1]),
+                [feats, jnp.zeros((batch_size - n,) + feats.shape[1:],
                                   feats.dtype)])
         res = decode(feats)
         toks = np.asarray(res.tokens)
@@ -80,9 +105,9 @@ def main(args) -> None:
     from icee_tpu.models import factored_lstm as fl
 
     vocab = load_vocab(args.vocab_path)
-    cfg = common.decoder_config(args, len(vocab))
+    cfg = common.decoder_config(args, len(vocab), attention=args.attention)
     dataset = load_caption_dataset(args.test_path, vocab)
-    provider = common.make_feature_provider(args)
+    provider = common.make_feature_provider(args, spatial=args.attention)
 
     if args.checkpoint_path:
         from icee_tpu.checkpoint.ckpt import load_params
@@ -91,12 +116,18 @@ def main(args) -> None:
         dec, head = params["decoder"], params["head"]
     else:
         print("WARNING: no --checkpoint_path; random weights (smoke mode)")
-        dec = fl.init_params(jax.random.PRNGKey(0), cfg)
+        from icee_tpu.models import attention as att_mod
+
+        if args.attention:
+            dec = att_mod.init_factored_att_params(jax.random.PRNGKey(0), cfg)
+        else:
+            dec = fl.init_params(jax.random.PRNGKey(0), cfg)
         head = enc_mod.init_head_params(
             jax.random.PRNGKey(1), EncoderConfig(embed_size=cfg.embed_size))
 
     b1, b2, b3, b4 = evaluate(dec, head, cfg, vocab, dataset, provider,
-                              mode_id(args.mode), batch_size=args.batch_size)
+                              mode_id(args.mode), batch_size=args.batch_size,
+                              attention=args.attention)
     print("BLEU-1", b1)
     print("BLEU-2", b2)
     print("BLEU-3", b3)
@@ -106,6 +137,9 @@ def main(args) -> None:
 if __name__ == "__main__":
     parser = argparse.ArgumentParser()
     parser.add_argument("--checkpoint_path", type=str, default=None)
+    parser.add_argument("--attention", action="store_true",
+                        help="evaluate the attention decoder (reference "
+                             "evaluator default)")
     parser.add_argument("--mode", type=str, default="factual")
     parser.add_argument("--image_dir", type=str, default=None)
     parser.add_argument("--test_path", type=str, required=True)

@@ -1,2 +1,11 @@
 from icee_tpu.senticap.config import senticap_conf
-from icee_tpu.senticap import model, switched, solver, io, beam, sentiment
+from icee_tpu.senticap import (
+    adversarial,
+    beam,
+    encode_decode,
+    io,
+    model,
+    sentiment,
+    solver,
+    switched,
+)

@@ -137,9 +137,18 @@ def load_resnet_params(path: Optional[str]):
 
 
 def make_feature_provider(
-    args, spatial: bool = False, grid: int = 14
+    args, spatial: bool = False, grid: int = 14, augment: bool = False,
+    resize_size: int = 336, seed: int = 0,
 ) -> Callable[[str], np.ndarray]:
-    """image name -> encoder feature array (see module docstring)."""
+    """image name -> encoder feature array (see module docstring).
+
+    ``augment=True`` reproduces the reference TRAINING transform
+    (Resize(336) -> RandomCrop(224) -> RandomHorizontalFlip,
+    ``train_multitask.py:63-69``): the decoded 336px image is cached, the
+    random crop/flip + backbone run per call with a fresh PRNG, so every
+    epoch sees new crops.  ``augment=False`` is the eval transform
+    (Resize(crop) direct) with features memoized per image — the fast path.
+    """
     if args.feature_cache and os.path.exists(args.feature_cache):
         cache = dict(np.load(args.feature_cache))
         return lambda name: cache[name]
@@ -147,7 +156,11 @@ def make_feature_provider(
     if args.image_dir:
         import jax
         import jax.numpy as jnp
-        from icee_tpu.data.transforms import host_decode_resize, normalize
+        from icee_tpu.data.transforms import (
+            host_decode_resize,
+            normalize,
+            train_augment,
+        )
         from icee_tpu.models import resnet
 
         backbone = load_resnet_params(args.resnet_weights)
@@ -155,14 +168,34 @@ def make_feature_provider(
             print("WARNING: no --resnet_weights given; backbone is randomly "
                   "initialized (offline smoke mode)")
 
-        @jax.jit
-        def run(img):
-            x = normalize(img[None])
+        def backbone_features(x):
             if spatial:
                 out, _ = resnet.spatial_features(backbone, x, grid=grid)
                 return out[0].reshape(grid * grid, -1)
             out, _ = resnet.global_features(backbone, x)
             return out[0]
+
+        if augment:
+            @jax.jit
+            def run_aug(img, key):
+                x = train_augment(img[None], key, crop_size=args.crop_size)
+                return backbone_features(x)
+
+            img_memo = {}
+            key_holder = {"key": jax.random.PRNGKey(seed)}
+
+            def provider(name):
+                if name not in img_memo:
+                    img_memo[name] = host_decode_resize(
+                        os.path.join(args.image_dir, name), resize_size)
+                key_holder["key"], k = jax.random.split(key_holder["key"])
+                return np.asarray(run_aug(jnp.asarray(img_memo[name]), k))
+
+            return provider
+
+        @jax.jit
+        def run(img):
+            return backbone_features(normalize(img[None]))
 
         memo = {}
 

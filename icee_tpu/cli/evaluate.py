@@ -18,7 +18,8 @@ import numpy as np
 
 
 def evaluate(dec_params, head, cfg, vocab, dataset, provider, mode_idx,
-             batch_size=64, k=5, print_pairs=True, attention=False):
+             batch_size=64, k=5, print_pairs=True, attention=False,
+             feed_feature=False):
     import jax
     import jax.numpy as jnp
 
@@ -50,6 +51,10 @@ def evaluate(dec_params, head, cfg, vocab, dataset, provider, mode_idx,
                 max_seq_length=cfg.max_seq_length,
                 vocab_size=cfg.vocab_size)
     else:
+        # default reproduces the reference evaluator's research sample(),
+        # which never feeds the image feature into the LSTM
+        # (stylenet/model.py:224-227); --feed_feature opts into the serving
+        # semantics (app/backend/model.py:414-417)
         def one(feat):
             return beam_search(
                 embed_fn=lambda t: fl.embed(dec_params, t),
@@ -57,7 +62,8 @@ def evaluate(dec_params, head, cfg, vocab, dataset, provider, mode_idx,
                 init_model_state=fl.initial_state(k, cfg),
                 start_token=vocab.start, end_token=vocab.end, k=k,
                 max_seq_length=cfg.max_seq_length, vocab_size=cfg.vocab_size,
-                first_input=jnp.tile(feat[None, :], (k, 1)),
+                first_input=(jnp.tile(feat[None, :], (k, 1))
+                             if feed_feature else None),
             )
 
     decode = jax.jit(jax.vmap(one))
@@ -127,7 +133,8 @@ def main(args) -> None:
 
     b1, b2, b3, b4 = evaluate(dec, head, cfg, vocab, dataset, provider,
                               mode_id(args.mode), batch_size=args.batch_size,
-                              attention=args.attention)
+                              attention=args.attention,
+                              feed_feature=args.feed_feature)
     print("BLEU-1", b1)
     print("BLEU-2", b2)
     print("BLEU-3", b3)
@@ -140,6 +147,10 @@ if __name__ == "__main__":
     parser.add_argument("--attention", action="store_true",
                         help="evaluate the attention decoder (reference "
                              "evaluator default)")
+    parser.add_argument("--feed_feature", action="store_true",
+                        help="feed the image feature at beam step 1 (serving "
+                             "semantics) instead of the reference research "
+                             "sample() that ignores it")
     parser.add_argument("--mode", type=str, default="factual")
     parser.add_argument("--image_dir", type=str, default=None)
     parser.add_argument("--test_path", type=str, required=True)

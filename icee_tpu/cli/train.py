@@ -44,17 +44,27 @@ def main(args) -> None:
     cfg = common.decoder_config(args, len(vocab), attention=attention)
     tcfg = common.train_config(args)
     ecfg = EncoderConfig(embed_size=args.embed_size)
-    provider = common.make_feature_provider(args, spatial=attention)
+    # training uses the reference augmentation regime (random crop/flip per
+    # epoch); validation uses the deterministic eval transform with feature
+    # memoization.  --no_augment opts into the cached fast path for training
+    # too (constant eval-mode features, SURVEY §7's free-win mode).
+    provider_eval = common.make_feature_provider(args, spatial=attention)
+    if args.no_augment or args.feature_cache:
+        provider_train = provider_eval
+    else:
+        provider_train = common.make_feature_provider(
+            args, spatial=attention, augment=True, seed=args.seed)
 
     emo_paths = {"happy": (args.happy_path, args.val_happy_path),
                  "sad": (args.sad_path, args.val_sad_path),
                  "angry": (args.angry_path, args.val_angry_path)}
 
-    def loader(path, bs):
+    def loader(path, bs, train=True):
         ds = load_caption_dataset(path, vocab)
         return caption_dataset_loader(
             ds, batch_size=bs, max_len=tcfg.max_caption_len,
-            image_provider=provider, shuffle=True, seed=args.seed)
+            image_provider=provider_train if train else provider_eval,
+            shuffle=train, seed=args.seed)
 
     family = "factored" if args.family == "stylenet" else "nic"
     if attention:
@@ -79,31 +89,37 @@ def main(args) -> None:
 
     if args.trainer in ("multitask", "multitask_att"):
         trainer = MultitaskTrainer(**common_kw)
+        if args.checkpoint_path:
+            # full resume: params + both optimizers + plateau counters
+            trainer.restore(args.checkpoint_path)
+            print(f"start_epoch {trainer.start_epoch}")
         emo_train, emo_val = emo_paths[args.mode]
         trainer.train(
             loader(args.caption_path, tcfg.caption_batch_size),
-            loader(args.val_caption_path, tcfg.caption_batch_size),
+            loader(args.val_caption_path, tcfg.caption_batch_size,
+                   train=False),
             loader(emo_train, tcfg.language_batch_size),
-            loader(emo_val, tcfg.language_batch_size))
+            loader(emo_val, tcfg.language_batch_size, train=False))
     elif args.trainer == "transfer_fac":
         trainer = MultitaskTrainer(**common_kw)
         trainer.train_factual_only(
             loader(args.caption_path, tcfg.caption_batch_size),
-            loader(args.val_caption_path, tcfg.caption_batch_size))
+            loader(args.val_caption_path, tcfg.caption_batch_size,
+                   train=False))
     elif args.trainer == "transfer":
         trainer = TransferTrainer(**common_kw)
         if args.checkpoint_path:
-            from icee_tpu.checkpoint.ckpt import load_checkpoint
+            # transfer loads the factual stage's PARAMETERS and builds fresh
+            # optimizers over the style group (train_transfer.py:94-115)
+            from icee_tpu.checkpoint.ckpt import load_params
 
-            restored = load_checkpoint(
-                args.checkpoint_path,
-                {"params": {"decoder": dec, "head": head}})
-            trainer.dec = restored["params"]["decoder"]
-            trainer.head = restored["params"]["head"]
+            params = load_params(args.checkpoint_path)
+            trainer.dec = params["decoder"]
+            trainer.head = params["head"]
         emo_train, emo_val = emo_paths[args.mode]
         trainer.train_transfer(
             loader(emo_train, tcfg.language_batch_size),
-            loader(emo_val, tcfg.language_batch_size))
+            loader(emo_val, tcfg.language_batch_size, train=False))
     elif args.trainer == "paper":
         trainer = PaperRegimeTrainer(**common_kw)
 
@@ -148,6 +164,8 @@ if __name__ == "__main__":
     parser.add_argument("--family", type=str, default="stylenet",
                         choices=["stylenet", "nic"])
     parser.add_argument("--attention", action="store_true")
+    parser.add_argument("--no_augment", action="store_true",
+                        help="disable train-time crop/flip; use cached eval-mode features")
     parser.add_argument("--checkpoint_path", type=str, default=None,
                         help="resume/fine-tune source checkpoint")
     parser.add_argument("--data_name", type=str, default="flickr8k_id")

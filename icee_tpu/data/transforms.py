@@ -57,11 +57,13 @@ def train_augment(
     per-sample transforms.
     """
     b, h, w, _ = images.shape
-    k_crop, k_flip = jax.random.split(key)
+    k_y, k_x, k_flip = jax.random.split(key, 3)
     max_y = h - crop_size
     max_x = w - crop_size
-    offs = jax.random.randint(k_crop, (b, 2), 0, max(max_y, 1))
-    offs = jnp.minimum(offs, jnp.asarray([max_y, max_x], jnp.int32))
+    # torchvision RandomCrop draws offsets from [0, dim-crop] INCLUSIVE
+    off_y = jax.random.randint(k_y, (b,), 0, max_y + 1)
+    off_x = jax.random.randint(k_x, (b,), 0, max_x + 1)
+    offs = jnp.stack([off_y, off_x], axis=1)
     flips = jax.random.bernoulli(k_flip, 0.5, (b,))
 
     def crop_one(img, off, flip):

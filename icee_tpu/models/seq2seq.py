@@ -198,32 +198,23 @@ def greedy_sample(
             pred = jnp.argmax(logits, axis=-1)
             return (h, c, jnp.take(half["embed"], pred, axis=0)), pred
 
-        (_, _, _), preds = jax.lax.scan(
+        (h, c, _), preds = jax.lax.scan(
             body, (state[0], state[1], first_input_emb), None,
             length=cfg.max_seq_length,
         )
-        return jnp.swapaxes(preds, 0, 1)
+        return jnp.swapaxes(preds, 0, 1), (h, c)
 
     state0 = multilayer_initial_state(cfg.num_layers, b, cfg.hidden_size,
                                       features.dtype)
-    enc_ids = rollout(enc, features, state0)
+    enc_ids, enc_state = rollout(enc, features, state0)
 
     if emotion is None:
         return enc_ids
 
     # Reference quirk preserved: the emotion decoder continues from the
-    # encoder's *greedy rollout* final state (sample path), matching
-    # Seq2Seq.sample's states threading.
-    def enc_body(carry, _):
-        h, c, x = carry
-        top, h, c = multilayer_lstm_cell(enc["lstm"], x, h, c)
-        logits = top @ enc["linear_w"] + enc["linear_b"]
-        pred = jnp.argmax(logits, axis=-1)
-        return (h, c, jnp.take(enc["embed"], pred, axis=0)), None
-
-    (h, c, _), _ = jax.lax.scan(
-        enc_body, (state0[0], state0[1], features), None, length=cfg.max_seq_length
-    )
+    # encoder's *greedy rollout* final state (Seq2Seq.sample's states
+    # threading, seq2seq/model.py:285-301).
     half = select_decoder(params, jnp.asarray(emotion))
     start = jnp.full((b,), start_token, jnp.int32)
-    return rollout(half, jnp.take(half["embed"], start, axis=0), (h, c))
+    ids, _ = rollout(half, jnp.take(half["embed"], start, axis=0), enc_state)
+    return ids

@@ -36,6 +36,27 @@ def _epoch_indices(n: int, batch: int, rng: np.random.Generator):
     return idx[: n_batches * batch].reshape(n_batches, batch)
 
 
+def _epoch_indices_by_sentiment(senti: np.ndarray, batch: int,
+                                rng: np.random.Generator):
+    """Sentiment-homogeneous minibatches in random order.
+
+    The switched model's recurrence branches on the BATCH-level sentiment
+    ``senti[0]`` (``mrnn_switched.py:860-884``), which is only meaningful
+    when a batch is sentiment-pure; the reference achieves this implicitly
+    by slicing contiguous dataset blocks.  A global shuffle would mix +1/-1
+    records and mislabel part of every batch, so shuffle WITHIN each
+    sentiment group and interleave the groups' batches randomly."""
+    batches = []
+    for value in np.unique(senti):
+        group = np.flatnonzero(senti == value)
+        rng.shuffle(group)
+        n_batches = len(group) // batch
+        for b in range(n_batches):
+            batches.append(group[b * batch:(b + 1) * batch])
+    order = rng.permutation(len(batches))
+    return [batches[i] for i in order]
+
+
 def make_base_step(conf: dict, solver):
     """Jitted base-model step over device-resident data."""
 
@@ -168,7 +189,7 @@ def train_switched(
     for epoch in range(num_epochs):
         t0 = time.time()
         losses = []
-        for idx in _epoch_indices(dataset.X.shape[0], batch, rng):
+        for idx in _epoch_indices_by_sentiment(dataset.senti, batch, rng):
             key, k = jax.random.split(key)
             params, opt_state, loss = step(params, opt_state, data,
                                            jnp.asarray(idx), k)

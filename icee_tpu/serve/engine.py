@@ -25,9 +25,11 @@ from icee_tpu.serve.config import MODEL_VARIANTS, ServeConfig
 
 class CaptionEngine:
     def __init__(self, config: ServeConfig, smoke_mode: bool = False,
-                 image_size: int = 224):
+                 image_size: int = 224, dec_cfg=None, att_cfg=None,
+                 enc_cfg=None):
         """``smoke_mode``: build every variant with random weights when no
-        checkpoints are configured (demo/offline)."""
+        checkpoints are configured (demo/offline).  The ``*_cfg`` overrides
+        exist for tests/small deployments; defaults are the flagship sizes."""
         import jax
 
         from icee_tpu.core.config import (
@@ -55,9 +57,9 @@ class CaptionEngine:
             raise FileNotFoundError(f"vocab not found: {config.vocab_path}")
 
         v = len(self.vocab)
-        self.dec_cfg = DecoderConfig(vocab_size=v)
-        self.att_cfg = AttentionDecoderConfig(vocab_size=v)
-        self.enc_cfg = EncoderConfig()
+        self.dec_cfg = dec_cfg or DecoderConfig(vocab_size=v)
+        self.att_cfg = att_cfg or AttentionDecoderConfig(vocab_size=v)
+        self.enc_cfg = enc_cfg or EncoderConfig()
 
         from icee_tpu.cli.common import load_resnet_params
 
@@ -69,32 +71,51 @@ class CaptionEngine:
     # -- model loading ----------------------------------------------------
 
     def _load_models(self, smoke_mode: bool) -> None:
+        """Load one (decoder, head) pipeline PER (variant, mode), like the
+        reference's 16-entry registry (``app/backend/config.py:13-38``).
+        Identical paths (e.g. our stacked-style checkpoints, which serve all
+        four modes from one file) are loaded once and shared."""
+        import zlib
+
         import jax
 
-        from icee_tpu.checkpoint import torch_import as ti
         from icee_tpu.models import attention as att_mod
         from icee_tpu.models import encoder as enc_mod
         from icee_tpu.models import factored_lstm as fl
         from icee_tpu.models import lstm as nic_mod
 
-        head = enc_mod.init_head_params(jax.random.PRNGKey(1), self.enc_cfg)
         for variant in MODEL_VARIANTS:
             paths = self.config.checkpoint_paths.get(variant, {})
-            any_path = next((p for p in paths.values() if p), None)
-            if any_path is None and not smoke_mode:
+            if not any(paths.values()) and not smoke_mode:
                 continue
-            key = jax.random.PRNGKey(hash(variant) % (2**31))
+            key = jax.random.PRNGKey(zlib.crc32(variant.encode()) % (2**31))
             if variant == "stylenet":
-                dec = fl.init_params(key, self.dec_cfg)
+                dec0 = fl.init_params(key, self.dec_cfg)
             elif variant == "nic":
-                dec = nic_mod.init_params(key, self.dec_cfg)
+                dec0 = nic_mod.init_params(key, self.dec_cfg)
             elif variant == "stylenet_att":
-                dec = att_mod.init_factored_att_params(key, self.att_cfg)
+                dec0 = att_mod.init_factored_att_params(key, self.att_cfg)
             else:
-                dec = att_mod.init_rnn_att_params(key, self.att_cfg)
-            if any_path and os.path.exists(any_path):
-                dec, head = self._restore(variant, any_path, dec, head)
-            self.models[variant] = {"decoder": dec, "head": head}
+                dec0 = att_mod.init_rnn_att_params(key, self.att_cfg)
+            head0 = enc_mod.init_head_params(
+                jax.random.PRNGKey(zlib.crc32(variant.encode()) % 1000 + 1),
+                self.enc_cfg)
+            by_path = {}
+            modes = {}
+            for mode in MODES:
+                path = paths.get(mode)
+                if path and os.path.exists(path):
+                    if path not in by_path:
+                        by_path[path] = self._restore(variant, path, dec0,
+                                                      head0)
+                    dec, head = by_path[path]
+                elif smoke_mode:
+                    dec, head = dec0, head0
+                else:
+                    continue
+                modes[mode] = {"decoder": dec, "head": head}
+            if modes:
+                self.models[variant] = modes
 
     def _restore(self, variant, path, dec_template, head_template):
         """Load our orbax checkpoints or reference torch pickles."""
@@ -131,22 +152,38 @@ class CaptionEngine:
     # -- inference --------------------------------------------------------
 
     def _features(self, image_path: str):
+        """ONE jitted backbone pass; pooled + spatial both derive from the
+        same feature map (the review found the previous version running the
+        full ResNet twice per request)."""
+        import jax
         import jax.numpy as jnp
 
-        from icee_tpu.data.transforms import host_decode_resize, normalize
-        from icee_tpu.models import resnet
+        from icee_tpu.data.transforms import host_decode_resize
+
+        if not hasattr(self, "_features_fn"):
+            from icee_tpu.data.transforms import normalize
+            from icee_tpu.models import resnet
+
+            @jax.jit
+            def run(img):
+                x = normalize(img[None])
+                fmap, _ = resnet.forward(self.backbone, x, train_bn=False)
+                pooled = jnp.mean(fmap, axis=(1, 2))
+                spatial = resnet.adaptive_avg_pool(fmap, (14, 14))
+                return pooled, spatial.reshape(1, 14 * 14, spatial.shape[-1])
+
+            self._features_fn = run
 
         img = host_decode_resize(image_path, self.image_size)
-        x = normalize(jnp.asarray(img)[None])
-        pooled, _ = resnet.global_features(self.backbone, x)
-        fmap, _ = resnet.spatial_features(self.backbone, x, grid=14)
-        spatial = fmap.reshape(1, 14 * 14, fmap.shape[-1])
-        return pooled, spatial
+        return self._features_fn(jnp.asarray(img))
 
-    def _decode_fn(self, variant: str, k: int = 5):
-        """Build (once) the jitted beam decode for a variant."""
-        if variant in self._decode_cache:
-            return self._decode_cache[variant]
+    def _decode_fn(self, variant: str, mode: str, k: int = 5):
+        """Build (once per variant+mode pipeline) the jitted beam decode.
+        Pipelines sharing a decoder object share the compiled fn."""
+        dec = self.models[variant][mode]["decoder"]
+        cache_key = (variant, id(dec))
+        if cache_key in self._decode_cache:
+            return self._decode_cache[cache_key]
         import jax
         import jax.numpy as jnp
 
@@ -155,7 +192,6 @@ class CaptionEngine:
         from icee_tpu.models import factored_lstm as fl
         from icee_tpu.models import lstm as nic_mod
 
-        dec = self.models[variant]["decoder"]
         vocab_size = len(self.vocab)
 
         if variant == "stylenet":
@@ -212,7 +248,7 @@ class CaptionEngine:
                     vocab_size=vocab_size)
 
         fn = jax.jit(run)
-        self._decode_cache[variant] = fn
+        self._decode_cache[cache_key] = fn
         return fn
 
     def _detok(self, tokens, length) -> str:
@@ -235,17 +271,17 @@ class CaptionEngine:
         pooled, spatial = self._features(image_path)
         out = {}
         for variant in MODEL_VARIANTS:
-            if variant not in self.models:
+            pipeline = self.models.get(variant, {}).get(mode)
+            if pipeline is None:
                 out[variant] = "-"
                 continue
-            head = self.models[variant]["head"]
             if variant.endswith("_att"):
                 feat = spatial[0:1]
             else:
                 from icee_tpu.models import encoder as enc_mod
 
-                feat, _ = enc_mod.encode_global_from_pooled(head, pooled,
-                                                            train=False)
-            res = self._decode_fn(variant)(feat, style)
+                feat, _ = enc_mod.encode_global_from_pooled(
+                    pipeline["head"], pooled, train=False)
+            res = self._decode_fn(variant, mode)(feat, style)
             out[variant] = self._detok(res.tokens, res.length)
         return out

@@ -329,6 +329,35 @@ class MultitaskTrainer:
             self.save(epoch, is_best, mode_tag="FAC")
         return {"best_bleu4": self.best_bleu4}
 
+    def restore(self, path: str) -> None:
+        """Full resume — params, BOTH optimizer states, epoch and plateau
+        counters (the reference's checkpoint_path path,
+        ``train_multitask.py:169-177``).  Builds the template from this
+        trainer's freshly-initialized state so optax state types restore
+        exactly."""
+        from icee_tpu.checkpoint.ckpt import CheckpointState, load_checkpoint
+
+        template = CheckpointState(
+            epoch=0,
+            epochs_since_improvement=self.epochs_since_improvement,
+            best_bleu4=self.best_bleu4,
+            params={"decoder": self.dec, "head": self.head},
+            opt_states={"optimizer": self.opt_state,
+                        "lang_optimizer": self.lang_opt_state},
+        ).as_pytree()
+        restored = load_checkpoint(path, template)
+        self.dec = restored["params"]["decoder"]
+        self.head = restored["params"]["head"]
+        self.opt_state = restored["opt_states"]["optimizer"]
+        self.lang_opt_state = restored["opt_states"]["lang_optimizer"]
+        self.start_epoch = int(restored["epoch"]) + 1
+        self.epochs_since_improvement = {
+            k: int(v) for k, v in restored["epochs_since_improvement"].items()
+        }
+        self.best_bleu4 = {
+            k: float(v) for k, v in restored["best_bleu4"].items()
+        }
+
     def save(self, epoch: int, is_best: bool, mode_tag: Optional[str] = None):
         state = CheckpointState(
             epoch=epoch,

@@ -120,14 +120,18 @@ class CaptionEngine:
     def _restore(self, variant, path, dec_template, head_template):
         """Load our orbax checkpoints or reference torch pickles."""
         if path.endswith((".pth", ".tar", ".ckpt")):
-            import torch
-
             from icee_tpu.checkpoint import torch_import as ti
+            from icee_tpu.checkpoint.torch_pickle import (
+                load_torch_pickle,
+                module_state_dict,
+            )
 
-            sd = torch.load(path, map_location="cpu")
+            # full-module pickles load via the stub unpickler, so the
+            # reference's model classes are NOT needed on the path
+            sd = load_torch_pickle(path)
             if isinstance(sd, dict) and "decoder" in sd:  # full ckpt pickle
-                dec_sd = sd["decoder"].state_dict()
-                enc_sd = sd["encoder"].state_dict()
+                dec_sd = module_state_dict(sd["decoder"])
+                enc_sd = module_state_dict(sd["encoder"])
             else:
                 dec_sd, enc_sd = sd, None
             if variant == "stylenet":

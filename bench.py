@@ -76,14 +76,14 @@ def main():
             print(f"# fused path unavailable ({type(e).__name__}); falling back")
     assert decode is not None
 
-    n_runs = 5
-    t0 = time.perf_counter()
-    for _ in range(n_runs):
+    # median of per-call latencies: robust to transient tunnel/runtime noise
+    times = []
+    for _ in range(9):
+        t0 = time.perf_counter()
         res = decode(feats)
         jax.block_until_ready(res.tokens)
-    dt = time.perf_counter() - t0
-
-    cps = BATCH * n_runs / dt
+        times.append(time.perf_counter() - t0)
+    cps = BATCH / float(np.median(times))
     print(json.dumps({
         "metric": "beam_decode_captions_per_sec",
         "value": round(cps, 2),

@@ -513,7 +513,9 @@ class Seq2SeqTrainer:
         return k
 
     def train(self, data_loader, emotion_loaders: Dict[str, object],
-              num_epochs: Optional[int] = None) -> None:
+              num_epochs: Optional[int] = None,
+              val_loader=None, val_emotion_loaders: Optional[Dict] = None
+              ) -> None:
         num_epochs = num_epochs or self.tcfg.num_epochs
         for epoch in range(num_epochs):
             losses = AverageMeter()
@@ -528,6 +530,11 @@ class Seq2SeqTrainer:
             _log(self.log_path,
                  f"Epoch [{epoch}/{num_epochs}], [FAC], "
                  f"Loss {losses.avg:.4f}")
+            if val_loader is not None:
+                vl, vt = self.validate_factual(val_loader)
+                _log(self.log_path,
+                     f"\tVal Loss: {vl:.4f} | Perplexity "
+                     f"{perplexity(vl):.4f} | Top-5 {vt:.3f}")
             for emo, loader in emotion_loaders.items():
                 eid = mode_id(emo) - 1
                 e_losses = AverageMeter()
@@ -545,3 +552,38 @@ class Seq2SeqTrainer:
                 _log(self.log_path,
                      f"Epoch [{epoch}/{num_epochs}], "
                      f"[{emo[:3].upper()}], Loss {e_losses.avg:.4f}")
+                if val_emotion_loaders and emo in val_emotion_loaders:
+                    vl, vt = self.validate_emotion(
+                        val_emotion_loaders[emo], eid)
+                    _log(self.log_path,
+                         f"\tVal Loss: {vl:.4f} | Top-5 {vt:.3f}")
+
+    def validate_factual(self, loader):
+        """seq2seq ``val_factual`` (``seq2seq/train.py:262-299``): teacher-
+        forcing off, token-mean loss + top-5."""
+        losses, top5s = AverageMeter(), AverageMeter()
+        for batch in loader:
+            loss, top5, _ = self.val_factual(
+                self.params, self.head, jnp.asarray(batch.images),
+                jnp.asarray(batch.captions), jnp.asarray(batch.lengths),
+                jnp.asarray(batch.sample_mask))
+            n = int(batch.lengths.sum())
+            losses.update(float(loss), n)
+            top5s.update(float(top5), n)
+        return losses.avg, top5s.avg
+
+    def validate_emotion(self, loader, emotion_id: int):
+        """seq2seq ``val_emotion`` (``seq2seq/train.py:303-345``), with the
+        dst=src overwrite preserved."""
+        losses, top5s = AverageMeter(), AverageMeter()
+        for batch in loader:
+            caps = jnp.asarray(batch.captions)
+            lens = jnp.asarray(batch.lengths)
+            loss, top5, _ = self.val_emotion(
+                self.params, self.head, jnp.asarray(batch.images),
+                caps, lens, caps, lens, jnp.asarray(batch.sample_mask),
+                jnp.asarray(emotion_id))
+            n = int((batch.lengths - 1).clip(min=0).sum())
+            losses.update(float(loss), max(n, 1))
+            top5s.update(float(top5), max(n, 1))
+        return losses.avg, top5s.avg

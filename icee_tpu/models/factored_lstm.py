@@ -138,8 +138,25 @@ def forward(
     else:
         teacher_inputs = emb
 
-    coins = jax.random.bernoulli(k_tf, teacher_forcing_ratio, (t,))
     style = jnp.asarray(style)
+    h0, c0 = initial_state(b, cfg, emb.dtype)
+
+    if isinstance(teacher_forcing_ratio, float) and teacher_forcing_ratio >= 1.0:
+        # fully teacher-forced fast path (ratio 1.0 == the reference's
+        # always-true coin): no argmax feedback is consumed, so the scan
+        # carries only (h, c) and the vocab head runs ONCE over all
+        # timesteps — a (B*T, H) @ (H, V) MXU matmul instead of T small ones
+        def cell_body(carry, x_t):
+            h, c = carry
+            h, c = factored_lstm_cell(params, x_t, h, c, style)
+            return (h, c), h
+
+        _, hiddens = jax.lax.scan(
+            cell_body, (h0, c0), jnp.swapaxes(teacher_inputs, 0, 1))
+        hiddens = jnp.swapaxes(hiddens, 0, 1)  # (B, T, H)
+        return hiddens @ params["C_w"] + params["C_b"]
+
+    coins = jax.random.bernoulli(k_tf, teacher_forcing_ratio, (t,))
 
     def body(carry, xs):
         (h, c, prev) = carry
@@ -151,7 +168,6 @@ def forward(
         prev = jnp.argmax(logits, axis=-1)
         return (h, c, prev), logits
 
-    h0, c0 = initial_state(b, cfg, emb.dtype)
     prev0 = captions[:, 0]
     _, logits = jax.lax.scan(
         body, (h0, c0, prev0), (jnp.swapaxes(teacher_inputs, 0, 1), coins)

@@ -1,0 +1,141 @@
+"""Caption metrics beyond BLEU: ROUGE-L and CIDEr-D.
+
+The reference's SentiCap test path scores decodes with pycocoevalcap's
+BLEU / ROUGE_L / CIDEr / METEOR (``train_joint.py:299-320``).  pycocoevalcap
+is not available offline; these are standalone implementations of the same
+published formulas:
+
+- ROUGE-L (Lin 2004, as in pycocoevalcap): LCS-based F-measure with
+  beta=1.2, per-candidate max over references, corpus mean,
+- CIDEr-D (Vedantam et al. 2015): TF-IDF-weighted n-gram cosine for n=1..4
+  with length-difference Gaussian penalty (sigma=6) and the *-D clipping,
+  averaged over n, x10 scale, document frequencies from the reference
+  corpus.
+
+METEOR requires the Java alignment package and external paraphrase tables;
+it is intentionally NOT reimplemented (callers get ``None``) — the other
+three metrics cover the reference's quantitative reporting.
+"""
+
+from __future__ import annotations
+
+import math
+from collections import Counter, defaultdict
+from typing import Dict, List, Sequence
+
+
+# --- ROUGE-L --------------------------------------------------------------
+
+def _lcs_len(a: Sequence, b: Sequence) -> int:
+    if not a or not b:
+        return 0
+    prev = [0] * (len(b) + 1)
+    for x in a:
+        cur = [0]
+        for j, y in enumerate(b, 1):
+            cur.append(prev[j - 1] + 1 if x == y else max(prev[j], cur[-1]))
+        prev = cur
+    return prev[-1]
+
+
+def rouge_l_sentence(references: Sequence[Sequence], hypothesis: Sequence,
+                     beta: float = 1.2) -> float:
+    """Max-over-references LCS F-measure (pycocoevalcap rouge.py)."""
+    best = 0.0
+    for ref in references:
+        lcs = _lcs_len(ref, hypothesis)
+        if lcs == 0:
+            continue
+        prec = lcs / len(hypothesis) if hypothesis else 0.0
+        rec = lcs / len(ref) if ref else 0.0
+        if prec and rec:
+            score = ((1 + beta ** 2) * prec * rec) / (rec + beta ** 2 * prec)
+            best = max(best, score)
+    return best
+
+
+def rouge_l(list_of_references, hypotheses) -> float:
+    """Corpus mean of per-sentence ROUGE-L."""
+    scores = [rouge_l_sentence(refs, hyp)
+              for refs, hyp in zip(list_of_references, hypotheses)]
+    return sum(scores) / max(len(scores), 1)
+
+
+# --- CIDEr-D --------------------------------------------------------------
+
+def _ngram_counts(tokens: Sequence, n: int) -> Counter:
+    return Counter(tuple(tokens[i : i + n])
+                   for i in range(len(tokens) - n + 1))
+
+
+def cider_d(list_of_references, hypotheses, n_max: int = 4,
+            sigma: float = 6.0) -> float:
+    """CIDEr-D corpus score (pycocoevalcap ciderD semantics, x10 scale).
+
+    Document frequencies are computed from the reference sets of THIS corpus
+    (the pycocoevalcap default "corpus" mode).
+    """
+    m = len(hypotheses)
+    if m == 0:
+        return 0.0
+    # document frequency per n-gram: number of images whose reference set
+    # contains it
+    doc_freq: List[Dict] = [defaultdict(int) for _ in range(n_max)]
+    for refs in list_of_references:
+        for n in range(n_max):
+            grams = set()
+            for ref in refs:
+                grams |= set(_ngram_counts(ref, n + 1))
+            for g in grams:
+                doc_freq[n][g] += 1
+    log_m = math.log(max(m, 1))
+
+    def tfidf_vec(tokens):
+        vecs, norms = [], []
+        length = len(tokens)
+        for n in range(n_max):
+            counts = _ngram_counts(tokens, n + 1)
+            vec = {}
+            norm = 0.0
+            for g, tf in counts.items():
+                df = math.log(max(doc_freq[n][g], 1))
+                w = tf * max(log_m - df, 0.0)
+                vec[g] = w
+                norm += w * w
+            vecs.append(vec)
+            norms.append(math.sqrt(norm))
+        return vecs, norms, length
+
+    total = 0.0
+    for refs, hyp in zip(list_of_references, hypotheses):
+        h_vecs, h_norms, h_len = tfidf_vec(hyp)
+        score_n = [0.0] * n_max
+        for ref in refs:
+            r_vecs, r_norms, r_len = tfidf_vec(ref)
+            delta = h_len - r_len
+            penalty = math.exp(-(delta ** 2) / (2 * sigma ** 2))
+            for n in range(n_max):
+                # CIDEr-D clipping: min(h_w, r_w) in the numerator
+                num = sum(min(w, r_vecs[n].get(g, 0.0))
+                          for g, w in h_vecs[n].items())
+                denom = h_norms[n] * r_norms[n]
+                if denom > 0:
+                    score_n[n] += penalty * num / denom
+        n_refs = max(len(refs), 1)
+        total += 10.0 * sum(s / n_refs for s in score_n) / n_max
+    return total / m
+
+
+def coco_metrics(list_of_references, hypotheses) -> Dict[str, object]:
+    """The SentiCap test-path metric block (``train_joint.py:299-320``):
+    BLEU-1..4 + ROUGE_L + CIDEr-D (+ METEOR=None: needs the external Java
+    package)."""
+    from icee_tpu.evaluation.bleu import bleu_1_to_4
+
+    b1, b2, b3, b4 = bleu_1_to_4(list_of_references, hypotheses)
+    return {
+        "Bleu_1": b1, "Bleu_2": b2, "Bleu_3": b3, "Bleu_4": b4,
+        "ROUGE_L": rouge_l(list_of_references, hypotheses),
+        "CIDEr": cider_d(list_of_references, hypotheses),
+        "METEOR": None,
+    }

@@ -1,0 +1,75 @@
+"""ROUGE-L / CIDEr-D sanity and hand-computed checks."""
+
+import math
+
+import numpy as np
+import pytest
+
+from icee_tpu.evaluation.coco_metrics import (
+    _lcs_len,
+    cider_d,
+    coco_metrics,
+    rouge_l,
+    rouge_l_sentence,
+)
+
+
+def test_lcs():
+    assert _lcs_len("abcde", "ace") == 3
+    assert _lcs_len([], [1]) == 0
+    assert _lcs_len([1, 2, 3], [4, 5]) == 0
+
+
+def test_rouge_perfect_match():
+    refs = [["a", "b", "c"]]
+    assert abs(rouge_l_sentence(refs, ["a", "b", "c"]) - 1.0) < 1e-9
+
+
+def test_rouge_hand_computed():
+    # hyp=[a,x,c], ref=[a,b,c]: lcs=2, P=2/3, R=2/3, beta=1.2 -> F=2/3
+    got = rouge_l_sentence([["a", "b", "c"]], ["a", "x", "c"])
+    assert abs(got - 2 / 3) < 1e-9
+    # max over references
+    got2 = rouge_l_sentence([["a", "b", "c"], ["a", "x", "c"]],
+                            ["a", "x", "c"])
+    assert abs(got2 - 1.0) < 1e-9
+
+
+def test_rouge_corpus_mean():
+    refs = [[["a", "b"]], [["c", "d"]]]
+    hyps = [["a", "b"], ["x", "y"]]
+    assert abs(rouge_l(refs, hyps) - 0.5) < 1e-9
+
+
+def test_cider_identical_corpus_scores_high():
+    refs = [[["a", "cat", "sits"]], [["a", "dog", "runs", "fast"]]]
+    hyps = [["a", "cat", "sits"], ["a", "dog", "runs", "fast"]]
+    score = cider_d(refs, hyps)
+    # perfect match with penalty 1: each n contributes cos=1 where defined
+    assert score > 5.0
+
+
+def test_cider_disjoint_is_zero():
+    refs = [[["a", "b", "c"]], [["d", "e", "f"]]]
+    hyps = [["x", "y", "z"], ["q", "r", "s"]]
+    assert cider_d(refs, hyps) == 0.0
+
+
+def test_cider_length_penalty_decreases_score():
+    # a 1-image corpus has log(m)=0 -> all-zero IDF (pycocoevalcap behaves
+    # identically); use 2 images so weights are nonzero
+    refs = [[["a", "b", "c", "d", "e"]], [["x", "y", "z"]]]
+    short = cider_d(refs, [["a", "b"], ["x", "y", "z"]])
+    exact = cider_d(refs, [["a", "b", "c", "d", "e"], ["x", "y", "z"]])
+    assert exact > short
+
+
+def test_coco_metrics_block():
+    refs = [[["a", "b", "c", "d"]]]
+    hyps = [["a", "b", "c", "d"]]
+    m = coco_metrics(refs, hyps)
+    assert set(m) == {"Bleu_1", "Bleu_2", "Bleu_3", "Bleu_4", "ROUGE_L",
+                      "CIDEr", "METEOR"}
+    assert abs(m["Bleu_4"] - 1.0) < 1e-9
+    assert abs(m["ROUGE_L"] - 1.0) < 1e-9
+    assert m["METEOR"] is None

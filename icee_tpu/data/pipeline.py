@@ -224,3 +224,43 @@ def caption_dataset_loader(
         seed=seed,
         prefetch=prefetch,
     )
+
+
+def styled_caption_loader(
+    caption_ids,
+    batch_size: int,
+    max_len: int,
+    shuffle: bool = True,
+    seed: int = 0,
+    prefetch: int = 2,
+) -> BatchLoader:
+    """Loader over text-only styled corpora (the reference's
+    ``get_style_loader``, ``data_loader.py:183-197``): batches carry captions
+    + lengths only, no images."""
+    from icee_tpu.native import RaggedCaptions
+
+    rag = RaggedCaptions(caption_ids)
+
+    def example_fn(indices: np.ndarray) -> CaptionBatch:
+        captions, lengths = rag.batch(indices, max_len=max_len)
+        n = len(indices)
+        if n < batch_size:
+            captions = np.concatenate(
+                [captions, np.zeros((batch_size - n, max_len), np.int32)])
+            lengths = np.concatenate(
+                [lengths, np.zeros((batch_size - n,), np.int32)])
+        return CaptionBatch(
+            images=None,
+            captions=captions,
+            lengths=lengths,
+            sample_mask=np.arange(batch_size) < n,
+        )
+
+    return BatchLoader(
+        num_examples=len(caption_ids),
+        batch_size=batch_size,
+        example_fn=example_fn,
+        shuffle=shuffle,
+        seed=seed,
+        prefetch=prefetch,
+    )

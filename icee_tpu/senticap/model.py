@@ -162,6 +162,51 @@ def forward(
     return jnp.swapaxes(s, 0, 1)  # (B, T, V)
 
 
+def forward_semi_forced(
+    params: dict,
+    conf: dict,
+    words: jax.Array,          # (B, T) teacher tokens
+    v: jax.Array,              # (B, visual)
+    forced: jax.Array,         # (B, T) 1 = feed ground truth, 0 = feed own argmax
+    x_drop: Optional[jax.Array] = None,
+    y_drop: Optional[jax.Array] = None,
+) -> jax.Array:
+    """Semi-forced scan (``recurrance_partial_word_feedback``,
+    ``mrnn.py:442-476,496-503``): per-(sample, step) the input is either the
+    teacher token or the model's own previous argmax, per the ``forced``
+    matrix.  Used when ``conf['SEMI_FORCED'] < 1`` (the forced matrix is
+    drawn Bernoulli(SEMI_FORCED) by the trainer)."""
+    b, t = words.shape
+    h_dim = conf["lstm_hidden_size"]
+    gclip = conf["GRAD_CLIP_SIZE"]
+    vis = visual_embedding(params, v)
+    if x_drop is None:
+        x_drop = jnp.ones((b, t, conf["emb_size"]))
+    if y_drop is None:
+        y_drop = jnp.ones((b, t, h_dim))
+    use_v = jnp.arange(t) == 0
+
+    def body(carry, xs):
+        h, c, prev = carry
+        w_t, xd, yd, f_t, uv = xs
+        tok = jnp.where(f_t > 0, w_t, prev)
+        x_t = jnp.where(uv, vis, jnp.take(params["wemb"], tok, axis=0))
+        if conf["DROP_INPUT"]:
+            x_t = x_t * xd
+        h, c = cell(params, x_t, h, c, gclip)
+        hh = h * yd if conf["DROP_OUTPUT"] else h
+        s_t = output_probs(params, hh)
+        prev = jnp.argmax(s_t, axis=-1).astype(jnp.int32)
+        return (h, c, prev), s_t
+
+    h0 = jnp.zeros((b, h_dim))
+    (_, _, _), s = jax.lax.scan(
+        body, (h0, h0, jnp.zeros((b,), jnp.int32)),
+        (jnp.swapaxes(words, 0, 1), jnp.swapaxes(x_drop, 0, 1),
+         jnp.swapaxes(y_drop, 0, 1), jnp.swapaxes(forced, 0, 1), use_v))
+    return jnp.swapaxes(s, 0, 1)
+
+
 def loss_fn(s: jax.Array, y: jax.Array, mask: jax.Array) -> jax.Array:
     """SUM of masked categorical cross-entropy (``mrnn.py:560-567``).
     ``s``: (B, T, V) probabilities, ``y``: (B, T) targets, ``mask``: (B, T)."""

@@ -131,3 +131,15 @@ def test_batch_loader_deterministic_shuffle():
     order2 = np.concatenate(seen)
     np.testing.assert_array_equal(order1, order2)
     assert sorted(order1.tolist()) == list(range(10))
+
+
+def test_styled_caption_loader(tiny_vocab):
+    from icee_tpu.data.pipeline import styled_caption_loader
+
+    caps = [[1, 4, 5, 2], [1, 6, 2], [1, 7, 8, 9, 2]]
+    loader = styled_caption_loader(caps, batch_size=2, max_len=6, seed=0)
+    batches = list(loader)
+    assert len(batches) == 2
+    assert batches[0].images is None
+    assert batches[0].captions.shape == (2, 6)
+    assert batches[1].sample_mask.tolist() == [True, False]

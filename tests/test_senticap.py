@@ -220,3 +220,19 @@ def test_sentiment_utils(tmp_path):
     assert s.sentiment_of("sad", "dog") is None
     sw = switch_targets(["a", "happy", "dog", "runs"], s)
     assert sw == [0.0, 1.0, 0.0, 0.0]
+
+
+def test_semi_forced_scan(rng):
+    """forced=1 everywhere must equal the teacher-forced scan; forced=0
+    diverges (feedback path)."""
+    params = M.init_params(jax.random.PRNGKey(0), VOCAB, CONF)
+    words = jnp.asarray(rng.integers(0, VOCAB, (2, 7)), jnp.int32)
+    v = jnp.asarray(rng.standard_normal((2, 12)).astype(np.float32))
+    all_forced = jnp.ones((2, 7))
+    s_semi = M.forward_semi_forced(params, CONF, words, v, all_forced)
+    s_tf = M.forward(params, CONF, words, v)
+    np.testing.assert_allclose(np.asarray(s_semi), np.asarray(s_tf),
+                               rtol=1e-5, atol=1e-6)
+    s_free = M.forward_semi_forced(params, CONF, words, v,
+                                   jnp.zeros((2, 7)))
+    assert not np.allclose(np.asarray(s_free), np.asarray(s_tf))

@@ -176,18 +176,27 @@ def make_feature_provider(
             return out[0]
 
         if augment:
+            from collections import OrderedDict
+
             @jax.jit
             def run_aug(img, key):
                 x = train_augment(img[None], key, crop_size=args.crop_size)
                 return backbone_features(x)
 
-            img_memo = {}
+            # bounded LRU of decoded 336px images (~340KB each; 4096 ≈ 1.4GB)
+            # — an unbounded cache OOMs the host on large corpora
+            img_memo: "OrderedDict" = OrderedDict()
+            max_cached = 4096
             key_holder = {"key": jax.random.PRNGKey(seed)}
 
             def provider(name):
-                if name not in img_memo:
+                if name in img_memo:
+                    img_memo.move_to_end(name)
+                else:
                     img_memo[name] = host_decode_resize(
                         os.path.join(args.image_dir, name), resize_size)
+                    if len(img_memo) > max_cached:
+                        img_memo.popitem(last=False)
                 key_holder["key"], k = jax.random.split(key_holder["key"])
                 return np.asarray(run_aug(jnp.asarray(img_memo[name]), k))
 

@@ -5,11 +5,18 @@ Subcommands mirror the reference CLI (``train_joint.py:453-491``:
 ``train|test -s pos|neg``):
 
 - ``base``   — train the background COCO-style caption model
-  (``train_mscoco.py``)
+  (``train_mscoco.py``); the model pickle stores the vocabulary
 - ``train``  — switch ("gap filler") training from a base checkpoint
-  (``run_train_gap_filler``)
+  (``run_train_gap_filler``): REUSES the base model's vocabulary, appending
+  new sentiment words with nearest-embedding vocab surgery
+  (``mrnn_switched.py:480-518``; spacy vectors are unavailable offline, so
+  the closest-word fallback copies from the most frequent base word)
 - ``test``   — beam-decode the styled and descriptive sentence per image
-  with switch-attention traces (``run_load_gap_filler``)
+  with switch-attention traces (``run_load_gap_filler``), using the sizes
+  and vocabulary SAVED IN the model pickle
+
+``-s pos|neg`` tags records that carry no explicit ``sentiment`` field
+(+1 styled / -1 descriptive).
 
 Data: ``--captions`` JSON (records with image/tokens|caption/sentiment/
 switch) + ``--features`` npz or .mat (VGG-4096 per image).
@@ -21,51 +28,90 @@ import json
 import numpy as np
 
 
+def _tokens(records, sio):
+    return [r.get("tokens") or sio.tokenize(r.get("caption", ""))
+            for r in records]
+
+
 def main(args) -> None:
     from icee_tpu.senticap import io as sio
     from icee_tpu.senticap import train as T
     from icee_tpu.senticap.config import senticap_conf
 
-    conf = senticap_conf(
-        emb_size=args.emb_size,
-        lstm_hidden_size=args.hidden_size,
-        visual_size=args.visual_size,
-        batch_size_val=args.batch_size,
-        MAX_SENTENCE_LEN=args.max_len,
-        learning_rate=args.lr,
-    )
-
     records = sio.load_captions_json(args.captions)
-    if args.command in ("train", "test") and args.sentiment == "neg":
-        for r in records:
-            r.setdefault("sentiment", -1.0)
+    default_senti = 1.0 if args.sentiment == "pos" else -1.0
+    for r in records:
+        r.setdefault("sentiment", default_senti)
     features = sio.load_features(args.features) if args.features else None
-    caps = [r.get("tokens") or sio.tokenize(r.get("caption", ""))
-            for r in records]
-    w2i, i2w = sio.build_vocab(caps, min_freq=conf["MIN_WORD_FREQ"])
-    ds = sio.make_split(records, features, w2i, max_len=args.max_len,
-                        visual_size=args.visual_size)
-    print(f"vocab {len(w2i)}, split {ds.X.shape}")
 
     if args.command == "base":
+        conf = senticap_conf(
+            emb_size=args.emb_size, lstm_hidden_size=args.hidden_size,
+            visual_size=args.visual_size, batch_size_val=args.batch_size,
+            MAX_SENTENCE_LEN=args.max_len, learning_rate=args.lr)
+        w2i, i2w = sio.build_vocab(_tokens(records, sio),
+                                   min_freq=conf["MIN_WORD_FREQ"])
+        ds = sio.make_split(records, features, w2i, max_len=args.max_len,
+                            visual_size=args.visual_size)
+        print(f"vocab {len(w2i)}, split {ds.X.shape}")
         counts = np.bincount(ds.Y[ds.Xlen > 0].ravel(), minlength=len(w2i))
         unigram = counts / max(counts.sum(), 1)
         params, _ = T.train_base(ds, len(w2i), conf,
                                  num_epochs=args.num_epochs,
                                  unigram=unigram, seed=args.seed)
-        sio.save_model(args.model_out, params, conf)
+        sio.save_model(args.model_out, params, conf, vocab=w2i)
         print(f"saved base model to {args.model_out}")
-        print("val perplexity:",
-              T.validation_perplexity(params, conf, ds))
+        print("val perplexity:", T.validation_perplexity(params, conf, ds))
+
     elif args.command == "train":
-        base_params, _, _ = sio.load_model(args.base_model)
-        params, _ = T.train_switched(ds, base_params, len(w2i), conf,
-                                     num_epochs=args.num_epochs,
-                                     seed=args.seed)
-        sio.save_model(args.model_out, params, conf)
+        from icee_tpu.senticap import switched as sw_model
+
+        base_params, conf, _, base_w2i = sio.load_model(args.base_model)
+        conf = dict(conf)
+        conf["batch_size_val"] = args.batch_size
+        if base_w2i is None:
+            raise SystemExit("base model pickle carries no vocabulary; "
+                             "retrain it with this CLI")
+        # vocab surgery: keep the base vocabulary, append new frequent words
+        new_w2i, _ = sio.build_vocab(_tokens(records, sio),
+                                     min_freq=conf["MIN_WORD_FREQ"])
+        w2i = dict(base_w2i)
+        added = []
+        for w in new_w2i:
+            if w not in w2i:
+                w2i[w] = len(w2i)
+                added.append((w, w2i[w]))
+        sw_params = sw_model.init_params(
+            __import__("jax").random.PRNGKey(args.seed), len(base_w2i), conf,
+            base=base_params)
+        if added:
+            # offline closest-word fallback: copy from the most frequent
+            # base word (index 1 — index 0 is STOP); plug a spacy-backed
+            # closest_fn here when vectors are available
+            sw_params = sw_model.grow_vocab(
+                sw_params, added, closest_fn=lambda w: 1)
+            print(f"vocab surgery: +{len(added)} sentiment words")
+        ds = sio.make_split(records, features, w2i,
+                            max_len=conf["MAX_SENTENCE_LEN"],
+                            visual_size=conf["visual_size"])
+        print(f"vocab {len(w2i)}, split {ds.X.shape}")
+        params, _ = T.train_switched(
+            ds, {k: v for k, v in sw_params.items()
+                 if k in ("wemb", "w_lstm", "w", "b", "wvm", "bmv")},
+            len(w2i), conf, num_epochs=args.num_epochs, seed=args.seed,
+            init_params_override=sw_params)
+        sio.save_model(args.model_out, params, conf, vocab=w2i)
         print(f"saved switched model to {args.model_out}")
+
     elif args.command == "test":
-        params, saved_conf, _ = sio.load_model(args.model_in)
+        params, conf, _, w2i = sio.load_model(args.model_in)
+        conf = dict(conf)
+        if w2i is None:
+            raise SystemExit("model pickle carries no vocabulary")
+        i2w = {i: w for w, i in w2i.items()}
+        ds = sio.make_split(records, features, w2i,
+                            max_len=conf["MAX_SENTENCE_LEN"],
+                            visual_size=conf["visual_size"])
         out = T.decode_split(params, conf, ds, i2w,
                              switched=not args.base_only,
                              beam_size=args.beam_size)
@@ -76,10 +122,16 @@ def main(args) -> None:
                       f"{' '.join(rec['descriptive'])}")
             else:
                 print(f"[{rec['image']}] {' '.join(rec['caption'])}")
-        if args.out_json:
-            with open(args.out_json, "w") as f:
-                json.dump(out, f, default=float)
-            print(f"wrote {args.out_json}")
+        if args.out_dir:
+            from icee_tpu.senticap.eval_out import (score_decodes,
+                                                    write_eval_outputs)
+
+            refs = {}
+            for r in records:
+                toks = r.get("tokens") or sio.tokenize(r.get("caption", ""))
+                refs.setdefault(r["image"], []).append(toks)
+            write_eval_outputs(out, refs, args.out_dir)
+            print(json.dumps(score_decodes(out, refs), default=float))
     else:
         raise SystemExit(f"unknown command {args.command}")
 
@@ -94,7 +146,8 @@ if __name__ == "__main__":
     parser.add_argument("--base_model", type=str, default=None)
     parser.add_argument("--model_in", type=str, default=None)
     parser.add_argument("--model_out", type=str, default="senticap_model.pik")
-    parser.add_argument("--out_json", type=str, default=None)
+    parser.add_argument("--out_dir", type=str, default=None,
+                        help="write eval/output_pos|des + metrics JSON here")
     parser.add_argument("--emb_size", type=int, default=512)
     parser.add_argument("--hidden_size", type=int, default=512)
     parser.add_argument("--visual_size", type=int, default=4096)

@@ -25,7 +25,7 @@ def main(args) -> None:
         load_caption_dataset,
         load_styled_caption_dataset,
     )
-    from icee_tpu.data.pipeline import caption_dataset_loader, BatchLoader, make_batch
+    from icee_tpu.data.pipeline import caption_dataset_loader
     from icee_tpu.data.vocab import load_vocab
     from icee_tpu.models import attention as att_mod
     from icee_tpu.models import encoder as enc_mod
@@ -123,16 +123,13 @@ def main(args) -> None:
     elif args.trainer == "paper":
         trainer = PaperRegimeTrainer(**common_kw)
 
+        from icee_tpu.data.pipeline import styled_caption_loader
+
         def style_loader(path):
             ds = load_styled_caption_dataset(path, vocab)
-
-            def example_fn(idx):
-                return make_batch([ds[i] for i in idx],
-                                  max_len=tcfg.max_caption_len,
-                                  batch_size=tcfg.language_batch_size)
-
-            return BatchLoader(len(ds), tcfg.language_batch_size, example_fn,
-                               seed=args.seed)
+            return styled_caption_loader(
+                ds, batch_size=tcfg.language_batch_size,
+                max_len=tcfg.max_caption_len, seed=args.seed)
 
         trainer.train(
             loader(args.caption_path, tcfg.caption_batch_size),
@@ -151,7 +148,12 @@ def main(args) -> None:
         trainer.train(
             loader(args.caption_path, tcfg.caption_batch_size),
             {emo: loader(p[0], tcfg.language_batch_size)
-             for emo, p in emo_paths.items()})
+             for emo, p in emo_paths.items()},
+            val_loader=loader(args.val_caption_path,
+                              tcfg.caption_batch_size, train=False),
+            val_emotion_loaders={
+                emo: loader(p[1], tcfg.language_batch_size, train=False)
+                for emo, p in emo_paths.items()})
     else:
         raise SystemExit(f"unknown --trainer {args.trainer}")
 

@@ -40,18 +40,20 @@ def _lcs_len(a: Sequence, b: Sequence) -> int:
 
 def rouge_l_sentence(references: Sequence[Sequence], hypothesis: Sequence,
                      beta: float = 1.2) -> float:
-    """Max-over-references LCS F-measure (pycocoevalcap rouge.py)."""
-    best = 0.0
+    """pycocoevalcap rouge.py semantics: max precision and max recall are
+    taken INDEPENDENTLY across references, then combined into one F."""
+    prec_max = 0.0
+    rec_max = 0.0
     for ref in references:
         lcs = _lcs_len(ref, hypothesis)
-        if lcs == 0:
-            continue
-        prec = lcs / len(hypothesis) if hypothesis else 0.0
-        rec = lcs / len(ref) if ref else 0.0
-        if prec and rec:
-            score = ((1 + beta ** 2) * prec * rec) / (rec + beta ** 2 * prec)
-            best = max(best, score)
-    return best
+        if hypothesis:
+            prec_max = max(prec_max, lcs / len(hypothesis))
+        if ref:
+            rec_max = max(rec_max, lcs / len(ref))
+    if prec_max == 0.0 or rec_max == 0.0:
+        return 0.0
+    return ((1 + beta ** 2) * prec_max * rec_max) / (
+        rec_max + beta ** 2 * prec_max)
 
 
 def rouge_l(list_of_references, hypotheses) -> float:
@@ -115,8 +117,9 @@ def cider_d(list_of_references, hypotheses, n_max: int = 4,
             delta = h_len - r_len
             penalty = math.exp(-(delta ** 2) / (2 * sigma ** 2))
             for n in range(n_max):
-                # CIDEr-D clipping: min(h_w, r_w) in the numerator
-                num = sum(min(w, r_vecs[n].get(g, 0.0))
+                # CIDEr-D: clipped cosine — numerator is
+                # sum(min(h_w, r_w) * r_w) (pycocoevalcap ciderD)
+                num = sum(min(w, r_vecs[n].get(g, 0.0)) * r_vecs[n].get(g, 0.0)
                           for g, w in h_vecs[n].items())
                 denom = h_norms[n] * r_norms[n]
                 if denom > 0:

@@ -146,18 +146,22 @@ def device_dataset(ds: SentiDataset):
     }
 
 
-def save_model(path: str, params, conf: dict, solver_state=None) -> None:
-    """Pickled param dict incl. solver history (``mrnn.py:134-191``)."""
+def save_model(path: str, params, conf: dict, solver_state=None,
+               vocab: Optional[Dict[str, int]] = None) -> None:
+    """Pickled param dict incl. solver history and the training vocabulary
+    (``mrnn.py:134-191`` saves the model dict incl. w2i/i2w)."""
     tree = {k: np.asarray(v) for k, v in params.items()}
     with open(path, "wb") as f:
         pickle.dump({"params": tree, "conf": conf,
-                     "solver_state": solver_state}, f)
+                     "solver_state": solver_state, "w2i": vocab}, f)
 
 
 def load_model(path: str):
+    """-> (params, conf, solver_state, w2i-or-None)."""
     with open(path, "rb") as f:
         blob = pickle.load(f)
     import jax.numpy as jnp
 
     params = {k: jnp.asarray(v) for k, v in blob["params"].items()}
-    return params, blob["conf"], blob.get("solver_state")
+    return (params, blob["conf"], blob.get("solver_state"),
+            blob.get("w2i"))

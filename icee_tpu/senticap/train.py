@@ -77,8 +77,20 @@ def make_base_step(conf: dict, solver):
             (b, t, conf["lstm_hidden_size"])).astype(jnp.float32) / (
                 1.0 - conf["DROP_OUTPUT_FRACTION"])
 
+        semi = float(conf.get("SEMI_FORCED", 1.0))
+        if semi < 1.0:
+            # reference regime: per-(sample, step) Bernoulli(SEMI_FORCED)
+            # forced matrix feeding the semi-forced scan (mrnn.py:496-503)
+            key, k_forced = jax.random.split(key)
+            forced = jax.random.bernoulli(k_forced, semi, x.shape).astype(
+                jnp.float32)
+
         def cost_fn(p):
-            s = base_model.forward(p, conf, x, v, True, x_drop, y_drop)
+            if semi < 1.0:
+                s = base_model.forward_semi_forced(p, conf, x, v, forced,
+                                                   x_drop, y_drop)
+            else:
+                s = base_model.forward(p, conf, x, v, True, x_drop, y_drop)
             loss = base_model.loss_fn(s, y, mask)
             l2 = sum(jnp.sum(q ** 2) for q in jax.tree_util.tree_leaves(p))
             return loss + conf["L2_REG_CONST"] * l2, loss
@@ -173,12 +185,19 @@ def train_switched(
     num_epochs: int = 10,
     callbacks: Optional[list] = None,
     seed: int = 0,
+    init_params_override: Optional[dict] = None,
 ):
     """Switch training (``run_train_gap_filler``, ``train_joint.py:322-451``):
-    seed both paths from the base model, train only the switch set."""
+    seed both paths from the base model, train only the switch set.
+
+    ``init_params_override``: a pre-built switched parameter set (e.g. after
+    vocab surgery) used instead of re-initializing from ``base_params``."""
     conf = conf or senticap_conf()
-    params = sw_model.init_params(jax.random.PRNGKey(seed), vocab_size, conf,
-                                  base=base_params)
+    if init_params_override is not None:
+        params = init_params_override
+    else:
+        params = sw_model.init_params(jax.random.PRNGKey(seed), vocab_size,
+                                      conf, base=base_params)
     solver = make_solver(conf, sw_model.switch_param_mask(params))
     opt_state = solver.init(params)
     step = make_switched_step(conf, solver)

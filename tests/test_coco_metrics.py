@@ -35,18 +35,31 @@ def test_rouge_hand_computed():
     assert abs(got2 - 1.0) < 1e-9
 
 
+def test_rouge_independent_max_p_and_r():
+    """pycocoevalcap takes max precision and max recall over DIFFERENT
+    references: hyp=[a,x,c] vs refs [a,x] (P=2/3, R=1) and
+    [a,x,c,d,e,f] (P=1, R=1/2) -> F from (P=1, R=1) = 1.0."""
+    got = rouge_l_sentence([["a", "x"], ["a", "x", "c", "d", "e", "f"]],
+                           ["a", "x", "c"])
+    assert abs(got - 1.0) < 1e-9
+
+
 def test_rouge_corpus_mean():
     refs = [[["a", "b"]], [["c", "d"]]]
     hyps = [["a", "b"], ["x", "y"]]
     assert abs(rouge_l(refs, hyps) - 0.5) < 1e-9
 
 
-def test_cider_identical_corpus_scores_high():
-    refs = [[["a", "cat", "sits"]], [["a", "dog", "runs", "fast"]]]
-    hyps = [["a", "cat", "sits"], ["a", "dog", "runs", "fast"]]
+def test_cider_identical_corpus_scores_ten():
+    """Perfect hypothesis == its only reference: every defined n-gram cosine
+    is exactly 1 (clipped numerator sum(min(h,r)*r) == sum(r^2) == |h||r|),
+    penalty 1 -> score = 10 when all n=1..4 are populated."""
+    refs = [[["a", "cat", "sits", "on", "mat"]],
+            [["a", "dog", "runs", "very", "fast"]]]
+    hyps = [["a", "cat", "sits", "on", "mat"],
+            ["a", "dog", "runs", "very", "fast"]]
     score = cider_d(refs, hyps)
-    # perfect match with penalty 1: each n contributes cos=1 where defined
-    assert score > 5.0
+    assert abs(score - 10.0) < 1e-6, score
 
 
 def test_cider_disjoint_is_zero():

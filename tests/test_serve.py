@@ -134,3 +134,39 @@ def test_dotenv_and_config(tmp_path, monkeypatch):
     assert cfg.debug and cfg.backend_port == 7001
     assert cfg.checkpoint_paths["stylenet"]["happy"] == "s_hap.ckpt"
     assert cfg.checkpoint_paths["nic"]["factual"] is None
+
+
+def test_real_engine_smoke_tiny(tmp_path, tiny_vocab):
+    """The real CaptionEngine end-to-end on tiny configs: image file ->
+    backbone -> all four variants -> captions, per-mode pipelines."""
+    import numpy as np
+    from PIL import Image
+
+    from icee_tpu.core.config import (AttentionDecoderConfig, DecoderConfig,
+                                      EncoderConfig)
+    from icee_tpu.serve.engine import CaptionEngine
+
+    tiny_vocab.save(str(tmp_path / "vocab.pkl"))
+    img_path = str(tmp_path / "x.jpg")
+    Image.fromarray(
+        np.random.default_rng(0).integers(0, 255, (32, 32, 3), dtype=np.uint8),
+        "RGB").save(img_path)
+
+    v = len(tiny_vocab)
+    engine = CaptionEngine(
+        ServeConfig(vocab_path=str(tmp_path / "vocab.pkl"),
+                    image_folder=str(tmp_path)),
+        smoke_mode=True, image_size=32,
+        dec_cfg=DecoderConfig(vocab_size=v, embed_size=8, hidden_size=12,
+                              factored_size=12, max_seq_length=5),
+        att_cfg=AttentionDecoderConfig(vocab_size=v, embed_size=8,
+                                       hidden_size=12, factored_size=12,
+                                       attention_size=8, max_seq_length=5),
+        enc_cfg=EncoderConfig(embed_size=8))
+    out = engine.caption(img_path, "happy")
+    assert set(out) == {"nic", "nic_att", "stylenet", "stylenet_att"}
+    for v_ in out.values():
+        assert isinstance(v_, str)
+    # a second mode reuses the compiled pipelines without error
+    out2 = engine.caption(img_path, "sad")
+    assert set(out2) == set(out)

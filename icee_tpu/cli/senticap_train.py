@@ -69,6 +69,7 @@ def main(args) -> None:
         base_params, conf, _, base_w2i = sio.load_model(args.base_model)
         conf = dict(conf)
         conf["batch_size_val"] = args.batch_size
+        conf["learning_rate"] = args.lr
         if base_w2i is None:
             raise SystemExit("base model pickle carries no vocabulary; "
                              "retrain it with this CLI")
@@ -85,21 +86,21 @@ def main(args) -> None:
             __import__("jax").random.PRNGKey(args.seed), len(base_w2i), conf,
             base=base_params)
         if added:
-            # offline closest-word fallback: copy from the most frequent
-            # base word (index 1 — index 0 is STOP); plug a spacy-backed
-            # closest_fn here when vectors are available
+            # offline closest-word fallback: seed new words from the first
+            # non-STOP base word (build_vocab orders by first occurrence, not
+            # frequency); plug a spacy-backed closest_fn here when word
+            # vectors are available (the reference's ClosestWordFinder)
+            fallback = min(1, len(base_w2i) - 1)
             sw_params = sw_model.grow_vocab(
-                sw_params, added, closest_fn=lambda w: 1)
+                sw_params, added, closest_fn=lambda w: fallback)
             print(f"vocab surgery: +{len(added)} sentiment words")
         ds = sio.make_split(records, features, w2i,
                             max_len=conf["MAX_SENTENCE_LEN"],
                             visual_size=conf["visual_size"])
         print(f"vocab {len(w2i)}, split {ds.X.shape}")
         params, _ = T.train_switched(
-            ds, {k: v for k, v in sw_params.items()
-                 if k in ("wemb", "w_lstm", "w", "b", "wvm", "bmv")},
-            len(w2i), conf, num_epochs=args.num_epochs, seed=args.seed,
-            init_params_override=sw_params)
+            ds, base_params, len(w2i), conf, num_epochs=args.num_epochs,
+            seed=args.seed, init_params_override=sw_params)
         sio.save_model(args.model_out, params, conf, vocab=w2i)
         print(f"saved switched model to {args.model_out}")
 
@@ -109,7 +110,16 @@ def main(args) -> None:
         if w2i is None:
             raise SystemExit("model pickle carries no vocabulary")
         i2w = {i: w for w, i in w2i.items()}
-        ds = sio.make_split(records, features, w2i,
+        # decode each unique image ONCE (the reference dedups with
+        # `if img_id in seen_ids: continue`, train_joint.py:162) — caption
+        # records only supply references
+        seen = set()
+        unique_records = []
+        for r in records:
+            if r["image"] not in seen:
+                seen.add(r["image"])
+                unique_records.append(r)
+        ds = sio.make_split(unique_records, features, w2i,
                             max_len=conf["MAX_SENTENCE_LEN"],
                             visual_size=conf["visual_size"])
         out = T.decode_split(params, conf, ds, i2w,

@@ -6,7 +6,8 @@ is not available offline; these are standalone implementations of the same
 published formulas:
 
 - ROUGE-L (Lin 2004, as in pycocoevalcap): LCS-based F-measure with
-  beta=1.2, per-candidate max over references, corpus mean,
+  beta=1.2; max precision and max recall are taken independently across
+  references, then combined into one F; corpus mean,
 - CIDEr-D (Vedantam et al. 2015): TF-IDF-weighted n-gram cosine for n=1..4
   with length-difference Gaussian penalty (sigma=6) and the *-D clipping,
   averaged over n, x10 scale, document frequencies from the reference

@@ -32,14 +32,23 @@ def _load() -> Optional[ctypes.CDLL]:
         if not os.path.exists(_LIB) or (
             os.path.getmtime(_LIB) < os.path.getmtime(_SRC)
         ):
-            # build to a temp path + atomic rename so concurrent processes
-            # never dlopen a half-written library
-            tmp = f"{_LIB}.tmp.{os.getpid()}"
-            subprocess.run(
-                ["g++", "-O3", "-shared", "-fPIC", "-pthread",
-                 _SRC, "-o", tmp],
-                check=True, capture_output=True)
-            os.replace(tmp, _LIB)
+            # build to a unique temp path + atomic rename so concurrent
+            # processes AND threads never dlopen a half-written library
+            import tempfile
+
+            fd, tmp = tempfile.mkstemp(
+                suffix=".so", prefix="icee_batcher_",
+                dir=os.path.dirname(_LIB))
+            os.close(fd)
+            try:
+                subprocess.run(
+                    ["g++", "-O3", "-shared", "-fPIC", "-pthread",
+                     _SRC, "-o", tmp],
+                    check=True, capture_output=True)
+                os.replace(tmp, _LIB)
+            finally:
+                if os.path.exists(tmp):
+                    os.unlink(tmp)
         lib = ctypes.CDLL(_LIB)
         lib.make_padded_batch.argtypes = [
             ctypes.POINTER(ctypes.c_int32), ctypes.POINTER(ctypes.c_int64),

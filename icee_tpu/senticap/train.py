@@ -66,7 +66,7 @@ def make_base_step(conf: dict, solver):
         y = data["Y"][idx]
         mask = data["Xlen"][idx]
         v = data["V"][idx]
-        kx, ky = jax.random.split(key)
+        kx, ky, k_forced = jax.random.split(key, 3)
         b, t = x.shape
         x_drop = jax.random.bernoulli(
             kx, 1.0 - conf["DROP_INPUT_FRACTION"],
@@ -80,8 +80,10 @@ def make_base_step(conf: dict, solver):
         semi = float(conf.get("SEMI_FORCED", 1.0))
         if semi < 1.0:
             # reference regime: per-(sample, step) Bernoulli(SEMI_FORCED)
-            # forced matrix feeding the semi-forced scan (mrnn.py:496-503)
-            key, k_forced = jax.random.split(key)
+            # forced matrix feeding the semi-forced scan (mrnn.py:496-503);
+            # NOTE: drawn from its own key — re-splitting the consumed key
+            # would alias k_forced with ky and couple the forced matrix to
+            # the output-dropout mask
             forced = jax.random.bernoulli(k_forced, semi, x.shape).astype(
                 jnp.float32)
 

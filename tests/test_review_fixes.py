@@ -138,3 +138,48 @@ def test_seq2seq_emotion_sample_continues_from_encoder_state(rng):
     b = s2s.greedy_sample(params, cfg, f2, start_token=1, emotion=1)
     assert a.shape == (1, 6)
     assert not np.array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_nic_transfer_masks_to_cell_only(tmp_path, tiny_vocab):
+    """NIC transfer fine-tune optimizes only the LSTM cell
+    (nic/train_transfer.py:92-96)."""
+    import jax.numpy as jnp
+
+    from icee_tpu.data.pipeline import make_batch
+    from icee_tpu.models import encoder as enc_mod
+    from icee_tpu.models import lstm as nic_mod
+    from icee_tpu.train.loops import TransferTrainer
+
+    cfg = DecoderConfig(vocab_size=len(tiny_vocab), embed_size=8,
+                        hidden_size=12, factored_size=12, dropout=0.0,
+                        factored=False)
+    tcfg = TrainConfig(mode="happy", lr_language=1e-2,
+                       teacher_forcing_ratio=1.0)
+    trainer = TransferTrainer(
+        cfg, tcfg, tiny_vocab,
+        nic_mod.init_params(jax.random.PRNGKey(0), cfg),
+        enc_mod.init_head_params(jax.random.PRNGKey(1),
+                                 EncoderConfig(embed_size=8,
+                                               feature_size=10)),
+        family="nic", model_dir=str(tmp_path), data_name="nic_t")
+
+    rng = np.random.default_rng(0)
+    batch = make_batch([[1, 4, 5, 2], [1, 6, 2]], max_len=8, batch_size=2)
+    pooled = jnp.asarray(rng.standard_normal((2, 10)).astype(np.float32))
+    emb_before = np.asarray(trainer.dec["embed"]).copy()
+    cell_before = np.asarray(trainer.dec["cell"]["W_ih"]).copy()
+    head_before = np.asarray(trainer.head["linear_w"]).copy()
+
+    trainer.dec, trainer.head, trainer.lang_opt_state, loss = \
+        trainer.emotion_step(
+            trainer.dec, trainer.head, trainer.lang_opt_state, pooled,
+            jnp.asarray(batch.captions), jnp.asarray(batch.lengths),
+            jnp.asarray(batch.sample_mask), jnp.asarray(1),
+            jax.random.PRNGKey(0))
+
+    np.testing.assert_array_equal(np.asarray(trainer.dec["embed"]),
+                                  emb_before)
+    np.testing.assert_array_equal(np.asarray(trainer.head["linear_w"]),
+                                  head_before)
+    assert not np.allclose(np.asarray(trainer.dec["cell"]["W_ih"]),
+                           cell_before)

@@ -36,10 +36,12 @@ def evaluate(dec_params, head, cfg, vocab, dataset, provider, mode_idx,
         # (evaluator.py:33-56 loads DecoderFactoredLSTMAtt)
         def one(spatial):
             feats_k = jnp.tile(spatial[None], (k, 1, 1))
+            att = att_mod._select_attention(dec_params["attention"], style)
+            att1 = feats_k @ att["enc_w"] + att["enc_b"]  # hoisted
 
             def step(x, s):
                 logits, _, s2 = att_mod.factored_att_decode_step(
-                    dec_params, x, feats_k, s, style)
+                    dec_params, x, feats_k, s, style, att1=att1)
                 return logits, s2
 
             return beam_search(

@@ -53,6 +53,17 @@ def attend(att: dict, features: jax.Array, hidden: jax.Array
     """features (B, P, enc_dim), hidden (B, dec_dim) ->
     (context (B, enc_dim), alpha (B, P)) — ``model_att.py:51-70``."""
     att1 = features @ att["enc_w"] + att["enc_b"]            # (B, P, A)
+    return attend_precomputed(att, att1, features, hidden)
+
+
+def attend_precomputed(att: dict, att1: jax.Array, features: jax.Array,
+                       hidden: jax.Array) -> Tuple[jax.Array, jax.Array]:
+    """Attention with the encoder projection hoisted out of the time loop.
+
+    ``att1 = features @ enc_w + enc_b`` is h-independent, so computing it
+    once per sequence instead of once per step (the reference recomputes it
+    every call, ``model_att.py:59``) is bit-identical and removes the
+    dominant (P x enc_dim x A) matmul from every decode/scan step."""
     att2 = hidden @ att["dec_w"] + att["dec_b"]              # (B, A)
     e = jax.nn.relu(att1 + att2[:, None, :]) @ att["full_w"] # (B, P, 1)
     e = e[..., 0] + att["full_b"]
@@ -112,20 +123,32 @@ def _gated_context(params: dict, att: dict, features: jax.Array, h: jax.Array
     return gate * context, alpha
 
 
+def _gated_context_pre(params: dict, att: dict, att1: jax.Array,
+                       features: jax.Array, h: jax.Array
+                       ) -> Tuple[jax.Array, jax.Array]:
+    context, alpha = attend_precomputed(att, att1, features, h)
+    gate = jax.nn.sigmoid(h @ params["f_beta_w"] + params["f_beta_b"])
+    return gate * context, alpha
+
+
 def factored_att_decode_step(
     params: dict,
     emb: jax.Array,        # (B, E) word embedding
     features: jax.Array,   # (B, P, enc_dim)
     state: State,
     style: jax.Array,
+    att1: "jax.Array | None" = None,  # optional hoisted encoder projection
 ) -> Tuple[jax.Array, jax.Array, State]:
     """One inference step -> (logits, alpha, new_state)
-    (``model_att.py:348-364`` beam inner loop)."""
+    (``model_att.py:348-364`` beam inner loop).  Pass ``att1 = features @
+    enc_w + enc_b`` (per style) to skip the per-step encoder projection."""
     from icee_tpu.models.factored_lstm import output_logits
 
     h, c = state
     att = _select_attention(params["attention"], style)
-    context, alpha = _gated_context(params, att, features, h)
+    if att1 is None:
+        att1 = features @ att["enc_w"] + att["enc_b"]
+    context, alpha = _gated_context_pre(params, att, att1, features, h)
     x = jnp.concatenate([emb, context], axis=-1)
     h, c = factored_lstm_cell(params, x, h, c, style)
     return output_logits(params, h), alpha, (h, c)
@@ -158,11 +181,14 @@ def factored_att_forward(
     coins = jax.random.bernoulli(k_tf, teacher_forcing_ratio, (t,))
     style = jnp.asarray(style)
     att = _select_attention(params["attention"], style)
+    # hoisted: the encoder-side projection is h-independent (see
+    # attend_precomputed) — one matmul per sequence instead of per step
+    att1 = features @ att["enc_w"] + att["enc_b"]
 
     def body(carry, xs):
         h, c, prev = carry
         emb_teacher, coin = xs
-        context, alpha = _gated_context(params, att, features, h)
+        context, alpha = _gated_context_pre(params, att, att1, features, h)
         e = jnp.where(coin, emb_teacher, embed(params, prev))
         x = jnp.concatenate([e, context], axis=-1)
         h, c = factored_lstm_cell(params, x, h, c, style)
@@ -204,10 +230,14 @@ def init_rnn_att_params(
 
 
 def rnn_att_decode_step(
-    params: dict, emb: jax.Array, features: jax.Array, state: State
+    params: dict, emb: jax.Array, features: jax.Array, state: State,
+    att1: "jax.Array | None" = None,
 ) -> Tuple[jax.Array, jax.Array, State]:
     h, c = state
-    context, alpha = _gated_context(params, params["attention"], features, h)
+    att = params["attention"]
+    if att1 is None:
+        att1 = features @ att["enc_w"] + att["enc_b"]
+    context, alpha = _gated_context_pre(params, att, att1, features, h)
     x = jnp.concatenate([emb, context], axis=-1)
     h, c = lstm_cell(params["cell"], x, h, c)
     logits = h @ params["linear_w"] + params["linear_b"]
@@ -235,11 +265,13 @@ def rnn_att_forward(
         emb_seq = jnp.where(keep, emb_seq / (1.0 - cfg.dropout), 0.0)
 
     coins = jax.random.bernoulli(k_tf, teacher_forcing_ratio, (t,))
+    att = params["attention"]
+    att1 = features @ att["enc_w"] + att["enc_b"]  # hoisted (h-independent)
 
     def body(carry, xs):
         h, c, prev = carry
         emb_teacher, coin = xs
-        context, alpha = _gated_context(params, params["attention"], features, h)
+        context, alpha = _gated_context_pre(params, att, att1, features, h)
         e = jnp.where(coin, emb_teacher, jnp.take(params["embed"], prev, axis=0))
         x = jnp.concatenate([e, context], axis=-1)
         h, c = lstm_cell(params["cell"], x, h, c)

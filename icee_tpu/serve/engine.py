@@ -221,10 +221,12 @@ class CaptionEngine:
         elif variant == "stylenet_att":
             def run(spatial, style):
                 feats_k = jnp.tile(spatial, (k, 1, 1))
+                att = att_mod._select_attention(dec["attention"], style)
+                att1 = feats_k @ att["enc_w"] + att["enc_b"]  # hoisted
 
                 def step(x, s):
                     logits, _, s2 = att_mod.factored_att_decode_step(
-                        dec, x, feats_k, s, style)
+                        dec, x, feats_k, s, style, att1=att1)
                     return logits, s2
 
                 return beam_search(
@@ -237,10 +239,12 @@ class CaptionEngine:
         else:  # nic_att
             def run(spatial, style):
                 feats_k = jnp.tile(spatial, (k, 1, 1))
+                att = dec["attention"]
+                att1 = feats_k @ att["enc_w"] + att["enc_b"]  # hoisted
 
                 def step(x, s):
                     logits, _, s2 = att_mod.rnn_att_decode_step(
-                        dec, x, feats_k, s)
+                        dec, x, feats_k, s, att1=att1)
                     return logits, s2
 
                 return beam_search(

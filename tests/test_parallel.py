@@ -102,3 +102,25 @@ def test_beam_decode_under_data_parallel(rng):
     res = jax.jit(jax.vmap(one))(feats_s)
     assert res.tokens.shape[0] == 8
     assert np.all(np.asarray(res.length) >= 1)
+
+
+def test_multihost_data_helpers_single_host(rng):
+    """shard_examples + make_array_from_process_local_data on the virtual
+    mesh (single host: local slice == global batch, sharded over data)."""
+    from icee_tpu.data.pipeline import make_batch
+    from icee_tpu.parallel import data as pdata
+
+    exs = list(range(10))
+    assert pdata.shard_examples(exs, process_index=0, process_count=1) == exs
+    # multi-process slicing math
+    assert pdata.shard_examples(exs, 0, 3) == [0, 1, 2, 3]
+    assert pdata.shard_examples(exs, 2, 3) == [8, 9]
+
+    mesh = pmesh.make_mesh((8, 1))
+    batch = make_batch([[1, 4, 2]] * 8, max_len=6, batch_size=8,
+                       images=rng.standard_normal((8, FEAT)).astype(np.float32))
+    g = pdata.global_caption_batch(mesh, batch)
+    assert g["captions"].shape == (8, 6)
+    assert "data" in str(g["captions"].sharding.spec)
+    np.testing.assert_array_equal(np.asarray(g["lengths"]),
+                                  batch.lengths)

@@ -33,6 +33,20 @@ from icee_tpu.core.config import (
 )
 
 
+def apply_platform_env() -> None:
+    """Honor ``ICEE_PLATFORM=cpu|tpu|...``: some environments pin the JAX
+    platform via sitecustomize (ignoring ``JAX_PLATFORMS``), so CLIs offer
+    their own knob applied through ``jax.config`` before first device use."""
+    platform = os.environ.get("ICEE_PLATFORM")
+    if platform:
+        import jax
+
+        try:
+            jax.config.update("jax_platforms", platform)
+        except RuntimeError:
+            pass  # backends already initialized
+
+
 def add_model_flags(p: argparse.ArgumentParser) -> None:
     p.add_argument("--embed_size", type=int, default=300)
     p.add_argument("--hidden_size", type=int, default=512)

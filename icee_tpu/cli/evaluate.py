@@ -103,6 +103,9 @@ def evaluate(dec_params, head, cfg, vocab, dataset, provider, mode_idx,
 
 
 def main(args) -> None:
+    from icee_tpu.cli.common import apply_platform_env
+
+    apply_platform_env()
     import jax
 
     from icee_tpu.cli import common

@@ -8,6 +8,9 @@ import argparse
 
 
 def main(args) -> None:
+    from icee_tpu.cli.common import apply_platform_env
+
+    apply_platform_env()
     import jax
 
     from icee_tpu.checkpoint.ckpt import (CheckpointState, load_checkpoint,

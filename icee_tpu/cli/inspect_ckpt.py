@@ -15,6 +15,9 @@ def _summ(x) -> str:
 
 
 def main(args) -> None:
+    from icee_tpu.cli.common import apply_platform_env
+
+    apply_platform_env()
     import jax
 
     from icee_tpu.checkpoint.ckpt import load_checkpoint

@@ -17,6 +17,9 @@ import numpy as np
 
 
 def main(args) -> None:
+    from icee_tpu.cli.common import apply_platform_env
+
+    apply_platform_env()
     import jax
     import jax.numpy as jnp
 

@@ -39,6 +39,9 @@ def caption_image(dec_params, cfg, vocab, feature, mode_idx, k=5,
 
 
 def main(args) -> None:
+    from icee_tpu.cli.common import apply_platform_env
+
+    apply_platform_env()
     import jax
 
     from icee_tpu.cli import common

@@ -34,6 +34,9 @@ def _tokens(records, sio):
 
 
 def main(args) -> None:
+    from icee_tpu.cli.common import apply_platform_env
+
+    apply_platform_env()
     from icee_tpu.senticap import io as sio
     from icee_tpu.senticap import train as T
     from icee_tpu.senticap.config import senticap_conf

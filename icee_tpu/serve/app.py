@@ -132,6 +132,9 @@ def serve(config: Optional[ServeConfig] = None, smoke: bool = False,
 
 
 def main():
+    from icee_tpu.cli.common import apply_platform_env
+
+    apply_platform_env()
     parser = argparse.ArgumentParser()
     parser.add_argument("--env", type=str, default=".env")
     parser.add_argument("--smoke", action="store_true",

@@ -26,7 +26,7 @@ TORCH_CPU_BASELINE_CPS = 7.779  # scripts/baseline_torch.py, single thread
 
 V, E, H, F = 8192, 300, 512, 512
 K, MAX_STEPS = 5, 40
-BATCH = 256
+BATCH = 1024  # throughput scales to ~1024 images/batch on one chip
 
 
 def main():

@@ -56,19 +56,52 @@ def evaluate(dec_params, head, cfg, vocab, dataset, provider, mode_idx,
         # default reproduces the reference evaluator's research sample(),
         # which never feeds the image feature into the LSTM
         # (stylenet/model.py:224-227); --feed_feature opts into the serving
-        # semantics (app/backend/model.py:414-417)
-        def one(feat):
-            return beam_search(
-                embed_fn=lambda t: fl.embed(dec_params, t),
-                step_fn=lambda x, s: fl.decode_step(dec_params, x, s, style),
-                init_model_state=fl.initial_state(k, cfg),
-                start_token=vocab.start, end_token=vocab.end, k=k,
-                max_seq_length=cfg.max_seq_length, vocab_size=cfg.vocab_size,
-                first_input=(jnp.tile(feat[None, :], (k, 1))
-                             if feed_feature else None),
-            )
+        # semantics (app/backend/model.py:414-417).
+        # Decoding runs the natively-batched beam; on TPU the Pallas fused
+        # step kernel is used when it compiles (bench.py's fast path).
+        from icee_tpu.decode.beam import beam_search_batched
+        from icee_tpu.ops.pallas_decode import fused_decode_step_topk
 
-    decode = jax.jit(jax.vmap(one))
+        def make_batched(fused):
+            def topk_step(x, state):
+                h, c = state
+                vals, idx, h2, c2 = fused_decode_step_topk(
+                    dec_params, x, h, c, style, ktop=k, row_block=256,
+                    v_tile=2048)
+                return vals, idx, (h2, c2)
+
+            def run(feats):
+                return beam_search_batched(
+                    embed_fn=lambda t: fl.embed(dec_params, t),
+                    step_fn=(None if fused else
+                             (lambda x, s: fl.decode_step(dec_params, x, s,
+                                                          style))),
+                    init_model_state=fl.initial_state(batch_size * k, cfg),
+                    start_token=vocab.start, end_token=vocab.end, k=k,
+                    max_seq_length=cfg.max_seq_length,
+                    vocab_size=cfg.vocab_size, batch=batch_size,
+                    first_input=(jnp.tile(feats[:, None, :], (1, k, 1))
+                                 if feed_feature else None),
+                    step_topk_fn=topk_step if fused else None)
+
+            return jax.jit(run)
+
+    if attention:
+        decode = jax.jit(jax.vmap(one))
+    else:
+        decode = None
+        for fused in (True, False):
+            try:
+                f = make_batched(fused)
+                import numpy as _np
+
+                probe = jnp.zeros((batch_size, cfg.embed_size), jnp.float32)
+                jax.block_until_ready(f(probe).tokens)
+                decode = f
+                break
+            except Exception:
+                continue
+        assert decode is not None
 
     # one beam decode per unique image (evaluator decodes per test line; lines
     # repeat images with different refs — the reference decodes per line, so

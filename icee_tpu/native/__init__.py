@@ -19,7 +19,10 @@ from typing import Optional, Sequence
 import numpy as np
 
 _SRC = os.path.join(os.path.dirname(__file__), "batcher.cpp")
-_LIB = os.path.join(os.path.dirname(__file__), "libicee_batcher.so")
+# the artifact lives in a non-package subdir so module scanners (pkgutil)
+# never mistake the ctypes library for a Python extension module
+_BUILD_DIR = os.path.join(os.path.dirname(__file__), "_build")
+_LIB = os.path.join(_BUILD_DIR, "libicee_batcher.so")
 _lib: Optional[ctypes.CDLL] = None
 _build_failed = False
 
@@ -36,9 +39,10 @@ def _load() -> Optional[ctypes.CDLL]:
             # processes AND threads never dlopen a half-written library
             import tempfile
 
+            os.makedirs(_BUILD_DIR, exist_ok=True)
             fd, tmp = tempfile.mkstemp(
                 suffix=".so", prefix="icee_batcher_",
-                dir=os.path.dirname(_LIB))
+                dir=_BUILD_DIR)
             os.close(fd)
             try:
                 subprocess.run(

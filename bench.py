@@ -1,20 +1,30 @@
-"""Benchmark: flagship beam-decode throughput on one TPU chip.
+"""Benchmark: flagship decode + train throughput on one TPU chip.
 
-Decodes a batch of images with the StyleNet FactoredLSTM at the flagship
+Decode: a batch of images through the StyleNet FactoredLSTM at the flagship
 configuration (V=8192, E=300, H=512, F=512, beam k=5, max 40 steps) using the
-natively-batched masked beam search driven by the Pallas fused decode-step
-kernel (cell + vocab-tiled output head + streaming exact top-k + logsumexp,
-``icee_tpu/ops/pallas_decode.py``) — the TPU-native replacement for the
-reference's one-image-at-a-time Python beam loop
-(``stylenet/model.py:198-294``).  Falls back to the pure-XLA batched beam if
-the kernel fails to compile on the local runtime.
+MEGA beam kernel — the ENTIRE beam search (cell, vocab-tiled head, streaming
+exact top-k, beam select, state gather, next-token embedding) inside ONE
+``pallas_call`` with all weights VMEM-resident across the 41 steps
+(``icee_tpu/ops/pallas_beam.py``).  This replaces the reference's
+one-image-at-a-time Python beam loop (``stylenet/model.py:198-294``).
+Fallback chain if the mega kernel fails to compile: per-step fused kernel
+(``ops/pallas_decode.py``) -> pure-XLA batched beam.
 
-Baseline: 7.779 captions/sec measured for the reference-style CPU PyTorch
-decode at identical sizes (``scripts/baseline_torch.py``; the reference repo
-publishes no throughput numbers, BASELINE.md).  BASELINE.json's target is
->=10x that.
+Train: the factual multitask train step (encoder head + teacher-forced
+FactoredLSTM chain + masked CE + clip/Adam, ``train/steps.py``) with the
+Pallas fused time-scan kernel (``ops/pallas_lstm.py``), reported as
+``train_step_ms`` alongside the XLA-scan step for comparison.
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+Timing protocol (round-2 calibration): the axon relay adds ~25 ms of
+host-side round-trip latency per dispatch and 2-3x session-to-session
+variance.  Throughput is therefore measured AMORTIZED — enqueue ``PIPELINE``
+batches back-to-back, sync once — repeated ``REPS`` times, reporting the
+median (plus best-rep in ``decode_ms_best``).  This measures device
+throughput, which is what a pipelined production loop sees.
+
+Baseline: 7.779 captions/sec for the reference-style CPU PyTorch decode at
+identical sizes (``scripts/baseline_torch.py``; the reference publishes no
+throughput numbers, BASELINE.md).  Prints ONE JSON line.
 """
 
 import json
@@ -26,7 +36,109 @@ TORCH_CPU_BASELINE_CPS = 7.779  # scripts/baseline_torch.py, single thread
 
 V, E, H, F = 8192, 300, 512, 512
 K, MAX_STEPS = 5, 40
-BATCH = 1024  # throughput scales to ~1024 images/batch on one chip
+BATCH = 1024
+PIPELINE = 4   # batches enqueued per timed rep (amortizes relay latency)
+REPS = 5
+TRAIN_B, TRAIN_T = 64, 25  # reference multitask regime batch/caption length
+
+
+def _median_amortized(fn, args_list, sync):
+    times = []
+    for _ in range(REPS):
+        t0 = time.perf_counter()
+        outs = [fn(a) for a in args_list]
+        for o in outs:
+            sync(o)
+        times.append((time.perf_counter() - t0) / len(args_list))
+    return float(np.median(times)), float(np.min(times))
+
+
+def bench_decode(jax, jnp, dec, feats_list, style):
+    from icee_tpu.decode.beam import beam_search_batched
+    from icee_tpu.models import factored_lstm as fl
+
+    zeros = jnp.zeros((BATCH * K, H), jnp.bfloat16)
+
+    def run_mega(ft):
+        from icee_tpu.ops.pallas_beam import mega_beam_decode
+        return mega_beam_decode(dec, ft, style, BATCH, start_token=1,
+                                end_token=2, k=K, max_seq_length=MAX_STEPS,
+                                n_img_block=256, v_tile=2048)
+
+    def topk_step(x, state):
+        from icee_tpu.ops.pallas_decode import fused_decode_step_topk
+        h, c = state
+        vals, idx, h2, c2 = fused_decode_step_topk(
+            dec, x, h, c, style, ktop=K, row_block=256, v_tile=2048)
+        return vals, idx, (h2, c2)
+
+    def run_beam(ft, fused):
+        return beam_search_batched(
+            embed_fn=lambda t: fl.embed(dec, t),
+            step_fn=(None if fused
+                     else (lambda x, s: fl.decode_step(dec, x, s, style))),
+            init_model_state=(zeros, zeros),
+            start_token=1, end_token=2, k=K, max_seq_length=MAX_STEPS,
+            vocab_size=V, batch=BATCH, first_input=ft,
+            step_topk_fn=topk_step if fused else None)
+
+    candidates = [
+        ("mega", run_mega),
+        ("fused-step", jax.jit(lambda ft: run_beam(ft, True))),
+        ("xla", jax.jit(lambda ft: run_beam(ft, False))),
+    ]
+    for name, fn in candidates:
+        try:
+            np.asarray(fn(feats_list[0]).tokens)  # compile + warmup
+        except Exception as e:
+            print(f"# decode path '{name}' unavailable "
+                  f"({type(e).__name__}); falling back")
+            continue
+        med, best = _median_amortized(
+            fn, feats_list, lambda o: np.asarray(o.tokens))
+        return name, med, best
+    raise RuntimeError("no decode path compiled")
+
+
+def bench_train(jax, jnp, fused_scan):
+    import optax
+
+    from icee_tpu.core.config import DecoderConfig, EncoderConfig, TrainConfig
+    from icee_tpu.models import encoder as enc_mod
+    from icee_tpu.models import factored_lstm as fl
+    from icee_tpu.train.steps import make_caption_steps
+
+    cfg = DecoderConfig(vocab_size=V, embed_size=E, hidden_size=H,
+                        factored_size=F, dropout=0.0)
+    tcfg = TrainConfig(teacher_forcing_ratio=1.0, fused_scan=fused_scan)
+    opt = optax.adam(2e-4)
+    fac_step, _, _ = make_caption_steps(cfg, tcfg, opt, opt, factored=True)
+
+    dec = fl.init_params(jax.random.PRNGKey(0), cfg)
+    head = enc_mod.init_head_params(
+        jax.random.PRNGKey(1), EncoderConfig(embed_size=E))
+    opt_state = opt.init((dec, head))
+    rng = np.random.default_rng(0)
+    pooled = jnp.asarray(rng.standard_normal((TRAIN_B, 2048)), jnp.float32)
+    captions = jnp.asarray(rng.integers(4, V, (TRAIN_B, TRAIN_T)), jnp.int32)
+    lengths = jnp.full((TRAIN_B,), TRAIN_T, jnp.int32)
+    mask = jnp.ones((TRAIN_B,), bool)
+    key = jax.random.PRNGKey(0)
+
+    state = (dec, head, opt_state)
+    d, h, o, loss = fac_step(*state, pooled, captions, lengths, mask, key)
+    np.asarray(loss)  # compile + warmup
+
+    times = []
+    for _ in range(REPS):
+        t0 = time.perf_counter()
+        s = state
+        for _ in range(8):  # chained steps amortize dispatch latency
+            d, h, o, loss = fac_step(*s, pooled, captions, lengths, mask, key)
+            s = (d, h, o)
+        np.asarray(loss)
+        times.append((time.perf_counter() - t0) / 8)
+    return float(np.median(times))
 
 
 def main():
@@ -34,9 +146,7 @@ def main():
     import jax.numpy as jnp
 
     from icee_tpu.core.config import DecoderConfig
-    from icee_tpu.decode.beam import beam_search_batched
     from icee_tpu.models import factored_lstm as fl
-    from icee_tpu.ops.pallas_decode import fused_decode_step_topk
 
     cfg = DecoderConfig(vocab_size=V, embed_size=E, hidden_size=H,
                         factored_size=F, max_seq_length=MAX_STEPS)
@@ -45,50 +155,38 @@ def main():
     dec = jax.tree_util.tree_map(lambda x: x.astype(jnp.bfloat16), dec)
 
     rng = np.random.default_rng(0)
-    feats = jnp.asarray(rng.standard_normal((BATCH, K, E)), jnp.bfloat16)
+    feats_list = [
+        jnp.asarray(rng.standard_normal((BATCH, K, E)), jnp.bfloat16)
+        for _ in range(PIPELINE)
+    ]
     style = jnp.asarray(1)
-    zeros = jnp.zeros((BATCH * K, H), jnp.bfloat16)
 
-    def topk_step(x, state):
-        h, c = state
-        vals, idx, h2, c2 = fused_decode_step_topk(
-            dec, x, h, c, style, ktop=K, row_block=256, v_tile=2048)
-        return vals, idx, (h2, c2)
+    path, med, best = bench_decode(jax, jnp, dec, feats_list, style)
+    cps = BATCH / med
 
-    def run(feats, fused):
-        return beam_search_batched(
-            embed_fn=lambda t: fl.embed(dec, t),
-            step_fn=(None if fused
-                     else (lambda x, s: fl.decode_step(dec, x, s, style))),
-            init_model_state=(zeros, zeros),
-            start_token=1, end_token=2, k=K, max_seq_length=MAX_STEPS,
-            vocab_size=V, batch=BATCH, first_input=feats,
-            step_topk_fn=topk_step if fused else None)
+    try:
+        train_fused_ms = bench_train(jax, jnp, fused_scan=True) * 1e3
+    except Exception as e:
+        print(f"# fused train scan unavailable ({type(e).__name__})")
+        train_fused_ms = None
+    try:
+        train_xla_ms = bench_train(jax, jnp, fused_scan=False) * 1e3
+    except Exception as e:
+        print(f"# xla train step failed ({type(e).__name__})")
+        train_xla_ms = None
 
-    decode = None
-    for fused in (True, False):
-        try:
-            f = jax.jit(lambda ft, fu=fused: run(ft, fu))
-            jax.block_until_ready(f(feats).tokens)  # compile + warmup
-            decode = f
-            break
-        except Exception as e:  # Pallas unavailable -> XLA fallback
-            print(f"# fused path unavailable ({type(e).__name__}); falling back")
-    assert decode is not None
-
-    # median of per-call latencies: robust to transient tunnel/runtime noise
-    times = []
-    for _ in range(9):
-        t0 = time.perf_counter()
-        res = decode(feats)
-        jax.block_until_ready(res.tokens)
-        times.append(time.perf_counter() - t0)
-    cps = BATCH / float(np.median(times))
     print(json.dumps({
         "metric": "beam_decode_captions_per_sec",
         "value": round(cps, 2),
         "unit": "captions/sec/chip",
         "vs_baseline": round(cps / TORCH_CPU_BASELINE_CPS, 2),
+        "decode_path": path,
+        "decode_ms": round(med * 1e3, 2),
+        "decode_ms_best": round(best * 1e3, 2),
+        "train_step_ms_fused": (None if train_fused_ms is None
+                                else round(train_fused_ms, 2)),
+        "train_step_ms_xla": (None if train_xla_ms is None
+                              else round(train_xla_ms, 2)),
     }))
 
 

@@ -133,3 +133,7 @@ class TrainConfig:
     # crop/resize sizes (train_multitask.py:63-69)
     resize_size: int = 336
     crop_size: int = 224
+    # Use the Pallas fused time-scan kernel (ops/pallas_lstm.py) for the
+    # teacher-forced FactoredLSTM chain.  Only takes effect when
+    # teacher_forcing_ratio >= 1.0 (the fully teacher-forced fast path).
+    fused_scan: bool = False

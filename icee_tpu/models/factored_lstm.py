@@ -107,6 +107,7 @@ def forward(
     teacher_forcing_ratio: float = 0.8,
     rng: Optional[jax.Array] = None,
     train: bool = True,
+    fused_scan: bool = False,
 ) -> jax.Array:
     """Teacher-forced/scheduled training forward -> logits (B, T, V).
 
@@ -146,14 +147,25 @@ def forward(
         # always-true coin): no argmax feedback is consumed, so the scan
         # carries only (h, c) and the vocab head runs ONCE over all
         # timesteps — a (B*T, H) @ (H, V) MXU matmul instead of T small ones
-        def cell_body(carry, x_t):
-            h, c = carry
-            h, c = factored_lstm_cell(params, x_t, h, c, style)
-            return (h, c), h
+        if fused_scan:
+            # Pallas fused time scan: cell weights VMEM-resident across all
+            # timesteps, custom_vjp backward (ops/pallas_lstm.py)
+            from icee_tpu.ops.pallas_lstm import fused_factored_scan
 
-        _, hiddens = jax.lax.scan(
-            cell_body, (h0, c0), jnp.swapaxes(teacher_inputs, 0, 1))
-        hiddens = jnp.swapaxes(hiddens, 0, 1)  # (B, T, H)
+            sliced = {k: params[k] for k in
+                      ("V_w", "V_b", "U_w", "U_b", "W_w", "W_b")}
+            sliced["S_w"] = jnp.take(params["S_w"], style, axis=0)
+            sliced["S_b"] = jnp.take(params["S_b"], style, axis=0)
+            hiddens = fused_factored_scan(sliced, teacher_inputs)
+        else:
+            def cell_body(carry, x_t):
+                h, c = carry
+                h, c = factored_lstm_cell(params, x_t, h, c, style)
+                return (h, c), h
+
+            _, hiddens = jax.lax.scan(
+                cell_body, (h0, c0), jnp.swapaxes(teacher_inputs, 0, 1))
+            hiddens = jnp.swapaxes(hiddens, 0, 1)  # (B, T, H)
         return hiddens @ params["C_w"] + params["C_b"]
 
     coins = jax.random.bernoulli(k_tf, teacher_forcing_ratio, (t,))

@@ -117,10 +117,18 @@ def _kernel(feat_ref, emb_ref,
         run_se = jnp.zeros((rows, 1), jnp.float32)
         run_v = jnp.full((rows, k), NEG, jnp.float32)
         run_i = jnp.zeros((rows, k), jnp.int32)
+        def head_tile(j):
+            return (jnp.dot(h_b, cw_ref[:, j * v_tile:(j + 1) * v_tile],
+                            preferred_element_type=jnp.float32)
+                    + cb_ref[0, j * v_tile:(j + 1) * v_tile])
+
+        # software-staggered: issue tile j+1's head matmul (MXU) before tile
+        # j's top-k/logsumexp (VPU) so the scheduler can overlap them
+        logits_next = head_tile(0)
         for j in range(n_vt):
-            logits = jnp.dot(h_b, cw_ref[:, j * v_tile:(j + 1) * v_tile],
-                             preferred_element_type=jnp.float32)
-            logits = logits + cb_ref[0, j * v_tile:(j + 1) * v_tile]
+            logits = logits_next
+            if j + 1 < n_vt:
+                logits_next = head_tile(j + 1)
             if profile == "no_topk":
                 run_v = run_v + jnp.sum(logits, axis=1,
                                         keepdims=True) * 1e-30

@@ -44,14 +44,15 @@ def _row_topk(tile: jax.Array, base: jax.Array, ktop: int):
     col = jax.lax.broadcasted_iota(jnp.int32, (r, w), 1)
     cur = tile
     vals, idxs = [], []
-    for _ in range(ktop):
+    for it in range(ktop):
         m = jnp.max(cur, axis=1, keepdims=True)
         ismax = cur == m
         idx = jnp.min(jnp.where(ismax, col, jnp.int32(2**30)), axis=1,
                       keepdims=True)
         vals.append(m)
         idxs.append(idx + base)
-        cur = jnp.where(col == idx, NEG, cur)
+        if it + 1 < ktop:  # the final mask pass is never read
+            cur = jnp.where(col == idx, NEG, cur)
     return jnp.concatenate(vals, 1), jnp.concatenate(idxs, 1)
 
 

@@ -86,8 +86,9 @@ def make_caption_steps(
     ``lang_optimizer`` covers the decoder only — the emotion track
     (``train_multitask.py:163-167``).
     """
-    fwd = fl.forward if factored else (
-        lambda p, c, caps, feats, style, **kw: nic.forward(p, c, caps, feats, **kw)
+    fwd = (functools.partial(fl.forward, fused_scan=tcfg.fused_scan)
+           if factored else
+           lambda p, c, caps, feats, style, **kw: nic.forward(p, c, caps, feats, **kw)
     )
 
     def _forward(dec, head, pooled, captions, style, rng, train, tf_ratio):

@@ -85,4 +85,55 @@ def test_coco_metrics_block():
                       "CIDEr", "METEOR"}
     assert abs(m["Bleu_4"] - 1.0) < 1e-9
     assert abs(m["ROUGE_L"] - 1.0) < 1e-9
-    assert m["METEOR"] is None
+    assert abs(m["METEOR"] - (1 - 0.5 * (1 / 4) ** 3)) < 1e-12
+
+
+# --- METEOR (exact+stem tiers; hand-checked alignments) --------------------
+
+def test_meteor_identical_sentence():
+    from icee_tpu.evaluation.coco_metrics import meteor_sentence
+    s = "a b c d".split()
+    # m=4, P=R=F=1, 1 chunk: score = 1 - 0.5*(1/4)^3
+    assert abs(meteor_sentence([s], s) - (1 - 0.5 * (1 / 4) ** 3)) < 1e-12
+
+
+def test_meteor_classic_reordering():
+    """Banerjee & Lavie's fully-scrambled example: perfect unigram overlap,
+    maximal fragmentation (6 chunks of 6 matches) -> penalty 0.5."""
+    from icee_tpu.evaluation.coco_metrics import meteor_sentence
+    ref = "the cat sat on the mat".split()
+    hyp = "on the mat sat the cat".split()
+    assert abs(meteor_sentence([ref], hyp) - 0.5) < 1e-12
+
+
+def test_meteor_stem_tier():
+    from icee_tpu.evaluation.coco_metrics import meteor_sentence
+    ref = "the cat runs".split()
+    hyp = "the cat running".split()   # 'running'~'runs' via Porter stem
+    assert abs(meteor_sentence([ref], hyp) - (1 - 0.5 / 27)) < 1e-12
+
+
+def test_meteor_precision_recall_weighting():
+    from icee_tpu.evaluation.coco_metrics import meteor_sentence
+    ref = "a b c d e".split()
+    hyp = "a b".split()
+    # m=2, P=1, R=2/5, 1 chunk: F = PR/(0.9P+0.1R) = 0.4/0.94
+    f = (1.0 * 0.4) / (0.9 * 1.0 + 0.1 * 0.4)
+    want = f * (1 - 0.5 * (1 / 2) ** 3)
+    assert abs(meteor_sentence([ref], hyp) - want) < 1e-12
+
+
+def test_meteor_multi_reference_takes_best():
+    from icee_tpu.evaluation.coco_metrics import meteor_sentence
+    hyp = "x y z".split()
+    bad = "p q r".split()
+    assert meteor_sentence([bad, hyp], hyp) == meteor_sentence([hyp], hyp)
+    assert meteor_sentence([bad], hyp) == 0.0
+
+
+def test_coco_metrics_block_reports_float_meteor():
+    from icee_tpu.evaluation.coco_metrics import coco_metrics
+    refs = [["a cat sits".split(), "a cat is sitting".split()]]
+    hyps = ["a cat sits".split()]
+    out = coco_metrics(refs, hyps)
+    assert isinstance(out["METEOR"], float) and out["METEOR"] > 0.9

@@ -57,13 +57,22 @@ def _kernel(feat_ref, emb_ref,
             h_scr, c_scr, x_scr, seqs_scr, scores_scr, alive_scr, done_scr,
             *, k: int, n_img: int, f_dim: int, h_dim: int, e_dim: int,
             v_tile: int, vocab: int, max_len: int, start_token: int,
-            end_token: int, feed_feature: bool, profile: str = "full"):
+            end_token: int, feed_feature: bool, n_streams: int = 1,
+            profile: str = "full"):
     # ``profile`` is a perf-diagnosis knob ("full" in production): "no_topk"
     # stubs the streaming vocab top-k, "no_select" the beam-select/gather
     # phase, "no_embed" the one-hot embedding matmul.  Each stub keeps the
     # remaining phases data-dependent so nothing is dead-code-eliminated.
+    #
+    # ``n_streams=2`` splits each block into two independent image halves
+    # and interleaves their phases — stream A's top-k / beam-select (VPU)
+    # is issued adjacent to stream B's head / embedding matmuls (MXU), which
+    # the Mosaic scheduler overlaps (probed: independent MXU+VPU chains run
+    # at ~max() rather than sum()).
     t = pl.program_id(1)
     rows = n_img * k
+    n2 = n_img // n_streams          # images per stream
+    rows2 = n2 * k
     n_vt = vocab // v_tile
     wdt = cw_ref.dtype
 
@@ -112,107 +121,127 @@ def _kernel(feat_ref, emb_ref,
         h_new = o_t * c_new
         h_b = h_new.astype(wdt)
 
-        # --- vocab-tiled head + streaming exact top-k + logsumexp ---
-        run_m = jnp.full((rows, 1), NEG, jnp.float32)
-        run_se = jnp.zeros((rows, 1), jnp.float32)
-        run_v = jnp.full((rows, k), NEG, jnp.float32)
-        run_i = jnp.zeros((rows, k), jnp.int32)
-        def head_tile(j):
-            return (jnp.dot(h_b, cw_ref[:, j * v_tile:(j + 1) * v_tile],
+        # --- vocab-tiled head + streaming exact top-k + logsumexp,
+        # two interleaved streams (see n_streams note above) ---
+        def head_tile(s, j):
+            hb_s = h_b[s * rows2:(s + 1) * rows2]
+            return (jnp.dot(hb_s, cw_ref[:, j * v_tile:(j + 1) * v_tile],
                             preferred_element_type=jnp.float32)
                     + cb_ref[0, j * v_tile:(j + 1) * v_tile])
 
-        # software-staggered: issue tile j+1's head matmul (MXU) before tile
-        # j's top-k/logsumexp (VPU) so the scheduler can overlap them
-        logits_next = head_tile(0)
+        run_m = [jnp.full((rows2, 1), NEG, jnp.float32)] * n_streams
+        run_se = [jnp.zeros((rows2, 1), jnp.float32)] * n_streams
+        run_v = [jnp.full((rows2, k), NEG, jnp.float32)] * n_streams
+        run_i = [jnp.zeros((rows2, k), jnp.int32)] * n_streams
+        logits_next = [head_tile(s, 0) for s in range(n_streams)]
         for j in range(n_vt):
-            logits = logits_next
-            if j + 1 < n_vt:
-                logits_next = head_tile(j + 1)
+            for s in range(n_streams):
+                logits = logits_next[s]
+                # issue the NEXT head matmul (MXU) before this tile's
+                # top-k (VPU): with 2 streams the other stream's top-k
+                # overlaps it
+                if j + 1 < n_vt:
+                    logits_next[s] = head_tile(s, j + 1)
+                if profile == "no_topk":
+                    run_v[s] = run_v[s] + jnp.sum(logits, axis=1,
+                                                  keepdims=True) * 1e-30
+                    continue
+                tile_max = jnp.max(logits, axis=1, keepdims=True)
+                m_new = jnp.maximum(run_m[s], tile_max)
+                run_se[s] = run_se[s] * jnp.exp(run_m[s] - m_new) + jnp.sum(
+                    jnp.exp(logits - m_new), axis=1, keepdims=True)
+                run_m[s] = m_new
+                tv, ti = _row_topk(logits, j * v_tile, k)
+                run_v[s], run_i[s] = _merge_topk(run_v[s], run_i[s], tv, ti,
+                                                 k)
+        logp_top, idx_top = [], []
+        for s in range(n_streams):
             if profile == "no_topk":
-                run_v = run_v + jnp.sum(logits, axis=1,
-                                        keepdims=True) * 1e-30
-                continue
-            tile_max = jnp.max(logits, axis=1, keepdims=True)
-            m_new = jnp.maximum(run_m, tile_max)
-            run_se = run_se * jnp.exp(run_m - m_new) + jnp.sum(
-                jnp.exp(logits - m_new), axis=1, keepdims=True)
-            run_m = m_new
-            tv, ti = _row_topk(logits, j * v_tile, k)
-            run_v, run_i = _merge_topk(run_v, run_i, tv, ti, k)
-        if profile == "no_topk":
-            logp_top = run_v
-            # add a materialized zero so the iota isn't laid out as a
-            # sublane-broadcast (slicing those crashes ApplyVectorLayout)
-            idx_top = (jax.lax.broadcasted_iota(jnp.int32, (rows, k), 1) + 3
-                       + (run_v * 1e-30).astype(jnp.int32))
-        else:
-            logp_top = run_v - (run_m + jnp.log(run_se))   # (rows, k) f32
-            idx_top = run_i                                # (rows, k) i32
+                logp_top.append(run_v[s])
+                # add a materialized zero so the iota isn't laid out as a
+                # sublane-broadcast (slicing those crashes ApplyVectorLayout)
+                idx_top.append(
+                    jax.lax.broadcasted_iota(jnp.int32, (rows2, k), 1) + 3
+                    + (run_v[s] * 1e-30).astype(jnp.int32))
+            else:
+                logp_top.append(run_v[s] - (run_m[s] + jnp.log(run_se[s])))
+                idx_top.append(run_i[s])
 
-        rank = jax.lax.broadcasted_iota(jnp.int32, (n_img, k), 1)
-        if profile == "no_select":
-            # stub: identity beam continuation, fixed data-dependent words
-            words = ((rank + t
-                      + jnp.sum(logp_top * 1e-30, axis=None).astype(jnp.int32)
-                      + jnp.sum(idx_top, axis=None) % 2) % (vocab - 4) + 3)
-            h_scr[:] = h_new.astype(wdt).astype(jnp.float32)
-            c_scr[:] = c_new.astype(wdt).astype(jnp.float32)
-        else:
-            words = _beam_select(
-                t, is_first, logp_top, idx_top, h_new, c_new,
-                tok_ref, len_ref, score_ref,
-                h_scr, c_scr, seqs_scr, scores_scr, alive_scr, done_scr,
-                k=k, n_img=n_img, h_dim=h_dim, max_len=max_len,
-                end_token=end_token, vocab=vocab, wdt=wdt, rank=rank)
+        # --- beam select + next-input embedding, interleaved per stream:
+        # stream s's one-hot embedding matmul (MXU) is issued before stream
+        # s+1's select (VPU)
+        rank = jax.lax.broadcasted_iota(jnp.int32, (n2, k), 1)
+        for s in range(n_streams):
+            r0 = s * rows2
+            h_new_s = h_new[r0:r0 + rows2]
+            c_new_s = c_new[r0:r0 + rows2]
+            if profile == "no_select":
+                words = ((rank + t
+                          + jnp.sum(logp_top[s] * 1e-30).astype(jnp.int32)
+                          + jnp.sum(idx_top[s]) % 2) % (vocab - 4) + 3)
+                h_scr[r0:r0 + rows2] = h_new_s.astype(wdt).astype(jnp.float32)
+                c_scr[r0:r0 + rows2] = c_new_s.astype(wdt).astype(jnp.float32)
+            else:
+                words = _beam_select(
+                    t, is_first, logp_top[s], idx_top[s], h_new_s, c_new_s,
+                    tok_ref, len_ref, score_ref,
+                    h_scr, c_scr, seqs_scr, scores_scr, alive_scr,
+                    k=k, n_img=n2, h_dim=h_dim, max_len=max_len,
+                    end_token=end_token, wdt=wdt, rank=rank,
+                    row0=r0, img0=s * n2)
 
-        if profile == "no_embed":
-            x_scr[:] = (x_scr[:] * 1.0
-                        + jnp.sum(words.astype(jnp.float32)) * 1e-30)
-        else:
-            # --- next input: x = onehot(words) @ Emb, vocab-tiled.  Exact:
-            # a single bf16 1.0 times the embedding row, f32-accumulated,
-            # reproduces the gathered row bit-for-bit.
-            # sublane-concat needs canonical (offset-0) lane layouts; a lane
-            # reduction re-lays each column out (Mosaic rejects raw lane
-            # slices)
-            flat_w = jnp.concatenate(
-                [jnp.sum(jnp.where(rank == q, words, 0), axis=1,
-                         keepdims=True)
-                 for q in range(k)], axis=0)                   # (rows, 1)
-            x_new = jnp.zeros((rows, e_dim), jnp.float32)
-            for j in range(n_vt):
-                col_v = j * v_tile + jax.lax.broadcasted_iota(
-                    jnp.int32, (rows, v_tile), 1)
-                onehot = (col_v == flat_w).astype(wdt)
-                x_new = x_new + jnp.dot(
-                    onehot, emb_ref[j * v_tile:(j + 1) * v_tile, :],
-                    preferred_element_type=jnp.float32)
-            x_scr[:] = x_new
+            if profile == "no_embed":
+                x_scr[r0:r0 + rows2] = (
+                    x_scr[r0:r0 + rows2] * 1.0
+                    + jnp.sum(words.astype(jnp.float32)) * 1e-30)
+            else:
+                # next input: x = onehot(words) @ Emb, vocab-tiled.  Exact:
+                # a single bf16 1.0 times the embedding row, f32-accumulated,
+                # reproduces the gathered row bit-for-bit.
+                # sublane-concat needs canonical (offset-0) lane layouts; a
+                # lane reduction re-lays each column out (Mosaic rejects raw
+                # lane slices)
+                flat_w = jnp.concatenate(
+                    [jnp.sum(jnp.where(rank == q, words, 0), axis=1,
+                             keepdims=True)
+                     for q in range(k)], axis=0)               # (rows2, 1)
+                x_new = jnp.zeros((rows2, e_dim), jnp.float32)
+                for j in range(n_vt):
+                    col_v = j * v_tile + jax.lax.broadcasted_iota(
+                        jnp.int32, (rows2, v_tile), 1)
+                    onehot = (col_v == flat_w).astype(wdt)
+                    x_new = x_new + jnp.dot(
+                        onehot, emb_ref[j * v_tile:(j + 1) * v_tile, :],
+                        preferred_element_type=jnp.float32)
+                x_scr[r0:r0 + rows2] = x_new
+
+        if profile != "no_select":
+            done_scr[0, 0] = (jnp.sum(alive_scr[:]) == 0).astype(jnp.int32)
 
 
 def _beam_select(t, is_first, logp_top, idx_top, h_new, c_new,
                  tok_ref, len_ref, score_ref,
-                 h_scr, c_scr, seqs_scr, scores_scr, alive_scr, done_scr,
-                 *, k, n_img, h_dim, max_len, end_token, vocab, wdt, rank):
+                 h_scr, c_scr, seqs_scr, scores_scr, alive_scr,
+                 *, k, n_img, h_dim, max_len, end_token, wdt, rank,
+                 row0=0, img0=0):
     """Per-image beam selection, state gather and best-completed tracking.
 
     Rows are beam-major (slot ``p`` of image ``i`` at row ``p*n_img + i``);
     all cross-slot work is static slices + masked sums.  Returns the
     selected next words ``(n_img, k)``.
     """
-    del vocab  # candidate ids are already global vocab indices
+    i1 = img0 + n_img  # image range of this stream within the block
     # --- per-image candidate merge
     # candidate index p*k+q matches the XLA path's (k, k) flatten order.
     parts_s, parts_w = [], []
     for p in range(k):
         lp = logp_top[p * n_img:(p + 1) * n_img, :]       # (n_img, k)
         iw = idx_top[p * n_img:(p + 1) * n_img, :]
-        sc = scores_scr[:, p:p + 1]                        # (n_img, 1)
+        sc = scores_scr[img0:i1, p:p + 1]                  # (n_img, 1)
         # int32 select: Mosaic cannot legalize select over i1 vectors
         row_ok = jnp.where(is_first,
                            jnp.full((n_img, 1), int(p == 0), jnp.int32),
-                           alive_scr[:, p:p + 1])
+                           alive_scr[img0:i1, p:p + 1])
         parts_s.append(jnp.where(row_ok > 0, sc + lp, NEG))
         parts_w.append(iw)
     totals = jnp.concatenate(parts_s, axis=1)              # (n_img, k*k)
@@ -238,7 +267,7 @@ def _beam_select(t, is_first, logp_top, idx_top, h_new, c_new,
     words = jnp.concatenate(words, axis=1)                 # (n_img, k)
 
     n_take = jnp.where(is_first, k,
-                       jnp.sum(alive_scr[:], axis=1, keepdims=True))
+                       jnp.sum(alive_scr[img0:i1], axis=1, keepdims=True))
     valid = rank < n_take
     completed = valid & (words == end_token)
     still = valid & (words != end_token)
@@ -253,7 +282,8 @@ def _beam_select(t, is_first, logp_top, idx_top, h_new, c_new,
         for p in range(k):
             sel_i = (prev[:, q:q + 1] == p).astype(jnp.int32)
             sel_f = sel_i.astype(jnp.float32)
-            sq = sq + sel_i * seqs_scr[p * n_img:(p + 1) * n_img, :]
+            sq = sq + sel_i * seqs_scr[row0 + p * n_img:
+                                       row0 + (p + 1) * n_img, :]
             hq = hq + sel_f * h_new[p * n_img:(p + 1) * n_img, :]
             cq = cq + sel_f * c_new[p * n_img:(p + 1) * n_img, :]
         sq = jnp.where(col_l == t + 1, words[:, q:q + 1], sq)
@@ -266,27 +296,26 @@ def _beam_select(t, is_first, logp_top, idx_top, h_new, c_new,
     best_val = jnp.max(comp, axis=1, keepdims=True)        # (n_img, 1)
     i_best = jnp.min(jnp.where(comp == best_val, rank, BIG), axis=1,
                      keepdims=True)
-    improves = best_val > score_ref[:]
+    improves = best_val > score_ref[img0:i1]
     best_row = jnp.zeros((n_img, max_len), jnp.int32)
     for q in range(k):
         best_row = best_row + (i_best == q).astype(jnp.int32) * new_seqs[q]
-    tok_ref[:] = jnp.where(improves, best_row, tok_ref[:])
-    len_ref[:] = jnp.where(improves, t + 2, len_ref[:])
-    score_ref[:] = jnp.where(improves, best_val, score_ref[:])
+    tok_ref[img0:i1] = jnp.where(improves, best_row, tok_ref[img0:i1])
+    len_ref[img0:i1] = jnp.where(improves, t + 2, len_ref[img0:i1])
+    score_ref[img0:i1] = jnp.where(improves, best_val, score_ref[img0:i1])
 
     # --- write back state ---
     # round h/c through the weight dtype: the XLA step path stores beam
     # state in the caller's (bf16) dtype between steps, so the mega
     # kernel must apply the same rounding for token-exact parity
-    seqs_scr[:] = jnp.concatenate(new_seqs, axis=0)
-    h_scr[:] = jnp.concatenate(new_h, axis=0).astype(wdt).astype(
+    r1 = row0 + n_img * k
+    seqs_scr[row0:r1] = jnp.concatenate(new_seqs, axis=0)
+    h_scr[row0:r1] = jnp.concatenate(new_h, axis=0).astype(wdt).astype(
         jnp.float32)
-    c_scr[:] = jnp.concatenate(new_c, axis=0).astype(wdt).astype(
+    c_scr[row0:r1] = jnp.concatenate(new_c, axis=0).astype(wdt).astype(
         jnp.float32)
-    scores_scr[:] = jnp.where(still, top_scores, NEG)
-    alive_scr[:] = still.astype(jnp.int32)
-    done_scr[0, 0] = (jnp.sum(still.astype(jnp.int32)) == 0
-                      ).astype(jnp.int32)
+    scores_scr[img0:i1] = jnp.where(still, top_scores, NEG)
+    alive_scr[img0:i1] = still.astype(jnp.int32)
     return words
 
 
@@ -294,7 +323,7 @@ def _beam_select(t, is_first, logp_top, idx_top, h_new, c_new,
     jax.jit,
     static_argnames=("batch", "start_token", "end_token", "k",
                      "max_seq_length", "n_img_block", "v_tile",
-                     "feed_feature", "interpret", "_profile"))
+                     "feed_feature", "n_streams", "interpret", "_profile"))
 def mega_beam_decode(
     params: dict,
     features: Optional[jax.Array],    # (B, k, E) or None (research mode)
@@ -307,6 +336,7 @@ def mega_beam_decode(
     n_img_block: int = 64,
     v_tile: int = 2048,
     feed_feature: bool = True,
+    n_streams: int = 1,
     interpret: bool = False,
     _profile: str = "full",
 ) -> BeamResult:
@@ -324,9 +354,12 @@ def mega_beam_decode(
     max_len = max_seq_length + 2
 
     n_img_block = min(n_img_block, batch)
+    if n_img_block % n_streams:
+        n_streams = 1
     bp = -(-batch // n_img_block) * n_img_block
     n_blocks = bp // n_img_block
     rows_blk = n_img_block * k
+    n2 = n_img_block // n_streams
 
     # pad vocab to a v_tile multiple: C_b pads with -1e30 (never selected,
     # exp()->0 in the normalizer), C_w/Emb pad with zeros.
@@ -346,9 +379,10 @@ def mega_beam_decode(
         feats = features.astype(wdt)
         if bp != batch:
             feats = jnp.pad(feats, ((0, bp - batch), (0, 0), (0, 0)))
-    # block-beam-major rows: block i holds [slot p][local image i_l]
-    feats = (feats.reshape(n_blocks, n_img_block, k, e_dim)
-             .transpose(0, 2, 1, 3).reshape(bp * k, e_dim))
+    # block-stream-beam-major rows: block i holds, per stream, rows
+    # [slot p][local image i_l]
+    feats = (feats.reshape(n_blocks, n_streams, n2, k, e_dim)
+             .transpose(0, 1, 3, 2, 4).reshape(bp * k, e_dim))
 
     s_w = jnp.take(params["S_w"], style, axis=0)
     s_b = jnp.take(params["S_b"], style, axis=0)
@@ -357,7 +391,7 @@ def mega_beam_decode(
         _kernel, k=k, n_img=n_img_block, f_dim=f_dim, h_dim=h_dim,
         e_dim=e_dim, v_tile=v_tile, vocab=vp, max_len=max_len,
         start_token=start_token, end_token=end_token,
-        feed_feature=feed_feature, profile=_profile)
+        feed_feature=feed_feature, n_streams=n_streams, profile=_profile)
 
     vmem = pltpu.VMEM
     full = lambda *shape: pl.BlockSpec(  # noqa: E731

@@ -53,5 +53,9 @@ def senticap_conf(**overrides: Any) -> Dict[str, Any]:
 
 
 # the switch-only trainable set (``train_joint.py:355-359``)
+# ``wsenti`` is a DEAD parameter reproduced for checkpoint/trainable-set
+# parity: the reference creates it (``mrnn_switched.py:574-580``) and lists
+# it trainable (``train_joint.py:355-359``) but its only use is commented
+# out (``mrnn_switched.py:699-700``); it receives zero gradient.
 SWITCH_PARAMS = ("wemb_sw", "w_sw", "b_sw", "w_lstm_sw", "att_w", "att_b",
-                 "wvm_sw", "bmv_sw")
+                 "wsenti", "wvm_sw", "bmv_sw")

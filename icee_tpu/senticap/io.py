@@ -31,6 +31,56 @@ import numpy as np
 
 STOP_TOKEN = "."  # index 0; doubles as START input (mrnn_io.py:53-55)
 
+# --- dataset-name registry (``mrnn_io.py:288-338``) ------------------------
+# name -> (features file, caption file, reader kind).  Paths are relative to
+# the dataset root, byte-identical to the reference's registry; COCO_MTURK
+# honors the DO_NEG toggle like the reference module-level flag.
+FLK8 = "flk8"
+FLK8LM = "flk8lm"
+COCO = "coco"
+COCO_EXTRA = "coco_extra"
+COCO_MTURK = "coco_mturk"
+COCO_MTURK_WCOCO = "coco_mturk_wcoco"
+FLK30 = "flk30"
+FLK30LM = "flk30lm"
+FLK30LM_SENT = "flk30lm_sent"
+FLK30LM_PART = "flk30lm_part"
+YH100LM = "yh100lm"
+
+DATASET_REGISTRY = {
+    FLK8: ("./flk8/flk8.mat", "./flk8/flk8.json", "mm"),
+    FLK8LM: ("", "./flk8/flk8.json", "mm"),
+    COCO: ("./coco/vgg_feats.mat", "./coco/dataset.json", "mm"),
+    COCO_EXTRA: ("./coco/vgg_feats.mat",
+                 "./coco_extra/dataset_extra.json", "mm_extra"),
+    COCO_MTURK: ("./coco/vgg_feats.mat",
+                 "./coco_mturk/dataset_mturk_sentiment2.json", "mm_mturk"),
+    COCO_MTURK_WCOCO: ("./coco/vgg_feats.mat",
+                       "./coco_mturk/dataset_mturk_sentiment2_wcoco.json",
+                       "mm_mturk"),
+    FLK30LM: ("", "./flk30_lm/flk30_not8k_sentences.pik", "lm"),
+    FLK30LM_SENT: ("./flk30_lm/flk30_sentiment.mat",
+                   "./flk30_lm/flk30_not8k_sentences.pik", "lm"),
+    FLK30: ("./flickr30k/vgg_feats.mat", "./flickr30k/dataset.json", "mm"),
+    FLK30LM_PART: ("", "./flickr30k/dataset.json", "mm"),
+    YH100LM: ("", "./yfcc100m/yahoo_100m_saved_sentences.pik", "lm"),
+}
+
+
+def dataset_files(dataset_name: str, base_dir: str = ".",
+                  do_neg: bool = False) -> Tuple[str, str, str]:
+    """Resolve a reference dataset name -> (features path, data path,
+    reader kind) (``mrnn_io.py:288-338``).  ``do_neg`` switches COCO_MTURK
+    to the negative-sentiment caption file like the reference's DO_NEG."""
+    if dataset_name not in DATASET_REGISTRY:
+        raise KeyError(f"unknown dataset {dataset_name!r}; known: "
+                       f"{sorted(DATASET_REGISTRY)}")
+    feats, data, kind = DATASET_REGISTRY[dataset_name]
+    if dataset_name == COCO_MTURK and do_neg:
+        data = "./coco_mturk/dataset_mturk_sentiment2_neg.json"
+    join = lambda p: os.path.normpath(os.path.join(base_dir, p)) if p else ""  # noqa: E731
+    return join(feats), join(data), kind
+
 
 @dataclasses.dataclass
 class SentiDataset:
@@ -93,12 +143,14 @@ def make_split(
     w2i: Dict[str, int],
     max_len: int = 20,
     visual_size: int = 4096,
+    reverse: bool = False,
 ) -> SentiDataset:
     """Pad/encode one split (``get_data_split``, ``mrnn_io.py:397-486``).
 
     ``records``: dicts with ``tokens`` (or ``caption``), ``image``,
     optional ``sentiment`` (+1/-1) and ``switch`` (list of 0/1 per token —
-    the ANP positions)."""
+    the ANP positions).  ``reverse`` reverses each sentence's token order
+    at read time (the provider's ``reverse`` option, ``mrnn_io.py:91``)."""
     t = max_len + 1
     n = len(records)
     X = np.zeros((n, t), np.int32)
@@ -110,6 +162,8 @@ def make_split(
     ids = []
     for i, rec in enumerate(records):
         toks = rec.get("tokens") or tokenize(rec.get("caption", ""))
+        if reverse:
+            toks = list(toks)[::-1]
         toks = [w for w in toks if w in w2i][: max_len]
         ids.append(rec.get("image"))
         senti[i] = float(rec.get("sentiment", -1.0))

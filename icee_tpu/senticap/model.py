@@ -75,7 +75,7 @@ def init_params(key: jax.Array, vocab_size: int, conf=None,
         b = jnp.asarray(np.log(unigram + 1e-20), dtype)
     else:
         b = jnp.full((v,), -np.log(v), dtype)
-    return {
+    params = {
         "wemb": xav(ks[0], (v, e)),
         "w_lstm": xav(ks[1], (e + h, 4 * h)),
         "w": xav(ks[2], (h, v)),
@@ -83,17 +83,35 @@ def init_params(key: jax.Array, vocab_size: int, conf=None,
         "wvm": xav(ks[3], (vis, e)),
         "bmv": jnp.zeros((e,), dtype),
     }
+    if conf.get("BATCH_NORM"):
+        # gamma/beta over the [x_t ; h] input state (``mrnn.py:293-300``
+        # sizes them lstm_hidden_size*2, assuming emb_size == hidden);
+        # ones/zeros init, saveable + trainable like the reference
+        params["gamma_h"] = jnp.ones((e + h,), dtype)
+        params["beta_h"] = jnp.zeros((e + h,), dtype)
+    return params
 
 
 # --- cell -----------------------------------------------------------------
 
 def cell(params: dict, x_t: jax.Array, h: jax.Array, c: jax.Array,
-         grad_clip: float = 5.0) -> Tuple[jax.Array, jax.Array]:
+         grad_clip: float = 5.0, batch_norm: bool = False
+         ) -> Tuple[jax.Array, jax.Array]:
     """One recurrence (``mrnn.py:404-440``): fused [x;h] matmul, gate order
-    [i, f, o, cellcand], ``hh = og * cc``."""
+    [i, f, o, cellcand], ``hh = og * cc``.
+
+    ``batch_norm`` reproduces the reference's BATCH_NORM branch QUIRK
+    (``mrnn.py:408-413``): it computes the batch mean/variance of the input
+    state but then applies ``gamma_h * in_state + beta_h`` to the
+    UN-normalized state — the normalization is dead code.  The applied math
+    (the affine only) is reproduced; the no-effect mu/var computation is
+    not re-executed.
+    """
     hs = h.shape[-1]
     h_clip = grad_clip_act(h, grad_clip)
     in_state = jnp.concatenate([x_t, h_clip], axis=-1)
+    if batch_norm:
+        in_state = params["gamma_h"] * in_state + params["beta_h"]
     z = jnp.dot(in_state, params["w_lstm"], preferred_element_type=jnp.float32)
     ig = jax.nn.sigmoid(z[:, :hs])
     fg = jax.nn.sigmoid(z[:, hs:2 * hs])
@@ -103,14 +121,36 @@ def cell(params: dict, x_t: jax.Array, h: jax.Array, c: jax.Array,
     return hh.astype(h.dtype), cc.astype(c.dtype)
 
 
-def output_probs(params: dict, hh: jax.Array) -> jax.Array:
-    """softmax word distribution (``mrnn.py:438-440``)."""
-    return jax.nn.softmax(hh @ params["w"] + params["b"], axis=-1)
+def output_probs(params: dict, hh: jax.Array,
+                 softmax_out: bool = True) -> jax.Array:
+    """Word distribution (``mrnn.py:438-443``): softmax normally; the
+    joined model sets ``SOFTMAX_OUT=False`` and emits elementwise sigmoid
+    instead (its outputs are switch gates, not a distribution)."""
+    logits = hh @ params["w"] + params["b"]
+    if softmax_out:
+        return jax.nn.softmax(logits, axis=-1)
+    return jax.nn.sigmoid(logits)
 
 
 def visual_embedding(params: dict, v: jax.Array) -> jax.Array:
     """Image as pseudo-word: ``v @ wvm + bmv`` (``mrnn.py:390-391``)."""
     return v @ params["wvm"] + params["bmv"]
+
+
+def _check_conf(conf: dict) -> None:
+    """Refuse silently-ignorable conf branches.
+
+    ``JOINED_LOSS_FUNCTION`` is only meaningful for the joined switched
+    model (``mrnn.py:111-115`` ``set_as_joined_model``): the base mRNN has
+    no (mm, lm) pair to mix, so setting it here is an error rather than a
+    silent no-op.  The joined mixture loss lives in
+    :func:`icee_tpu.senticap.switched.switched_loss`.
+    """
+    if conf.get("JOINED_LOSS_FUNCTION"):
+        raise NotImplementedError(
+            "JOINED_LOSS_FUNCTION applies to the joined switched model; "
+            "use icee_tpu.senticap.switched (switched_loss implements the "
+            "switch-mixed cross-entropy of mrnn.py:540-560)")
 
 
 # --- forward scans --------------------------------------------------------
@@ -130,9 +170,11 @@ def forward(
     ``use_visual_info`` sequence, ``mrnn.py:478-494``); step t>=1 consumes
     ``words[:, t]`` (already arranged by the data layer: START, w1, ...).
     """
+    _check_conf(conf)
     b, t = words.shape
     h_dim = conf["lstm_hidden_size"]
     gclip = conf["GRAD_CLIP_SIZE"]
+    bn = conf.get("BATCH_NORM", False)
 
     emb = jnp.take(params["wemb"], words, axis=0)           # (B, T, E)
     vis = visual_embedding(params, v)                        # (B, E)
@@ -148,9 +190,9 @@ def forward(
         x_t = jnp.where(uv, vis, emb_t)
         if conf["DROP_INPUT"]:
             x_t = x_t * xd
-        h, c = cell(params, x_t, h, c, gclip)
+        h, c = cell(params, x_t, h, c, gclip, bn)
         hh = h * yd if conf["DROP_OUTPUT"] else h
-        s_t = output_probs(params, hh)
+        s_t = output_probs(params, hh, conf.get("SOFTMAX_OUT", True))
         return (h, c), s_t
 
     h0 = jnp.zeros((b, h_dim), emb.dtype)
@@ -176,9 +218,11 @@ def forward_semi_forced(
     teacher token or the model's own previous argmax, per the ``forced``
     matrix.  Used when ``conf['SEMI_FORCED'] < 1`` (the forced matrix is
     drawn Bernoulli(SEMI_FORCED) by the trainer)."""
+    _check_conf(conf)
     b, t = words.shape
     h_dim = conf["lstm_hidden_size"]
     gclip = conf["GRAD_CLIP_SIZE"]
+    bn = conf.get("BATCH_NORM", False)
     vis = visual_embedding(params, v)
     if x_drop is None:
         x_drop = jnp.ones((b, t, conf["emb_size"]))
@@ -193,9 +237,9 @@ def forward_semi_forced(
         x_t = jnp.where(uv, vis, jnp.take(params["wemb"], tok, axis=0))
         if conf["DROP_INPUT"]:
             x_t = x_t * xd
-        h, c = cell(params, x_t, h, c, gclip)
+        h, c = cell(params, x_t, h, c, gclip, bn)
         hh = h * yd if conf["DROP_OUTPUT"] else h
-        s_t = output_probs(params, hh)
+        s_t = output_probs(params, hh, conf.get("SOFTMAX_OUT", True))
         prev = jnp.argmax(s_t, axis=-1).astype(jnp.int32)
         return (h, c, prev), s_t
 
@@ -229,8 +273,9 @@ def one_step(params: dict, conf: dict, word: jax.Array, use_v: jax.Array,
     -> (s_t (B, V), h, c)."""
     emb = jnp.take(params["wemb"], word, axis=0)
     x_t = jnp.where(use_v[..., None], visual_embedding(params, v), emb)
-    h, c = cell(params, x_t, h, c, conf["GRAD_CLIP_SIZE"])
-    return output_probs(params, h), h, c
+    h, c = cell(params, x_t, h, c, conf["GRAD_CLIP_SIZE"],
+                conf.get("BATCH_NORM", False))
+    return output_probs(params, h, conf.get("SOFTMAX_OUT", True)), h, c
 
 
 def greedy_sample(params: dict, conf: dict, v: jax.Array,

@@ -74,6 +74,13 @@ def init_params(key: jax.Array, vocab_size: int, conf=None,
     params.update(dup)
     params["att_w"] = jax.random.uniform(k3, (2 * h, 1), dtype, -a, a)
     params["att_b"] = jnp.zeros((1,), dtype)
+    # dead sentiment-projection params, created (and listed trainable) for
+    # parity with the reference (``mrnn_switched.py:574-580``); their only
+    # use is commented out there (``:699-700``)
+    a1 = np.sqrt(6.0 / (h + 1))
+    kw1, kw2 = jax.random.split(k2)
+    params["wsenti"] = jax.random.uniform(kw1, (h, 1), dtype, -a1, a1)
+    params["wsenti2"] = jax.random.uniform(kw2, (h, 1), dtype, -a1, a1)
     return params
 
 

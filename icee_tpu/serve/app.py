@@ -126,6 +126,10 @@ def serve(config: Optional[ServeConfig] = None, smoke: bool = False,
     config = config or load_config()
     if engine is None:
         engine = CaptionEngine(config, smoke_mode=smoke)
+    if config.batch_window_ms > 0 and not hasattr(engine, "group_sizes"):
+        from icee_tpu.serve.batching import BatchingEngine
+
+        engine = BatchingEngine(engine, window_ms=config.batch_window_ms)
     httpd = ThreadingHTTPServer((config.backend_host, config.backend_port),
                                 make_handler(engine, config))
     return httpd

@@ -49,6 +49,9 @@ class ServeConfig:
     image_folder: str = "uploads/"
     vocab_path: Optional[str] = None
     resnet_weights: Optional[str] = None
+    # >0: group concurrent /generate requests for this many ms and decode
+    # them with ONE batched beam call (serve/batching.py); 0 = per-request
+    batch_window_ms: float = 0.0
     # variant -> mode -> checkpoint path (may be None: variant disabled)
     checkpoint_paths: Dict[str, Dict[str, Optional[str]]] = None
 
@@ -72,5 +75,6 @@ def load_config(env_path: str = ".env") -> ServeConfig:
         image_folder=os.getenv("IMAGE_FOLDER") or "uploads/",
         vocab_path=os.getenv("VOCAB_PATH"),
         resnet_weights=os.getenv("RESNET_WEIGHTS"),
+        batch_window_ms=float(os.getenv("BATCH_WINDOW_MS") or 0.0),
         checkpoint_paths=ckpts,
     )

@@ -51,9 +51,10 @@ def _xla_beam(params, cfg, feats, style, batch, k, steps, fused,
         step_topk_fn=topk_step if fused else None)
 
 
-@pytest.mark.parametrize("fused_ref", [True, False])
+@pytest.mark.parametrize("fused_ref,n_streams", [(True, 1), (False, 1),
+                                                 (False, 2)])
 @pytest.mark.parametrize("style", [0, 2])
-def test_mega_matches_xla_beam(rng, fused_ref, style):
+def test_mega_matches_xla_beam(rng, fused_ref, n_streams, style):
     cfg, params = _make()
     batch, k, steps = 6, 5, 8
     feats = jnp.asarray(
@@ -64,7 +65,8 @@ def test_mega_matches_xla_beam(rng, fused_ref, style):
                      fused=fused_ref)
     got = mega_beam_decode(
         params, feats, style, batch, start_token=1, end_token=2, k=k,
-        max_seq_length=steps, n_img_block=3, v_tile=128, interpret=True)
+        max_seq_length=steps, n_img_block=3 if n_streams == 1 else 2,
+        n_streams=n_streams, v_tile=128, interpret=True)
 
     np.testing.assert_array_equal(np.asarray(got.tokens),
                                   np.asarray(want.tokens))

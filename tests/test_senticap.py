@@ -236,3 +236,111 @@ def test_semi_forced_scan(rng):
     s_free = M.forward_semi_forced(params, CONF, words, v,
                                    jnp.zeros((2, 7)))
     assert not np.allclose(np.asarray(s_free), np.asarray(s_tf))
+
+
+# --- round-2 parity corners (VERDICT.md items 3-5) --------------------------
+
+def test_no_conf_key_is_silently_ignored():
+    """Grep-enforced: every key in senticap_conf() must be read somewhere in
+    the senticap package (JOINED_LOSS_FUNCTION/BATCH_NORM were silently
+    ignored in round 1)."""
+    import os
+
+    from icee_tpu.senticap.config import senticap_conf
+
+    root = os.path.dirname(os.path.dirname(__file__))
+    pkg = os.path.join(root, "icee_tpu", "senticap")
+    src = ""
+    for fn in os.listdir(pkg):
+        if fn.endswith(".py") and fn != "config.py":
+            src += open(os.path.join(pkg, fn)).read()
+    src += open(os.path.join(root, "icee_tpu", "cli",
+                             "senticap_train.py")).read()
+    # ATT_REG_CONST is dead in the REFERENCE too: its only use is the
+    # commented-out cost term at mrnn_switched.py:1102-1104
+    dead_in_reference = {"ATT_REG_CONST"}
+    missing = [k for k in senticap_conf()
+               if f'"{k}"' not in src and k not in dead_in_reference]
+    assert not missing, f"conf keys read nowhere outside config.py: {missing}"
+
+
+def test_batch_norm_branch():
+    import jax
+    import jax.numpy as jnp
+
+    from icee_tpu.senticap import model as sm
+    from icee_tpu.senticap.config import senticap_conf
+
+    conf = senticap_conf(BATCH_NORM=True, emb_size=16,
+                         lstm_hidden_size=16, visual_size=8,
+                         DROP_INPUT=False, DROP_OUTPUT=False)
+    p = sm.init_params(jax.random.PRNGKey(0), 32, conf)
+    assert p["gamma_h"].shape == (32,) and p["beta_h"].shape == (32,)
+
+    words = jnp.asarray(np.arange(10).reshape(2, 5) % 32, jnp.int32)
+    v = jnp.ones((2, 8), jnp.float32)
+    s_bn = sm.forward(p, conf, words, v)
+
+    # reference quirk: the affine applies to the UN-normalized state, so
+    # gamma=1/beta=0 is an exact identity
+    conf_off = dict(conf, BATCH_NORM=False)
+    s_off = sm.forward(p, conf_off, words, v)
+    np.testing.assert_allclose(np.asarray(s_bn), np.asarray(s_off),
+                               rtol=1e-6)
+
+    p2 = dict(p, gamma_h=p["gamma_h"] * 2.0)
+    s2 = sm.forward(p2, conf, words, v)
+    assert not np.allclose(np.asarray(s2), np.asarray(s_bn))
+
+
+def test_joined_loss_function_raises_on_base_model():
+    import jax
+    import jax.numpy as jnp
+    import pytest
+
+    from icee_tpu.senticap import model as sm
+    from icee_tpu.senticap.config import senticap_conf
+
+    conf = senticap_conf(JOINED_LOSS_FUNCTION=True, emb_size=8,
+                         lstm_hidden_size=8, visual_size=4)
+    p = sm.init_params(jax.random.PRNGKey(0), 16, conf)
+    with pytest.raises(NotImplementedError, match="switched"):
+        sm.forward(p, conf, jnp.zeros((1, 3), jnp.int32),
+                   jnp.zeros((1, 4), jnp.float32))
+
+
+def test_dataset_registry_and_reverse():
+    from icee_tpu.senticap import io as sio
+
+    f, d, kind = sio.dataset_files(sio.COCO, base_dir="/data")
+    assert f == "/data/coco/vgg_feats.mat" and kind == "mm"
+    assert d == "/data/coco/dataset.json"
+    _, d_neg, _ = sio.dataset_files(sio.COCO_MTURK, do_neg=True)
+    assert "neg" in d_neg
+    _, d_pos, kind = sio.dataset_files(sio.COCO_MTURK)
+    assert "neg" not in d_pos and kind == "mm_mturk"
+    f_lm, _, kind = sio.dataset_files(sio.FLK30LM)
+    assert f_lm == "" and kind == "lm"
+    import pytest
+    with pytest.raises(KeyError):
+        sio.dataset_files("nope")
+
+    w2i = {sio.STOP_TOKEN: 0, "a": 1, "b": 2, "c": 3}
+    recs = [{"tokens": ["a", "b", "c"], "image": "i"}]
+    fwd = sio.make_split(recs, None, w2i, max_len=4)
+    rev = sio.make_split(recs, None, w2i, max_len=4, reverse=True)
+    assert list(fwd.X[0][:4]) == [0, 1, 2, 3]
+    assert list(rev.X[0][:4]) == [0, 3, 2, 1]
+
+
+def test_wsenti_dead_param_parity():
+    import jax
+
+    from icee_tpu.senticap import switched as sw
+    from icee_tpu.senticap.config import SWITCH_PARAMS
+
+    p = sw.init_params(jax.random.PRNGKey(0), 32)
+    assert "wsenti" in p and "wsenti2" in p
+    assert "wsenti" in SWITCH_PARAMS              # train_joint.py:355-359
+    mask = sw.switch_param_mask(p)
+    assert mask["wsenti"] is True and mask["wemb"] is False

@@ -63,7 +63,7 @@ def bench_decode(jax, jnp, dec, feats_list, style):
         from icee_tpu.ops.pallas_beam import mega_beam_decode
         return mega_beam_decode(dec, ft, style, BATCH, start_token=1,
                                 end_token=2, k=K, max_seq_length=MAX_STEPS,
-                                n_img_block=256, v_tile=2048)
+                                n_img_block=256, v_tile=2048, n_streams=2)
 
     def topk_step(x, state):
         from icee_tpu.ops.pallas_decode import fused_decode_step_topk

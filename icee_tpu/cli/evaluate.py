@@ -23,7 +23,6 @@ def evaluate(dec_params, head, cfg, vocab, dataset, provider, mode_idx,
     import jax
     import jax.numpy as jnp
 
-    from icee_tpu.decode.beam import beam_search
     from icee_tpu.models import attention as att_mod
     from icee_tpu.models import encoder as enc_mod
     from icee_tpu.models import factored_lstm as fl
@@ -33,25 +32,51 @@ def evaluate(dec_params, head, cfg, vocab, dataset, provider, mode_idx,
 
     if attention:
         # the reference evaluator targets the attention model
-        # (evaluator.py:33-56 loads DecoderFactoredLSTMAtt)
-        def one(spatial):
-            feats_k = jnp.tile(spatial[None], (k, 1, 1))
-            att = att_mod._select_attention(dec_params["attention"], style)
-            att1 = feats_k @ att["enc_w"] + att["enc_b"]  # hoisted
+        # (evaluator.py:33-56 loads DecoderFactoredLSTMAtt).  Decoding runs
+        # the natively-batched beam driven by the FUSED attention step
+        # kernel (re-attend + gate + cell + head + top-k in one pallas_call,
+        # ops/pallas_att_decode.py) on TPU, falling back to per-step XLA.
+        from icee_tpu.decode.beam import beam_search_batched
+        from icee_tpu.ops.pallas_att_decode import fused_att_decode_step_topk
 
-            def step(x, s):
-                logits, _, s2 = att_mod.factored_att_decode_step(
-                    dec_params, x, feats_k, s, style, att1=att1)
-                return logits, s2
+        att = att_mod._select_attention(dec_params["attention"], style)
+        cell = {k_: dec_params[k_] for k_ in
+                ("V_w", "V_b", "U_w", "U_b", "W_w", "W_b", "C_w", "C_b")}
+        cell["S_w"] = jnp.take(dec_params["S_w"], style, axis=0)
+        cell["S_b"] = jnp.take(dec_params["S_b"], style, axis=0)
+        gate = {"f_beta_w": dec_params["f_beta_w"],
+                "f_beta_b": dec_params["f_beta_b"]}
 
-            return beam_search(
-                embed_fn=lambda t: fl.embed(dec_params, t),
-                step_fn=step,
-                init_model_state=att_mod.init_hidden_state(dec_params,
-                                                           feats_k),
-                start_token=vocab.start, end_token=vocab.end, k=k,
-                max_seq_length=cfg.max_seq_length,
-                vocab_size=cfg.vocab_size)
+        def make_batched(fused):
+            def run(spatial):  # (batch, P, FS)
+                att1 = spatial @ att["enc_w"] + att["enc_b"]
+                feats_k = jnp.repeat(spatial, k, axis=0)
+                att1_k = jnp.repeat(att1, k, axis=0)
+
+                def topk_step(x, s):
+                    h, c = s
+                    v, i, h2, c2, _ = fused_att_decode_step_topk(
+                        cell, att, gate, x, h, c, spatial, att1,
+                        kind="factored", k=k, ktop=k, n_img_block=16,
+                        v_tile=2048)
+                    return v, i, (h2, c2)
+
+                def xla_step(x, s):
+                    logits, _, s2 = att_mod.factored_att_decode_step(
+                        dec_params, x, feats_k, s, style, att1=att1_k)
+                    return logits, s2
+
+                return beam_search_batched(
+                    embed_fn=lambda t: fl.embed(dec_params, t),
+                    step_fn=None if fused else xla_step,
+                    init_model_state=att_mod.init_hidden_state(dec_params,
+                                                               feats_k),
+                    start_token=vocab.start, end_token=vocab.end, k=k,
+                    max_seq_length=cfg.max_seq_length,
+                    vocab_size=cfg.vocab_size, batch=batch_size,
+                    step_topk_fn=topk_step if fused else None)
+
+            return jax.jit(run)
     else:
         # default reproduces the reference evaluator's research sample(),
         # which never feeds the image feature into the LSTM
@@ -86,22 +111,22 @@ def evaluate(dec_params, head, cfg, vocab, dataset, provider, mode_idx,
 
             return jax.jit(run)
 
-    if attention:
-        decode = jax.jit(jax.vmap(one))
-    else:
-        decode = None
-        for fused in (True, False):
-            try:
-                f = make_batched(fused)
-                import numpy as _np
+    # lazily pick the decode path on the first real batch (its shapes):
+    # fused Pallas kernel on TPU, pure-XLA beam elsewhere
+    _state = {"fn": None}
 
-                probe = jnp.zeros((batch_size, cfg.embed_size), jnp.float32)
-                jax.block_until_ready(f(probe).tokens)
-                decode = f
-                break
-            except Exception:
-                continue
-        assert decode is not None
+    def decode(feats):
+        if _state["fn"] is None:
+            for fused in (True, False):
+                try:
+                    f = make_batched(fused)
+                    jax.block_until_ready(f(feats).tokens)
+                    _state["fn"] = f
+                    break
+                except Exception:
+                    continue
+            assert _state["fn"] is not None, "no decode path compiled"
+        return _state["fn"](feats)
 
     # one beam decode per unique image (evaluator decodes per test line; lines
     # repeat images with different refs — the reference decodes per line, so

@@ -1,0 +1,302 @@
+"""Pallas TPU kernel: fused attention decode step for the *_att decoders.
+
+Round 1 decoded the attention families (StyleNet FactoredLSTM+Att and
+NIC+Att — the reference's best models, ``stylenet/model_att.py:307-426``,
+``nic/model_att.py:163-306``) on the per-step XLA path.  This kernel fuses
+one whole decode step:
+
+    re-attend (dec projection + relu + score + softmax) -> context reduce
+    -> f_beta gate -> [emb ; gated context] -> recurrent cell
+    -> vocab-tiled output head -> streaming exact top-k + logsumexp
+
+with the per-image spatial features and hoisted encoder projection
+(``att1 = feats @ enc_w + enc_b``) kept as per-block VMEM operands, and the
+(rows, V) logits never leaving VMEM (same streaming top-k as
+``ops/pallas_decode.py``).
+
+Rows are beam-major per block (slot ``p`` of image ``j`` at row
+``p*n_img + j``) so every per-image op is a static sublane slice; the
+attention score and context reductions are MATCHED-BATCH ``dot_general``s,
+which Mosaic lowers (probed on hardware).  The wrapper permutes the
+image-major rows of ``beam_search_batched`` in and out.
+
+Supports both cells: ``kind="factored"`` (stacked-style FactoredLSTM,
+``h = o*c`` quirk) and ``kind="lstm"`` (torch-order LSTMCell,
+``h = o*tanh(c)``).  Interpret-mode parity vs the XLA
+``factored_att_decode_step`` / ``rnn_att_decode_step`` oracles is tested in
+``tests/test_pallas_att.py``.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from icee_tpu.ops.pallas_decode import NEG, _merge_topk, _row_topk
+
+N_COMMON = 11  # x, h, c, feat, att1, dec_w, dec_b, full_w, full_b, fb_w, fb_b
+
+
+def _attend_block(x_ref, h_ref, feat_ref, att1_ref, decw_ref, decb_ref,
+                  fullw_ref, fullb_ref, fbw_ref, fbb_ref,
+                  *, k, n_img, wdt):
+    """Per-slot re-attention + gated context -> (x_full, alpha_full)."""
+    h32 = h_ref[:].astype(jnp.float32)
+    att2 = jnp.dot(h_ref[:].astype(wdt), decw_ref[:],
+                   preferred_element_type=jnp.float32) + decb_ref[0, :]
+    att1_v = att1_ref[:]                      # (n_img, P, A)
+    feat_v = feat_ref[:]                      # (n_img, P, FS)
+    n_pix = att1_v.shape[1]
+    fullw_b = jnp.broadcast_to(fullw_ref[:][None],
+                               (n_img,) + fullw_ref.shape)  # (n_img, A, 1)
+    xs, alphas = [], []
+    for p in range(k):
+        sl = slice(p * n_img, (p + 1) * n_img)
+        a2p = att2[sl].astype(att1_v.dtype)                 # (n_img, A)
+        r3 = jnp.maximum(att1_v + a2p[:, None, :], 0.0)     # relu
+        e = jax.lax.dot_general(
+            r3.astype(wdt), fullw_b,
+            dimension_numbers=(((2,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32)             # (n_img, P, 1)
+        e2 = e[:, :, 0] + fullb_ref[0, 0]                   # (n_img, P)
+        alpha = jax.nn.softmax(e2, axis=1)
+        ctx = jax.lax.dot_general(
+            alpha[:, None, :].astype(wdt), feat_v,
+            dimension_numbers=(((2,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32)[:, 0, :]    # (n_img, FS)
+        gate = jax.nn.sigmoid(
+            jnp.dot(h32[sl].astype(wdt), fbw_ref[:],
+                    preferred_element_type=jnp.float32) + fbb_ref[0, :])
+        gctx = gate * ctx
+        x_p = jnp.concatenate(
+            [x_ref[sl].astype(jnp.float32), gctx], axis=1)  # (n_img, E+FS)
+        xs.append(x_p)
+        alphas.append(alpha)
+    del n_pix
+    return jnp.concatenate(xs, axis=0), jnp.concatenate(alphas, axis=0)
+
+
+def _head_topk(h_b, cw_ref, cb_ref, *, ktop, v_tile, vocab):
+    rows = h_b.shape[0]
+    n_vt = vocab // v_tile
+    run_m = jnp.full((rows, 1), NEG, jnp.float32)
+    run_se = jnp.zeros((rows, 1), jnp.float32)
+    run_v = jnp.full((rows, ktop), NEG, jnp.float32)
+    run_i = jnp.zeros((rows, ktop), jnp.int32)
+    for j in range(n_vt):
+        logits = jnp.dot(h_b, cw_ref[:, j * v_tile:(j + 1) * v_tile],
+                         preferred_element_type=jnp.float32)
+        logits = logits + cb_ref[0, j * v_tile:(j + 1) * v_tile]
+        tile_max = jnp.max(logits, axis=1, keepdims=True)
+        m_new = jnp.maximum(run_m, tile_max)
+        run_se = run_se * jnp.exp(run_m - m_new) + jnp.sum(
+            jnp.exp(logits - m_new), axis=1, keepdims=True)
+        run_m = m_new
+        tv, ti = _row_topk(logits, j * v_tile, ktop)
+        run_v, run_i = _merge_topk(run_v, run_i, tv, ti, ktop)
+    return run_v - (run_m + jnp.log(run_se)), run_i
+
+
+def _factored_cell_block(x, c_prev, h_prev_b, refs, *, f_dim, h_dim, wdt):
+    vw, vb, sw, sb, uw, ub, ww, wb = refs
+    v_all = jnp.dot(x.astype(wdt), vw[:], preferred_element_type=jnp.float32)
+    w_all = jnp.dot(h_prev_b, ww[:], preferred_element_type=jnp.float32)
+    z = []
+    for g in range(4):
+        v_g = v_all[:, g * f_dim:(g + 1) * f_dim] + vb[g, :]
+        s_g = jnp.dot(v_g.astype(wdt), sw[g],
+                      preferred_element_type=jnp.float32) + sb[g, :]
+        u_g = jnp.dot(s_g.astype(wdt), uw[g],
+                      preferred_element_type=jnp.float32) + ub[g, :]
+        z.append(u_g + w_all[:, g * h_dim:(g + 1) * h_dim] + wb[g, :])
+    i_t = jax.nn.sigmoid(z[0])
+    f_t = jax.nn.sigmoid(z[1])
+    o_t = jax.nn.sigmoid(z[2])
+    g_t = jnp.tanh(z[3])
+    c_new = f_t * c_prev + i_t * g_t
+    return o_t * c_new, c_new          # h = o*c quirk (model.py:153)
+
+
+def _lstm_cell_block(x, c_prev, h_prev_b, refs, *, h_dim, wdt):
+    wih, whh, bih, bhh = refs
+    z = (jnp.dot(x.astype(wdt), wih[:], preferred_element_type=jnp.float32)
+         + bih[0, :]
+         + jnp.dot(h_prev_b, whh[:], preferred_element_type=jnp.float32)
+         + bhh[0, :])
+    i_t = jax.nn.sigmoid(z[:, 0 * h_dim:1 * h_dim])
+    f_t = jax.nn.sigmoid(z[:, 1 * h_dim:2 * h_dim])
+    g_t = jnp.tanh(z[:, 2 * h_dim:3 * h_dim])
+    o_t = jax.nn.sigmoid(z[:, 3 * h_dim:4 * h_dim])
+    c_new = f_t * c_prev + i_t * g_t
+    return o_t * jnp.tanh(c_new), c_new
+
+
+def _kernel(*refs, kind, k, n_img, f_dim, h_dim, ktop, v_tile, vocab):
+    n_cell = 8 if kind == "factored" else 4
+    (x_ref, h_ref, c_ref, feat_ref, att1_ref, decw_ref, decb_ref,
+     fullw_ref, fullb_ref, fbw_ref, fbb_ref) = refs[:N_COMMON]
+    cell_refs = refs[N_COMMON:N_COMMON + n_cell]
+    cw_ref, cb_ref = refs[N_COMMON + n_cell:N_COMMON + n_cell + 2]
+    (logp_ref, idx_ref, h_out_ref, c_out_ref,
+     alpha_ref) = refs[N_COMMON + n_cell + 2:]
+    wdt = cw_ref.dtype
+
+    x_full, alpha_full = _attend_block(
+        x_ref, h_ref, feat_ref, att1_ref, decw_ref, decb_ref,
+        fullw_ref, fullb_ref, fbw_ref, fbb_ref, k=k, n_img=n_img, wdt=wdt)
+    alpha_ref[:] = alpha_full.astype(alpha_ref.dtype)
+
+    c_prev = c_ref[:].astype(jnp.float32)
+    h_prev_b = h_ref[:].astype(wdt)
+    if kind == "factored":
+        h_new, c_new = _factored_cell_block(
+            x_full, c_prev, h_prev_b, cell_refs, f_dim=f_dim, h_dim=h_dim,
+            wdt=wdt)
+    else:
+        h_new, c_new = _lstm_cell_block(
+            x_full, c_prev, h_prev_b, cell_refs, h_dim=h_dim, wdt=wdt)
+    h_out_ref[:] = h_new.astype(h_out_ref.dtype)
+    c_out_ref[:] = c_new.astype(c_out_ref.dtype)
+
+    logp, idx = _head_topk(h_new.astype(wdt), cw_ref, cb_ref,
+                           ktop=ktop, v_tile=v_tile, vocab=vocab)
+    logp_ref[:] = logp
+    idx_ref[:] = idx
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("kind", "k", "ktop", "n_img_block", "v_tile",
+                     "interpret"))
+def fused_att_decode_step_topk(
+    cell_params: dict,       # factored: V/S(sliced)/U/W + C_w/C_b
+    att_params: dict,        # dec_w/dec_b/full_w/full_b (style-selected)
+    gate_params: dict,       # f_beta_w/f_beta_b
+    x_emb: jax.Array,        # (rows, E) prev-word embeddings, IMAGE-major
+    h: jax.Array,            # (rows, H)
+    c: jax.Array,            # (rows, H)
+    features: jax.Array,     # (n_img, P, FS) per-image spatial features
+    att1: jax.Array,         # (n_img, P, A) hoisted encoder projection
+    kind: str = "factored",
+    k: int = 5,
+    ktop: int = 5,
+    n_img_block: int = 32,
+    v_tile: int = 2048,
+    interpret: bool = False,
+) -> Tuple[jax.Array, jax.Array, jax.Array, jax.Array, jax.Array]:
+    """-> (logp_top (rows, ktop), idx_top, h', c', alpha (rows, P)).
+
+    Rows are image-major (image i's beam slots contiguous) as produced by
+    ``beam_search_batched``; the wrapper permutes to the kernel's beam-major
+    block layout and back.
+    """
+    rows, e_dim = x_emb.shape
+    n_img = rows // k
+    h_dim = h.shape[-1]
+    n_pix, fs = features.shape[1], features.shape[2]
+    a_dim = att1.shape[2]
+    wdt = cell_params["C_w"].dtype
+    vocab = cell_params["C_w"].shape[-1]
+    f_dim = cell_params["U_w"].shape[1] if kind == "factored" else h_dim
+
+    n_img_block = min(n_img_block, n_img)
+    if n_img % n_img_block:
+        n_img_block = n_img  # small calls: one block
+    n_blocks = n_img // n_img_block
+    rows_blk = n_img_block * k
+
+    # pad vocab to a v_tile multiple (bias -inf on padded cols)
+    v_tile = min(v_tile, -(-vocab // 128) * 128)
+    vp = -(-vocab // v_tile) * v_tile
+    cw, cb = cell_params["C_w"], cell_params["C_b"]
+    cb = cb.reshape(1, -1).astype(jnp.float32)
+    if vp != vocab:
+        cw = jnp.pad(cw, ((0, 0), (0, vp - vocab)))
+        cb = jnp.pad(cb, ((0, 0), (0, vp - vocab)), constant_values=float(NEG))
+
+    # image-major -> block-beam-major row permutation (static)
+    import numpy as np
+
+    perm = np.empty((rows,), np.int32)
+    r = 0
+    for ib in range(n_blocks):
+        for p in range(k):
+            for j in range(n_img_block):
+                perm[r] = (ib * n_img_block + j) * k + p
+                r += 1
+    inv = np.argsort(perm).astype(np.int32)
+    take = lambda a: jnp.take(a, perm, axis=0)   # noqa: E731
+    back = lambda a: jnp.take(a, inv, axis=0)    # noqa: E731
+
+    vmem = pltpu.VMEM
+    full = lambda *shape: pl.BlockSpec(  # noqa: E731
+        shape, lambda i: tuple([0] * len(shape)), memory_space=vmem)
+    row = lambda w: pl.BlockSpec((rows_blk, w), lambda i: (i, 0),  # noqa: E731
+                                 memory_space=vmem)
+    img3 = lambda p_, w: pl.BlockSpec(  # noqa: E731
+        (n_img_block, p_, w), lambda i: (i, 0, 0), memory_space=vmem)
+
+    in_specs = [
+        row(e_dim), row(h_dim), row(h_dim),
+        img3(n_pix, fs), img3(n_pix, a_dim),
+        full(h_dim, a_dim), full(1, a_dim),          # dec_w, dec_b
+        full(a_dim, 1), full(1, 1),                  # full_w, full_b
+        full(h_dim, fs), full(1, fs),                # f_beta
+    ]
+    if kind == "factored":
+        cell_in = [cell_params["V_w"], cell_params["V_b"],
+                   cell_params["S_w"], cell_params["S_b"],
+                   cell_params["U_w"], cell_params["U_b"],
+                   cell_params["W_w"], cell_params["W_b"]]
+        in_specs += [
+            full(e_dim + fs, 4 * f_dim), full(4, f_dim),
+            full(4, f_dim, f_dim), full(4, f_dim),
+            full(4, f_dim, h_dim), full(4, h_dim),
+            full(h_dim, 4 * h_dim), full(4, h_dim),
+        ]
+    else:
+        cell_in = [cell_params["W_ih"], cell_params["W_hh"],
+                   cell_params["b_ih"].reshape(1, -1),
+                   cell_params["b_hh"].reshape(1, -1)]
+        in_specs += [
+            full(e_dim + fs, 4 * h_dim), full(h_dim, 4 * h_dim),
+            full(1, 4 * h_dim), full(1, 4 * h_dim),
+        ]
+    in_specs += [full(h_dim, vp), full(1, vp)]       # head
+
+    out_specs = (row(ktop), row(ktop), row(h_dim), row(h_dim), row(n_pix))
+    out_shape = (
+        jax.ShapeDtypeStruct((rows, ktop), jnp.float32),
+        jax.ShapeDtypeStruct((rows, ktop), jnp.int32),
+        jax.ShapeDtypeStruct((rows, h_dim), h.dtype),
+        jax.ShapeDtypeStruct((rows, h_dim), c.dtype),
+        jax.ShapeDtypeStruct((rows, n_pix), jnp.float32),
+    )
+    kernel = functools.partial(
+        _kernel, kind=kind, k=k, n_img=n_img_block, f_dim=f_dim,
+        h_dim=h_dim, ktop=ktop, v_tile=v_tile, vocab=vp)
+    call = pl.pallas_call(
+        kernel,
+        grid=(n_blocks,),
+        in_specs=in_specs,
+        out_specs=out_specs,
+        out_shape=out_shape,
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=110 * 1024 * 1024),
+        interpret=interpret,
+    )
+    outs = call(take(x_emb), take(h), take(c),
+                features.astype(wdt), att1.astype(wdt),
+                att_params["dec_w"], att_params["dec_b"].reshape(1, -1),
+                att_params["full_w"].reshape(-1, 1),
+                # f32: Mosaic only supports 32-bit scalar vector.extracts
+                att_params["full_b"].reshape(1, 1).astype(jnp.float32),
+                gate_params["f_beta_w"], gate_params["f_beta_b"].reshape(1, -1),
+                *cell_in, cw, cb)
+    logp, idx, h2, c2, alpha = outs
+    return back(logp), back(idx), back(h2), back(c2), back(alpha)

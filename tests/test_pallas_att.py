@@ -1,0 +1,148 @@
+"""Fused attention decode-step kernel vs the XLA attention oracles
+(interpret mode on CPU; compiled on TPU by cli/evaluate.py)."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from icee_tpu.core.config import AttentionDecoderConfig
+from icee_tpu.models import attention as att_mod
+from icee_tpu.models import factored_lstm as fl
+from icee_tpu.ops.pallas_att_decode import fused_att_decode_step_topk
+
+CFG = AttentionDecoderConfig(vocab_size=300, embed_size=16, hidden_size=24,
+                             factored_size=24, attention_size=20,
+                             feature_size=32)
+B, K, P = 6, 4, 9  # images, beam width, spatial positions
+
+
+def _rows(rng, shape):
+    return jnp.asarray(rng.standard_normal(shape).astype(np.float32))
+
+
+@pytest.mark.parametrize("style", [0, 3])
+def test_factored_att_step_matches_oracle(rng, style):
+    params = att_mod.init_factored_att_params(jax.random.PRNGKey(0), CFG)
+    style = jnp.asarray(style)
+    rows = B * K
+    x = _rows(rng, (rows, CFG.embed_size))
+    h = _rows(rng, (rows, CFG.hidden_size))
+    c = _rows(rng, (rows, CFG.hidden_size))
+    feats = _rows(rng, (B, P, CFG.feature_size))
+
+    att = att_mod._select_attention(params["attention"], style)
+    att1 = feats @ att["enc_w"] + att["enc_b"]
+
+    # oracle: per-row features (each image's beams share features)
+    feats_rows = jnp.repeat(feats, K, axis=0)
+    att1_rows = jnp.repeat(att1, K, axis=0)
+    logits, alpha_o, (h_o, c_o) = att_mod.factored_att_decode_step(
+        params, x, feats_rows, (h, c), style, att1=att1_rows)
+    logp_o = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
+    want_v, want_i = jax.lax.top_k(logp_o, K)
+
+    cell = {k_: params[k_] for k_ in
+            ("V_w", "V_b", "U_w", "U_b", "W_w", "W_b", "C_w", "C_b")}
+    cell["S_w"] = params["S_w"][style]
+    cell["S_b"] = params["S_b"][style]
+    gate = {"f_beta_w": params["f_beta_w"], "f_beta_b": params["f_beta_b"]}
+    got_v, got_i, got_h, got_c, got_a = fused_att_decode_step_topk(
+        cell, att, gate, x, h, c, feats, att1, kind="factored", k=K,
+        ktop=K, n_img_block=3, v_tile=128, interpret=True)
+
+    np.testing.assert_array_equal(np.asarray(got_i), np.asarray(want_i))
+    np.testing.assert_allclose(np.asarray(got_v), np.asarray(want_v),
+                               rtol=1e-4, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(got_h), np.asarray(h_o),
+                               rtol=1e-4, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(got_c), np.asarray(c_o),
+                               rtol=1e-4, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(got_a), np.asarray(alpha_o),
+                               rtol=1e-4, atol=1e-5)
+
+
+def test_rnn_att_step_matches_oracle(rng):
+    params = att_mod.init_rnn_att_params(jax.random.PRNGKey(1), CFG)
+    rows = B * K
+    x = _rows(rng, (rows, CFG.embed_size))
+    h = _rows(rng, (rows, CFG.hidden_size))
+    c = _rows(rng, (rows, CFG.hidden_size))
+    feats = _rows(rng, (B, P, CFG.feature_size))
+
+    att = params["attention"]
+    att1 = feats @ att["enc_w"] + att["enc_b"]
+    feats_rows = jnp.repeat(feats, K, axis=0)
+    att1_rows = jnp.repeat(att1, K, axis=0)
+    logits, alpha_o, (h_o, c_o) = att_mod.rnn_att_decode_step(
+        params, x, feats_rows, (h, c), att1=att1_rows)
+    logp_o = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
+    want_v, want_i = jax.lax.top_k(logp_o, K)
+
+    cell = dict(params["cell"])
+    cell["C_w"] = params["linear_w"]
+    cell["C_b"] = params["linear_b"]
+    gate = {"f_beta_w": params["f_beta_w"], "f_beta_b": params["f_beta_b"]}
+    got_v, got_i, got_h, got_c, got_a = fused_att_decode_step_topk(
+        cell, att, gate, x, h, c, feats, att1, kind="lstm", k=K,
+        ktop=K, n_img_block=2, v_tile=128, interpret=True)
+
+    np.testing.assert_array_equal(np.asarray(got_i), np.asarray(want_i))
+    np.testing.assert_allclose(np.asarray(got_v), np.asarray(want_v),
+                               rtol=1e-4, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(got_h), np.asarray(h_o),
+                               rtol=1e-4, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(got_a), np.asarray(alpha_o),
+                               rtol=1e-4, atol=1e-5)
+
+
+def test_fused_att_beam_matches_xla_beam(rng):
+    """End-to-end: beam_search_batched with the fused att step produces the
+    same captions as the pure-XLA attention beam."""
+    from icee_tpu.decode.beam import beam_search_batched
+
+    params = att_mod.init_factored_att_params(jax.random.PRNGKey(2), CFG)
+    style = jnp.asarray(1)
+    steps = 6
+    feats = _rows(rng, (B, P, CFG.feature_size))
+    att = att_mod._select_attention(params["attention"], style)
+    att1 = feats @ att["enc_w"] + att["enc_b"]
+    feats_k = jnp.repeat(feats, K, axis=0)
+    att1_k = jnp.repeat(att1, K, axis=0)
+
+    def xla_step(x, s):
+        logits, _, s2 = att_mod.factored_att_decode_step(
+            params, x, feats_k, s, style, att1=att1_k)
+        return logits, s2
+
+    want = beam_search_batched(
+        embed_fn=lambda t: fl.embed(params, t),
+        step_fn=xla_step,
+        init_model_state=att_mod.init_hidden_state(params, feats_k),
+        start_token=1, end_token=2, k=K, max_seq_length=steps,
+        vocab_size=CFG.vocab_size, batch=B)
+
+    cell = {k_: params[k_] for k_ in
+            ("V_w", "V_b", "U_w", "U_b", "W_w", "W_b", "C_w", "C_b")}
+    cell["S_w"] = params["S_w"][style]
+    cell["S_b"] = params["S_b"][style]
+    gate = {"f_beta_w": params["f_beta_w"], "f_beta_b": params["f_beta_b"]}
+
+    def fused_step(x, s):
+        h, c = s
+        v, i, h2, c2, _ = fused_att_decode_step_topk(
+            cell, att, gate, x, h, c, feats, att1, kind="factored", k=K,
+            ktop=K, n_img_block=3, v_tile=128, interpret=True)
+        return v, i, (h2, c2)
+
+    got = beam_search_batched(
+        embed_fn=lambda t: fl.embed(params, t),
+        step_fn=None,
+        init_model_state=att_mod.init_hidden_state(params, feats_k),
+        start_token=1, end_token=2, k=K, max_seq_length=steps,
+        vocab_size=CFG.vocab_size, batch=B, step_topk_fn=fused_step)
+
+    np.testing.assert_array_equal(np.asarray(got.tokens),
+                                  np.asarray(want.tokens))
+    np.testing.assert_array_equal(np.asarray(got.length),
+                                  np.asarray(want.length))

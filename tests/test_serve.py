@@ -113,12 +113,30 @@ def test_engine_error_returns_500_with_text(tmp_path):
 
 
 def test_static_frontend_served(server):
+    """Full SPA client: every Main.vue UI state must be present
+    (app/frontend/src/components/Main.vue:1-187)."""
     base, _, _ = server
     with urllib.request.urlopen(f"{base}/") as r:
         html = r.read().decode()
-    assert "Indonesian Emotional Image Captioning" in html
+    assert "Image Captioning with Emotion" in html       # jumbotron title
+    for mode in ("factual", "happy", "sad", "angry"):    # 4-mode radios
+        assert f'value="{mode}"' in html
+    for row in ("nic", "nic_att", "stylenet", "stylenet_att"):
+        assert f'id="{row}"' in html                     # 4 result rows
+    for badge in ("NIC", "NIC+Att", "StyleNet", "StyleNet+Att"):
+        assert f">{badge}</span>" in html                # row badges
+    assert 'id="status"' in html and "badge-secondary" in html
+    assert 'id="filename"' in html                       # custom-file label
     with urllib.request.urlopen(f"{base}/index.js") as r:
-        assert "generate?mode=" in r.read().decode()
+        js = r.read().decode()
+    assert "generate?mode=" in js
+    # the 4 status-badge states of Main.vue:92-97
+    for st, cls in (("loading...", "badge-primary"),
+                    ("error", "badge-danger"),
+                    ("done!", "badge-success")):
+        assert st in js and cls in js
+    assert "window.alert" in js                          # error alert contract
+    assert "data:image/svg+xml" in js                    # SVG placeholder
 
 
 def test_dotenv_and_config(tmp_path, monkeypatch):

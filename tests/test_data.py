@@ -143,3 +143,48 @@ def test_styled_caption_loader(tiny_vocab):
     assert batches[0].images is None
     assert batches[0].captions.shape == (2, 6)
     assert batches[1].sample_mask.tolist() == [True, False]
+
+
+def test_word_tokenize_adversarial_goldens():
+    """Divergence-demonstrating cases for the Punkt substitute
+    (VERDICT r1 weak #7).  The regex sentence splitter differs from Punkt
+    on abbreviation-final periods ("Mr.", "dkk.", "u.s.a.") — Punkt's
+    learned model keeps those inside one sentence, the substitute splits.
+    These goldens PIN the substitute's actual behavior so any change is
+    deliberate, and the companion test shows why the corpus can't hit them.
+    """
+    from icee_tpu.data.tokenize import sent_split, word_tokenize
+
+    # abbreviation trap: Punkt would yield ['Mr.', ...]; the substitute
+    # splits after "Mr." and the word tokenizer then severs its period
+    assert sent_split("Mr. Smith berlari cepat.") == \
+        ["Mr.", "Smith berlari cepat."]
+    assert word_tokenize("Mr. Smith berlari cepat.") == \
+        ["Mr", ".", "Smith", "berlari", "cepat", "."]
+    assert word_tokenize("dr. budi dkk. pergi") == \
+        ["dr", ".", "budi", "dkk", ".", "pergi"]
+    # but NOTE: on multi-sentence text the substitute is MORE correct than
+    # skipping the split (tokenizing as one sentence keeps 'berlari.')
+    assert word_tokenize("anjing berlari. kucing tidur.") == \
+        ["anjing", "berlari", ".", "kucing", "tidur", "."]
+
+
+def test_word_tokenize_corpus_shape_is_immune():
+    """Why the traps above can't fire on the reference corpus: build_vocab
+    strips ALL periods before tokenizing (stylenet/build_vocab.py:39) and
+    captions are single lowercase sentences — so sent_split is a no-op and
+    word_tokenize reduces to the data-free NLTKWordTokenizer verbatim."""
+    from nltk.tokenize.destructive import NLTKWordTokenizer
+
+    from icee_tpu.data.tokenize import sent_split, word_tokenize
+
+    ref = NLTKWordTokenizer()
+    corpus_like = [
+        "seekor anjing hitam berlari di rumput",   # periods pre-stripped
+        "dua orang anak bermain bola dengan senang",
+        "mr smith berlari cepat",                  # even 'mr': no period
+        "anjing, kucing, dan burung bermain bersama",
+    ]
+    for text in corpus_like:
+        assert sent_split(text) == [text]          # split is a no-op
+        assert word_tokenize(text) == ref.tokenize(text)

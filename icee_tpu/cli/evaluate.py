@@ -37,7 +37,10 @@ def evaluate(dec_params, head, cfg, vocab, dataset, provider, mode_idx,
         # kernel (re-attend + gate + cell + head + top-k in one pallas_call,
         # ops/pallas_att_decode.py) on TPU, falling back to per-step XLA.
         from icee_tpu.decode.beam import beam_search_batched
-        from icee_tpu.ops.pallas_att_decode import fused_att_decode_step_topk
+        from icee_tpu.ops.pallas_att_decode import (
+            fused_att_decode_step_topk,
+            mega_att_beam_decode,
+        )
 
         att = att_mod._select_attention(dec_params["attention"], style)
         cell = {k_: dec_params[k_] for k_ in
@@ -47,7 +50,18 @@ def evaluate(dec_params, head, cfg, vocab, dataset, provider, mode_idx,
         gate = {"f_beta_w": dec_params["f_beta_w"],
                 "f_beta_b": dec_params["f_beta_b"]}
 
-        def make_batched(fused):
+        def make_batched(path):
+            if path == "mega":
+                # whole-search kernel: features VMEM-resident across steps
+                def run_mega(spatial):
+                    return mega_att_beam_decode(
+                        dec_params, spatial, style, batch_size,
+                        start_token=vocab.start, end_token=vocab.end, k=k,
+                        max_seq_length=cfg.max_seq_length, n_img_block=16,
+                        v_tile=2048)
+                return jax.jit(run_mega)
+            fused = path == "fused"
+
             def run(spatial):  # (batch, P, FS)
                 att1 = spatial @ att["enc_w"] + att["enc_b"]
                 feats_k = jnp.repeat(spatial, k, axis=0)
@@ -86,8 +100,23 @@ def evaluate(dec_params, head, cfg, vocab, dataset, provider, mode_idx,
         # step kernel is used when it compiles (bench.py's fast path).
         from icee_tpu.decode.beam import beam_search_batched
         from icee_tpu.ops.pallas_decode import fused_decode_step_topk
+        from icee_tpu.ops.pallas_beam import mega_beam_decode
 
-        def make_batched(fused):
+        def make_batched(path):
+            if path == "mega":
+                def run_mega(feats):
+                    return mega_beam_decode(
+                        dec_params,
+                        (jnp.tile(feats[:, None, :], (1, k, 1))
+                         if feed_feature else None),
+                        style, batch_size, start_token=vocab.start,
+                        end_token=vocab.end, k=k,
+                        max_seq_length=cfg.max_seq_length, n_img_block=64,
+                        v_tile=2048, n_streams=2,
+                        feed_feature=feed_feature)
+                return jax.jit(run_mega)
+            fused = path == "fused"
+
             def topk_step(x, state):
                 h, c = state
                 vals, idx, h2, c2 = fused_decode_step_topk(
@@ -117,9 +146,9 @@ def evaluate(dec_params, head, cfg, vocab, dataset, provider, mode_idx,
 
     def decode(feats):
         if _state["fn"] is None:
-            for fused in (True, False):
+            for path in ("mega", "fused", "xla"):
                 try:
-                    f = make_batched(fused)
+                    f = make_batched(path)
                     jax.block_until_ready(f(feats).tokens)
                     _state["fn"] = f
                     break

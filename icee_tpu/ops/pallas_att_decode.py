@@ -300,3 +300,215 @@ def fused_att_decode_step_topk(
                 *cell_in, cw, cb)
     logp, idx, h2, c2, alpha = outs
     return back(logp), back(idx), back(h2), back(c2), back(alpha)
+
+
+# ---------------------------------------------------------------------------
+# Attention MEGA kernel: the whole attention beam search in ONE pallas_call
+# ---------------------------------------------------------------------------
+
+def _mega_att_kernel(feat_ref, att1_ref, emb_ref,
+                     decw_ref, decb_ref, fullw_ref, fullb_ref,
+                     fbw_ref, fbb_ref, ihw_ref, ihb_ref, icw_ref, icb_ref,
+                     vw_ref, vb_ref, sw_ref, sb_ref, uw_ref, ub_ref,
+                     ww_ref, wb_ref, cw_ref, cb_ref,
+                     tok_ref, len_ref, score_ref,
+                     h_scr, c_scr, embx_scr, seqs_scr, scores_scr,
+                     alive_scr, done_scr,
+                     *, k: int, n_img: int, f_dim: int, h_dim: int,
+                     e_dim: int, v_tile: int, vocab: int, max_len: int,
+                     start_token: int, end_token: int):
+    """Grid ``(n_blocks, T+1)``: per-image spatial features and the hoisted
+    encoder projection stay VMEM-resident across ALL steps (the per-step
+    fused kernel re-reads ~1 MB/image from HBM every step — the dominant
+    cost it leaves on the table).  Rows beam-major; state/select logic is
+    ``pallas_beam._beam_select`` verbatim."""
+    from icee_tpu.ops.pallas_beam import _beam_select
+
+    t = pl.program_id(1)
+    rows = n_img * k
+    n_vt = vocab // v_tile
+    wdt = cw_ref.dtype
+
+    @pl.when(t == 0)
+    def _init():
+        col_l = jax.lax.broadcasted_iota(jnp.int32, (rows, max_len), 1)
+        seqs_scr[:] = jnp.where(col_l == 0, start_token, end_token)
+        # h/c from the mean spatial feature (model_att.py:185-194); rounded
+        # through the weight dtype like the XLA beam state
+        mean = jnp.mean(feat_ref[:].astype(jnp.float32), axis=1).astype(wdt)
+        h0 = (jnp.dot(mean, ihw_ref[:], preferred_element_type=jnp.float32)
+              + ihb_ref[0, :]).astype(wdt).astype(jnp.float32)
+        c0 = (jnp.dot(mean, icw_ref[:], preferred_element_type=jnp.float32)
+              + icb_ref[0, :]).astype(wdt).astype(jnp.float32)
+        h_scr[:] = jnp.concatenate([h0] * k, axis=0)
+        c_scr[:] = jnp.concatenate([c0] * k, axis=0)
+        # research-style step 1: embed <start> (no feature input)
+        embx_scr[:] = jnp.broadcast_to(
+            emb_ref[start_token, :].astype(jnp.float32), (rows, e_dim))
+        scores_scr[:] = jnp.zeros_like(scores_scr)
+        alive_scr[:] = jnp.ones_like(alive_scr)
+        tok_ref[:] = jnp.full_like(tok_ref, end_token)
+        len_ref[:] = jnp.ones_like(len_ref)
+        score_ref[:] = jnp.full_like(score_ref, NEG)
+        done_scr[0, 0] = 0
+
+    @pl.when(done_scr[0, 0] == 0)
+    def _step():
+        is_first = t == 0
+        x_full, _ = _attend_block(
+            embx_scr, h_scr, feat_ref, att1_ref, decw_ref, decb_ref,
+            fullw_ref, fullb_ref, fbw_ref, fbb_ref,
+            k=k, n_img=n_img, wdt=wdt)
+        c_prev = c_scr[:]
+        h_prev_b = h_scr[:].astype(wdt)
+        h_new, c_new = _factored_cell_block(
+            x_full, c_prev, h_prev_b,
+            (vw_ref, vb_ref, sw_ref, sb_ref, uw_ref, ub_ref, ww_ref, wb_ref),
+            f_dim=f_dim, h_dim=h_dim, wdt=wdt)
+        logp_top, idx_top = _head_topk(h_new.astype(wdt), cw_ref, cb_ref,
+                                       ktop=k, v_tile=v_tile, vocab=vocab)
+        rank = jax.lax.broadcasted_iota(jnp.int32, (n_img, k), 1)
+        words = _beam_select(
+            t, is_first, logp_top, idx_top, h_new, c_new,
+            tok_ref, len_ref, score_ref,
+            h_scr, c_scr, seqs_scr, scores_scr, alive_scr,
+            k=k, n_img=n_img, h_dim=h_dim, max_len=max_len,
+            end_token=end_token, wdt=wdt, rank=rank)
+        done_scr[0, 0] = (jnp.sum(alive_scr[:]) == 0).astype(jnp.int32)
+
+        # next word embedding: one-hot matmul over vocab tiles (exact)
+        flat_w = jnp.concatenate(
+            [jnp.sum(jnp.where(rank == q, words, 0), axis=1, keepdims=True)
+             for q in range(k)], axis=0)                    # (rows, 1)
+        x_new = jnp.zeros((rows, e_dim), jnp.float32)
+        for j in range(n_vt):
+            col_v = j * v_tile + jax.lax.broadcasted_iota(
+                jnp.int32, (rows, v_tile), 1)
+            onehot = (col_v == flat_w).astype(wdt)
+            x_new = x_new + jnp.dot(
+                onehot, emb_ref[j * v_tile:(j + 1) * v_tile, :],
+                preferred_element_type=jnp.float32)
+        embx_scr[:] = x_new
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("batch", "start_token", "end_token", "k",
+                     "max_seq_length", "n_img_block", "v_tile", "interpret"))
+def mega_att_beam_decode(
+    params: dict,            # full factored-attention params (stacked styles)
+    features: jax.Array,     # (B, P, FS) per-image spatial features
+    style: jax.Array,
+    batch: int,
+    start_token: int = 1,
+    end_token: int = 2,
+    k: int = 5,
+    max_seq_length: int = 40,
+    n_img_block: int = 16,
+    v_tile: int = 2048,
+    interpret: bool = False,
+):
+    """Whole attention-beam-search-in-one-kernel decode (StyleNet+Att).
+
+    Token-identical to ``beam_search_batched`` over
+    ``factored_att_decode_step`` (research semantics: step 1 embeds
+    ``<start>``); returns :class:`BeamResult` with a leading batch dim.
+    """
+    from icee_tpu.decode.beam import BeamResult
+    from icee_tpu.models.attention import _select_attention
+
+    emb = params["B"]
+    vocab, e_dim = emb.shape
+    h_dim = params["W_w"].shape[0]
+    f_dim = params["U_w"].shape[1]
+    wdt = params["C_w"].dtype
+    max_len = max_seq_length + 2
+    n_pix, fs = features.shape[1], features.shape[2]
+
+    n_img_block = min(n_img_block, batch)
+    bp = -(-batch // n_img_block) * n_img_block
+    n_blocks = bp // n_img_block
+    rows_blk = n_img_block * k
+
+    v_tile = min(v_tile, -(-vocab // 128) * 128)
+    vp = -(-vocab // v_tile) * v_tile
+    cw = params["C_w"]
+    cb = params["C_b"].reshape(1, -1).astype(jnp.float32)
+    if vp != vocab:
+        cw = jnp.pad(cw, ((0, 0), (0, vp - vocab)))
+        cb = jnp.pad(cb, ((0, 0), (0, vp - vocab)),
+                     constant_values=float(NEG))
+        emb = jnp.pad(emb, ((0, vp - vocab), (0, 0)))
+
+    feats = features.astype(wdt)
+    if bp != batch:
+        feats = jnp.pad(feats, ((0, bp - batch), (0, 0), (0, 0)))
+    att = _select_attention(params["attention"], style)
+    att1 = (feats @ att["enc_w"] + att["enc_b"]).astype(wdt)
+    a_dim = att1.shape[2]
+    s_w = jnp.take(params["S_w"], style, axis=0)
+    s_b = jnp.take(params["S_b"], style, axis=0)
+
+    vmem = pltpu.VMEM
+    full = lambda *shape: pl.BlockSpec(  # noqa: E731
+        shape, lambda i, t: tuple([0] * len(shape)), memory_space=vmem)
+    img3 = lambda p_, w: pl.BlockSpec(  # noqa: E731
+        (n_img_block, p_, w), lambda i, t: (i, 0, 0), memory_space=vmem)
+    img = lambda w: pl.BlockSpec((n_img_block, w), lambda i, t: (i, 0),  # noqa: E731
+                                 memory_space=vmem)
+
+    kernel = functools.partial(
+        _mega_att_kernel, k=k, n_img=n_img_block, f_dim=f_dim, h_dim=h_dim,
+        e_dim=e_dim, v_tile=v_tile, vocab=vp, max_len=max_len,
+        start_token=start_token, end_token=end_token)
+    out_shape = (
+        jax.ShapeDtypeStruct((bp, max_len), jnp.int32),
+        jax.ShapeDtypeStruct((bp, 1), jnp.int32),
+        jax.ShapeDtypeStruct((bp, 1), jnp.float32),
+    )
+    call = pl.pallas_call(
+        kernel,
+        grid=(n_blocks, max_seq_length + 1),
+        in_specs=[
+            img3(n_pix, fs), img3(n_pix, a_dim),
+            full(vp, e_dim),
+            full(h_dim, a_dim), full(1, a_dim),
+            full(a_dim, 1), full(1, 1),
+            full(h_dim, fs), full(1, fs),
+            full(fs, h_dim), full(1, h_dim),      # init_h
+            full(fs, h_dim), full(1, h_dim),      # init_c
+            full(e_dim + fs, 4 * f_dim), full(4, f_dim),
+            full(4, f_dim, f_dim), full(4, f_dim),
+            full(4, f_dim, h_dim), full(4, h_dim),
+            full(h_dim, 4 * h_dim), full(4, h_dim),
+            full(h_dim, vp), full(1, vp),
+        ],
+        out_specs=(img(max_len), img(1), img(1)),
+        scratch_shapes=[
+            pltpu.VMEM((rows_blk, h_dim), jnp.float32),
+            pltpu.VMEM((rows_blk, h_dim), jnp.float32),
+            pltpu.VMEM((rows_blk, e_dim), jnp.float32),
+            pltpu.VMEM((rows_blk, max_len), jnp.int32),
+            pltpu.VMEM((n_img_block, k), jnp.float32),
+            pltpu.VMEM((n_img_block, k), jnp.int32),
+            pltpu.SMEM((1, 1), jnp.int32),
+        ],
+        out_shape=out_shape,
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=110 * 1024 * 1024),
+        interpret=interpret,
+    )
+    tokens, lengths, scores = call(
+        feats, att1, emb,
+        att["dec_w"], att["dec_b"].reshape(1, -1),
+        att["full_w"].reshape(-1, 1),
+        att["full_b"].reshape(1, 1).astype(jnp.float32),
+        params["f_beta_w"], params["f_beta_b"].reshape(1, -1),
+        params["init_h_w"], params["init_h_b"].reshape(1, -1),
+        params["init_c_w"], params["init_c_b"].reshape(1, -1),
+        params["V_w"], params["V_b"], s_w, s_b,
+        params["U_w"], params["U_b"], params["W_w"], params["W_b"],
+        cw, cb)
+    return BeamResult(tokens=tokens[:batch],
+                      length=lengths[:batch, 0],
+                      score=scores[:batch, 0])

@@ -146,3 +146,43 @@ def test_fused_att_beam_matches_xla_beam(rng):
                                   np.asarray(want.tokens))
     np.testing.assert_array_equal(np.asarray(got.length),
                                   np.asarray(want.length))
+
+
+def test_mega_att_beam_matches_xla_beam(rng):
+    """The whole-search attention kernel must match the XLA attention beam
+    token-exactly (research semantics, batch padding exercised)."""
+    from icee_tpu.decode.beam import beam_search_batched
+    from icee_tpu.ops.pallas_att_decode import mega_att_beam_decode
+
+    params = att_mod.init_factored_att_params(jax.random.PRNGKey(4), CFG)
+    style = jnp.asarray(2)
+    steps, batch = 7, 5          # batch 5 with block 3 -> padded to 6
+    feats = _rows(rng, (batch, P, CFG.feature_size))
+
+    att = att_mod._select_attention(params["attention"], style)
+    att1 = feats @ att["enc_w"] + att["enc_b"]
+    feats_k = jnp.repeat(feats, K, axis=0)
+    att1_k = jnp.repeat(att1, K, axis=0)
+
+    def xla_step(x, s):
+        logits, _, s2 = att_mod.factored_att_decode_step(
+            params, x, feats_k, s, style, att1=att1_k)
+        return logits, s2
+
+    want = beam_search_batched(
+        embed_fn=lambda t: fl.embed(params, t),
+        step_fn=xla_step,
+        init_model_state=att_mod.init_hidden_state(params, feats_k),
+        start_token=1, end_token=2, k=K, max_seq_length=steps,
+        vocab_size=CFG.vocab_size, batch=batch)
+
+    got = mega_att_beam_decode(
+        params, feats, style, batch, start_token=1, end_token=2, k=K,
+        max_seq_length=steps, n_img_block=3, v_tile=128, interpret=True)
+
+    np.testing.assert_array_equal(np.asarray(got.tokens),
+                                  np.asarray(want.tokens))
+    np.testing.assert_array_equal(np.asarray(got.length),
+                                  np.asarray(want.length))
+    np.testing.assert_allclose(np.asarray(got.score), np.asarray(want.score),
+                               rtol=1e-5, atol=1e-5)

@@ -105,6 +105,38 @@ def bench_decode(jax, jnp, dec, feats_stack, style):
     raise RuntimeError("no decode path compiled")
 
 
+ATT_BATCH, ATT_PIX = 64, 196
+
+
+def bench_att_decode(jax, jnp):
+    """Attention-family decode via the attention MEGA kernel
+    (``ops/pallas_att_decode.py``); returns ms/batch of ATT_BATCH images."""
+    from icee_tpu.core.config import AttentionDecoderConfig
+    from icee_tpu.models import attention as att_mod
+    from icee_tpu.ops.pallas_att_decode import mega_att_beam_decode
+
+    cfg = AttentionDecoderConfig(
+        vocab_size=V, embed_size=E, hidden_size=H, factored_size=F,
+        attention_size=512, feature_size=2048, max_seq_length=MAX_STEPS)
+    params = att_mod.init_factored_att_params(jax.random.PRNGKey(0), cfg)
+    params = jax.tree_util.tree_map(lambda x: x.astype(jnp.bfloat16), params)
+    rng = np.random.default_rng(0)
+    stack = jnp.asarray(
+        rng.standard_normal((PIPELINE, ATT_BATCH, ATT_PIX, 2048)),
+        jnp.bfloat16)
+    style = jnp.asarray(1)
+
+    def run(ft):
+        return mega_att_beam_decode(
+            params, ft, style, ATT_BATCH, k=K, max_seq_length=MAX_STEPS,
+            n_img_block=16, v_tile=2048).tokens
+
+    many = jax.jit(lambda fs: jax.lax.map(run, fs))
+    np.asarray(many(stack))  # compile + warmup
+    med, _ = _median_per_batch(many, stack, PIPELINE)
+    return med
+
+
 def bench_train(jax, jnp, fused_scan):
     import optax
 
@@ -174,6 +206,13 @@ def main():
     cps = BATCH / med
 
     try:
+        att_med = bench_att_decode(jax, jnp)
+        att_cps = ATT_BATCH / att_med
+    except Exception as e:
+        print(f"# attention mega decode unavailable ({type(e).__name__})")
+        att_cps = None
+
+    try:
         train_fused_ms = bench_train(jax, jnp, fused_scan=True) * 1e3
     except Exception as e:
         print(f"# fused train scan unavailable ({type(e).__name__})")
@@ -192,6 +231,8 @@ def main():
         "decode_path": path,
         "decode_ms": round(med * 1e3, 2),
         "decode_ms_best": round(best * 1e3, 2),
+        "att_decode_captions_per_sec": (None if att_cps is None
+                                        else round(att_cps, 2)),
         "train_step_ms_fused": (None if train_fused_ms is None
                                 else round(train_fused_ms, 2)),
         "train_step_ms_xla": (None if train_xla_ms is None

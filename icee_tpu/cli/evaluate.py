@@ -20,141 +20,41 @@ import numpy as np
 def evaluate(dec_params, head, cfg, vocab, dataset, provider, mode_idx,
              batch_size=64, k=5, print_pairs=True, attention=False,
              feed_feature=False):
-    import jax
     import jax.numpy as jnp
 
-    from icee_tpu.models import attention as att_mod
     from icee_tpu.models import encoder as enc_mod
-    from icee_tpu.models import factored_lstm as fl
     from icee_tpu.evaluation.bleu import bleu_1_to_4
 
     style = jnp.asarray(mode_idx)
 
+    # Decode-path candidate chain (shared with bench.py): the MEGA kernel
+    # (whole beam search in one pallas_call) -> per-step fused kernel ->
+    # pure-XLA beam.  Attention targets the reference evaluator's
+    # DecoderFactoredLSTMAtt (evaluator.py:33-56); the default non-attention
+    # path reproduces the research sample() semantics (feature never fed,
+    # stylenet/model.py:224-227) unless --feed_feature opts into the
+    # serving semantics (app/backend/model.py:414-417).
+    from icee_tpu.decode import fast
+
     if attention:
-        # the reference evaluator targets the attention model
-        # (evaluator.py:33-56 loads DecoderFactoredLSTMAtt).  Decoding runs
-        # the natively-batched beam driven by the FUSED attention step
-        # kernel (re-attend + gate + cell + head + top-k in one pallas_call,
-        # ops/pallas_att_decode.py) on TPU, falling back to per-step XLA.
-        from icee_tpu.decode.beam import beam_search_batched
-        from icee_tpu.ops.pallas_att_decode import (
-            fused_att_decode_step_topk,
-            mega_att_beam_decode,
-        )
-
-        att = att_mod._select_attention(dec_params["attention"], style)
-        cell = {k_: dec_params[k_] for k_ in
-                ("V_w", "V_b", "U_w", "U_b", "W_w", "W_b", "C_w", "C_b")}
-        cell["S_w"] = jnp.take(dec_params["S_w"], style, axis=0)
-        cell["S_b"] = jnp.take(dec_params["S_b"], style, axis=0)
-        gate = {"f_beta_w": dec_params["f_beta_w"],
-                "f_beta_b": dec_params["f_beta_b"]}
-
-        def make_batched(path):
-            if path == "mega":
-                # whole-search kernel: features VMEM-resident across steps
-                def run_mega(spatial):
-                    return mega_att_beam_decode(
-                        dec_params, spatial, style, batch_size,
-                        start_token=vocab.start, end_token=vocab.end, k=k,
-                        max_seq_length=cfg.max_seq_length, n_img_block=16,
-                        v_tile=2048)
-                return jax.jit(run_mega)
-            fused = path == "fused"
-
-            def run(spatial):  # (batch, P, FS)
-                att1 = spatial @ att["enc_w"] + att["enc_b"]
-                feats_k = jnp.repeat(spatial, k, axis=0)
-                att1_k = jnp.repeat(att1, k, axis=0)
-
-                def topk_step(x, s):
-                    h, c = s
-                    v, i, h2, c2, _ = fused_att_decode_step_topk(
-                        cell, att, gate, x, h, c, spatial, att1,
-                        kind="factored", k=k, ktop=k, n_img_block=16,
-                        v_tile=2048)
-                    return v, i, (h2, c2)
-
-                def xla_step(x, s):
-                    logits, _, s2 = att_mod.factored_att_decode_step(
-                        dec_params, x, feats_k, s, style, att1=att1_k)
-                    return logits, s2
-
-                return beam_search_batched(
-                    embed_fn=lambda t: fl.embed(dec_params, t),
-                    step_fn=None if fused else xla_step,
-                    init_model_state=att_mod.init_hidden_state(dec_params,
-                                                               feats_k),
-                    start_token=vocab.start, end_token=vocab.end, k=k,
-                    max_seq_length=cfg.max_seq_length,
-                    vocab_size=cfg.vocab_size, batch=batch_size,
-                    step_topk_fn=topk_step if fused else None)
-
-            return jax.jit(run)
+        candidates = fast.attention_candidates(
+            dec_params, style, batch_size, k, cfg.max_seq_length,
+            cfg.vocab_size, vocab.start, vocab.end)
+        prep = lambda feats: feats                               # noqa: E731
     else:
-        # default reproduces the reference evaluator's research sample(),
-        # which never feeds the image feature into the LSTM
-        # (stylenet/model.py:224-227); --feed_feature opts into the serving
-        # semantics (app/backend/model.py:414-417).
-        # Decoding runs the natively-batched beam; on TPU the Pallas fused
-        # step kernel is used when it compiles (bench.py's fast path).
-        from icee_tpu.decode.beam import beam_search_batched
-        from icee_tpu.ops.pallas_decode import fused_decode_step_topk
-        from icee_tpu.ops.pallas_beam import mega_beam_decode
+        candidates = fast.factored_candidates(
+            dec_params, style, batch_size, k, cfg.max_seq_length,
+            cfg.vocab_size, vocab.start, vocab.end, cfg.hidden_size,
+            feed_feature=feed_feature)
+        prep = lambda feats: jnp.tile(feats[:, None, :], (1, k, 1))  # noqa: E731
 
-        def make_batched(path):
-            if path == "mega":
-                def run_mega(feats):
-                    return mega_beam_decode(
-                        dec_params,
-                        (jnp.tile(feats[:, None, :], (1, k, 1))
-                         if feed_feature else None),
-                        style, batch_size, start_token=vocab.start,
-                        end_token=vocab.end, k=k,
-                        max_seq_length=cfg.max_seq_length, n_img_block=64,
-                        v_tile=2048, n_streams=2,
-                        feed_feature=feed_feature)
-                return jax.jit(run_mega)
-            fused = path == "fused"
-
-            def topk_step(x, state):
-                h, c = state
-                vals, idx, h2, c2 = fused_decode_step_topk(
-                    dec_params, x, h, c, style, ktop=k, row_block=256,
-                    v_tile=2048)
-                return vals, idx, (h2, c2)
-
-            def run(feats):
-                return beam_search_batched(
-                    embed_fn=lambda t: fl.embed(dec_params, t),
-                    step_fn=(None if fused else
-                             (lambda x, s: fl.decode_step(dec_params, x, s,
-                                                          style))),
-                    init_model_state=fl.initial_state(batch_size * k, cfg),
-                    start_token=vocab.start, end_token=vocab.end, k=k,
-                    max_seq_length=cfg.max_seq_length,
-                    vocab_size=cfg.vocab_size, batch=batch_size,
-                    first_input=(jnp.tile(feats[:, None, :], (1, k, 1))
-                                 if feed_feature else None),
-                    step_topk_fn=topk_step if fused else None)
-
-            return jax.jit(run)
-
-    # lazily pick the decode path on the first real batch (its shapes):
-    # fused Pallas kernel on TPU, pure-XLA beam elsewhere
+    # lazily pick the decode path on the first real batch (its shapes)
     _state = {"fn": None}
 
     def decode(feats):
+        feats = prep(feats)
         if _state["fn"] is None:
-            for path in ("mega", "fused", "xla"):
-                try:
-                    f = make_batched(path)
-                    jax.block_until_ready(f(feats).tokens)
-                    _state["fn"] = f
-                    break
-                except Exception:
-                    continue
-            assert _state["fn"] is not None, "no decode path compiled"
+            _, _state["fn"] = fast.pick_first_compiling(candidates, feats)
         return _state["fn"](feats)
 
     # one beam decode per unique image (evaluator decodes per test line; lines

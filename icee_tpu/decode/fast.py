@@ -1,0 +1,166 @@
+"""Fast decode-path selection: mega kernel -> per-step fused -> pure XLA.
+
+One place for the candidate chain that ``bench.py``, ``cli/evaluate.py`` and
+servers use: each candidate is a jitted ``feats -> BeamResult`` function;
+:func:`pick_first_compiling` probes them in order on the first real batch
+(the Pallas kernels compile on TPU; elsewhere they raise and the XLA beam
+takes over).  All candidates are token-equivalent — proved in
+``tests/test_pallas_beam.py`` / ``tests/test_pallas_att.py`` and bit-checked
+on hardware.
+"""
+
+from __future__ import annotations
+
+from typing import Callable, List, Optional, Tuple
+
+
+def factored_candidates(
+    dec_params: dict,
+    style,
+    batch: int,
+    k: int,
+    max_seq_length: int,
+    vocab_size: int,
+    start_token: int,
+    end_token: int,
+    hidden_size: int,
+    feed_feature: bool = True,
+    n_img_block: int = 64,
+    n_streams: int = 2,
+    v_tile: int = 2048,
+) -> List[Tuple[str, Callable]]:
+    """Candidates for the (non-attention) FactoredLSTM beam.
+
+    Each fn takes ``feats`` of shape (batch, k, E) — ignored when
+    ``feed_feature`` is False (research semantics) — and returns a
+    :class:`BeamResult` with a leading batch dim.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    from icee_tpu.decode.beam import beam_search_batched
+    from icee_tpu.models import factored_lstm as fl
+
+    def run_mega(feats):
+        from icee_tpu.ops.pallas_beam import mega_beam_decode
+
+        return mega_beam_decode(
+            dec_params, feats if feed_feature else None, style, batch,
+            start_token=start_token, end_token=end_token, k=k,
+            max_seq_length=max_seq_length, n_img_block=n_img_block,
+            v_tile=v_tile, n_streams=n_streams, feed_feature=feed_feature)
+
+    def run_beam(feats, fused):
+        def topk_step(x, state):
+            from icee_tpu.ops.pallas_decode import fused_decode_step_topk
+
+            h, c = state
+            vals, idx, h2, c2 = fused_decode_step_topk(
+                dec_params, x, h, c, style, ktop=k, row_block=256,
+                v_tile=v_tile)
+            return vals, idx, (h2, c2)
+
+        zeros = jnp.zeros((batch * k, hidden_size),
+                          dec_params["C_w"].dtype)
+        return beam_search_batched(
+            embed_fn=lambda t: fl.embed(dec_params, t),
+            step_fn=(None if fused else
+                     (lambda x, s: fl.decode_step(dec_params, x, s, style))),
+            init_model_state=(zeros, zeros),
+            start_token=start_token, end_token=end_token, k=k,
+            max_seq_length=max_seq_length, vocab_size=vocab_size,
+            batch=batch, first_input=feats if feed_feature else None,
+            step_topk_fn=topk_step if fused else None)
+
+    return [
+        ("mega", jax.jit(run_mega)),
+        ("fused-step", jax.jit(lambda ft: run_beam(ft, True))),
+        ("xla", jax.jit(lambda ft: run_beam(ft, False))),
+    ]
+
+
+def attention_candidates(
+    dec_params: dict,
+    style,
+    batch: int,
+    k: int,
+    max_seq_length: int,
+    vocab_size: int,
+    start_token: int,
+    end_token: int,
+    n_img_block: int = 16,
+    v_tile: int = 2048,
+) -> List[Tuple[str, Callable]]:
+    """Candidates for the StyleNet+Att beam: fns take spatial features
+    (batch, P, FS) and return a :class:`BeamResult`."""
+    import jax
+    import jax.numpy as jnp
+
+    from icee_tpu.decode.beam import beam_search_batched
+    from icee_tpu.models import attention as att_mod
+    from icee_tpu.models import factored_lstm as fl
+
+    att = att_mod._select_attention(dec_params["attention"], style)
+    cell = {k_: dec_params[k_] for k_ in
+            ("V_w", "V_b", "U_w", "U_b", "W_w", "W_b", "C_w", "C_b")}
+    cell["S_w"] = jnp.take(dec_params["S_w"], style, axis=0)
+    cell["S_b"] = jnp.take(dec_params["S_b"], style, axis=0)
+    gate = {"f_beta_w": dec_params["f_beta_w"],
+            "f_beta_b": dec_params["f_beta_b"]}
+
+    def run_mega(spatial):
+        from icee_tpu.ops.pallas_att_decode import mega_att_beam_decode
+
+        return mega_att_beam_decode(
+            dec_params, spatial, style, batch, start_token=start_token,
+            end_token=end_token, k=k, max_seq_length=max_seq_length,
+            n_img_block=n_img_block, v_tile=v_tile)
+
+    def run_beam(spatial, fused):
+        att1 = spatial @ att["enc_w"] + att["enc_b"]
+        feats_k = jnp.repeat(spatial, k, axis=0)
+        att1_k = jnp.repeat(att1, k, axis=0)
+
+        def topk_step(x, s):
+            from icee_tpu.ops.pallas_att_decode import (
+                fused_att_decode_step_topk,
+            )
+
+            h, c = s
+            v, i, h2, c2, _ = fused_att_decode_step_topk(
+                cell, att, gate, x, h, c, spatial, att1, kind="factored",
+                k=k, ktop=k, n_img_block=n_img_block, v_tile=v_tile)
+            return v, i, (h2, c2)
+
+        def xla_step(x, s):
+            logits, _, s2 = att_mod.factored_att_decode_step(
+                dec_params, x, feats_k, s, style, att1=att1_k)
+            return logits, s2
+
+        return beam_search_batched(
+            embed_fn=lambda t: fl.embed(dec_params, t),
+            step_fn=None if fused else xla_step,
+            init_model_state=att_mod.init_hidden_state(dec_params, feats_k),
+            start_token=start_token, end_token=end_token, k=k,
+            max_seq_length=max_seq_length, vocab_size=vocab_size,
+            batch=batch, step_topk_fn=topk_step if fused else None)
+
+    return [
+        ("mega", jax.jit(run_mega)),
+        ("fused-step", jax.jit(lambda ft: run_beam(ft, True))),
+        ("xla", jax.jit(lambda ft: run_beam(ft, False))),
+    ]
+
+
+def pick_first_compiling(candidates, probe) -> Tuple[str, Callable]:
+    """Compile+run each candidate on ``probe`` until one succeeds."""
+    import jax
+
+    last: Optional[Exception] = None
+    for name, fn in candidates:
+        try:
+            jax.block_until_ready(fn(probe).tokens)
+            return name, fn
+        except Exception as e:  # noqa: BLE001 - fall through the chain
+            last = e
+    raise RuntimeError(f"no decode path compiled: {last!r}")

@@ -33,7 +33,6 @@ gradients are tested in interpret mode against ``jax.grad`` of the XLA scan
 from __future__ import annotations
 
 import functools
-from typing import Tuple
 
 import jax
 import jax.numpy as jnp

@@ -132,3 +132,23 @@ def test_mega_early_termination(rng):
     np.testing.assert_array_equal(np.asarray(got.length),
                                   np.asarray(want.length))
     assert np.all(np.asarray(got.length) == 2)  # <start> <end>
+
+
+def test_mega_block_size_independence(rng):
+    """Tokens must not depend on the image-block partitioning."""
+    cfg, params = _make(seed=9)
+    batch, k, steps = 6, 4, 6
+    feats = jnp.asarray(
+        rng.standard_normal((batch, k, cfg.embed_size)).astype(np.float32))
+    style = jnp.asarray(1)
+    outs = [
+        mega_beam_decode(params, feats, style, batch, k=k,
+                         max_seq_length=steps, n_img_block=nib,
+                         n_streams=ns, v_tile=128, interpret=True)
+        for nib, ns in ((2, 1), (6, 1), (6, 2), (3, 1))
+    ]
+    for o in outs[1:]:
+        np.testing.assert_array_equal(np.asarray(o.tokens),
+                                      np.asarray(outs[0].tokens))
+        np.testing.assert_array_equal(np.asarray(o.length),
+                                      np.asarray(outs[0].length))

@@ -164,3 +164,63 @@ def pick_first_compiling(candidates, probe) -> Tuple[str, Callable]:
         except Exception as e:  # noqa: BLE001 - fall through the chain
             last = e
     raise RuntimeError(f"no decode path compiled: {last!r}")
+
+
+def sharded_mega_decode(
+    dec_params: dict,
+    features,                 # (B, k, E) global batch
+    style,
+    mesh,
+    batch: int,
+    k: int = 5,
+    max_seq_length: int = 40,
+    start_token: int = 1,
+    end_token: int = 2,
+    n_img_block: int = 64,
+    n_streams: int = 2,
+    v_tile: int = 2048,
+    interpret: bool = False,
+):
+    """Data-parallel mega-kernel decode over a device mesh.
+
+    Each device runs the mega beam kernel on its shard of the image batch
+    (params replicated, batch split over the ``"data"`` axis with
+    ``shard_map``) — beam decode is embarrassingly parallel over images, so
+    scaling is linear over ICI with zero collectives.  Token-identical to
+    the single-device kernel (tested on the 8-device virtual CPU mesh).
+    """
+    import jax
+    from jax.experimental.shard_map import shard_map
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from icee_tpu.parallel.mesh import DATA_AXIS
+
+    n_data = mesh.shape[DATA_AXIS]
+    assert batch % n_data == 0, (batch, n_data)
+    local = batch // n_data
+
+    def per_device(feats_shard):
+        from icee_tpu.ops.pallas_beam import mega_beam_decode
+
+        return mega_beam_decode(
+            dec_params, feats_shard, style, local,
+            start_token=start_token, end_token=end_token, k=k,
+            max_seq_length=max_seq_length,
+            n_img_block=min(n_img_block, local), v_tile=v_tile,
+            n_streams=n_streams, interpret=interpret)
+
+    spec = P(DATA_AXIS)
+    fn = shard_map(
+        per_device, mesh=mesh,
+        in_specs=(spec,),
+        out_specs=jax.tree_util.tree_map(lambda _: spec, _beam_result_tree()),
+        check_rep=False)
+    feats = jax.device_put(
+        features, NamedSharding(mesh, P(DATA_AXIS, None, None)))
+    return jax.jit(fn)(feats)
+
+
+def _beam_result_tree():
+    from icee_tpu.decode.beam import BeamResult
+
+    return BeamResult(tokens=0, length=0, score=0)

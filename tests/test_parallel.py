@@ -124,3 +124,34 @@ def test_multihost_data_helpers_single_host(rng):
     assert "data" in str(g["captions"].sharding.spec)
     np.testing.assert_array_equal(np.asarray(g["lengths"]),
                                   batch.lengths)
+
+
+def test_sharded_mega_decode_matches_single_device(rng):
+    """DP mega-kernel decode over the 8-device mesh == single-device mega
+    (embarrassingly parallel over images, zero collectives)."""
+    import jax
+    import jax.numpy as jnp
+
+    from icee_tpu.core.config import DecoderConfig
+    from icee_tpu.decode.fast import sharded_mega_decode
+    from icee_tpu.ops.pallas_beam import mega_beam_decode
+
+    cfg = DecoderConfig(vocab_size=256, embed_size=16, hidden_size=32,
+                        factored_size=32, max_seq_length=6)
+    dec = fl.init_params(jax.random.PRNGKey(0), cfg)
+    batch, k = 16, 3
+    feats = jnp.asarray(
+        rng.standard_normal((batch, k, 16)).astype(np.float32))
+    style = jnp.asarray(1)
+
+    mesh = pmesh.make_mesh((8, 1))
+    got = sharded_mega_decode(dec, feats, style, mesh, batch, k=k,
+                              max_seq_length=6, n_img_block=2, n_streams=1,
+                              v_tile=128, interpret=True)
+    want = mega_beam_decode(dec, feats, style, batch, k=k, max_seq_length=6,
+                            n_img_block=2, v_tile=128, interpret=True)
+    np.testing.assert_array_equal(np.asarray(got.tokens),
+                                  np.asarray(want.tokens))
+    np.testing.assert_array_equal(np.asarray(got.length),
+                                  np.asarray(want.length))
+    assert "data" in str(got.tokens.sharding.spec)

@@ -46,15 +46,33 @@ def main(args) -> None:
             return sp.reshape(sp.shape[0], grid * grid, sp.shape[-1])
         return jnp.mean(fmap, axis=(1, 2))
 
-    out = {}
-    bs = args.batch_size
-    for i in range(0, len(names), bs):
-        chunk = names[i : i + bs]
-        imgs = np.stack([
+    # opt-in: the native resize is classic bilinear, not PIL's antialiased
+    # filter, so the default stays on the torchvision-parity PIL path
+    from icee_tpu.native import imagedec
+
+    use_native = args.native_decode and imagedec.native_available()
+    if use_native:
+        print("native libjpeg batch feeder active (C++ threads)")
+
+    def load_chunk(chunk):
+        jpeg_like = [n for n in chunk
+                     if n.lower().endswith((".jpg", ".jpeg"))]
+        if use_native and len(jpeg_like) == len(chunk):
+            # C++ threaded decode+resize, one call per batch (no GIL)
+            return imagedec.decode_resize_paths(
+                [os.path.join(args.image_dir, n) for n in chunk],
+                args.crop_size)
+        return np.stack([
             host_decode_resize(os.path.join(args.image_dir, n),
                                args.crop_size)
             for n in chunk
         ])
+
+    out = {}
+    bs = args.batch_size
+    for i in range(0, len(names), bs):
+        chunk = names[i : i + bs]
+        imgs = load_chunk(chunk)
         n = imgs.shape[0]
         if n < bs:  # pad to the compiled shape
             imgs = np.concatenate(
@@ -78,4 +96,8 @@ if __name__ == "__main__":
     parser.add_argument("--batch_size", type=int, default=32)
     parser.add_argument("--spatial", action="store_true")
     parser.add_argument("--grid", type=int, default=14)
+    parser.add_argument("--native_decode", action="store_true",
+                        help="C++ libjpeg threaded batch feeder (faster; "
+                             "classic bilinear resize instead of PIL's "
+                             "antialiased filter)")
     main(parser.parse_args())

@@ -150,7 +150,9 @@ class BatchingEngine:
         natively batched."""
         eng = self.engine
         dec = eng.models[variant][mode]["decoder"]
-        key = (variant, id(dec), n)
+        # mode is part of the key: stacked-style decoders share one params
+        # object across modes, differing only in the style id
+        key = (variant, id(dec), mode, n)
         if key in self._decode_cache:
             return self._decode_cache[key]
         import jax
@@ -166,16 +168,26 @@ class BatchingEngine:
         rows = n * k
 
         if variant == "stylenet":
+            # shared fast-path chain: mega kernel -> fused step -> XLA
+            # (serving semantics: feature fed at step 1)
+            from icee_tpu.decode import fast
+
+            from icee_tpu.core.config import mode_id
+
+            candidates = fast.factored_candidates(
+                dec, jnp.asarray(mode_id(mode)), n, k,
+                eng.dec_cfg.max_seq_length, vocab_size, eng.vocab.start,
+                eng.vocab.end, eng.dec_cfg.hidden_size, feed_feature=True,
+                n_img_block=min(64, n))
+            picked = {}
+
             def run(feat, style):  # feat (n, E)
-                zeros = fl.initial_state(rows, eng.dec_cfg)
-                return beam_search_batched(
-                    embed_fn=lambda t: fl.embed(dec, t),
-                    step_fn=lambda x, s: fl.decode_step(dec, x, s, style),
-                    init_model_state=zeros,
-                    start_token=eng.vocab.start, end_token=eng.vocab.end,
-                    k=k, max_seq_length=eng.dec_cfg.max_seq_length,
-                    vocab_size=vocab_size, batch=n,
-                    first_input=jnp.repeat(feat[:, None, :], k, axis=1))
+                del style  # candidates close over per-mode params
+                tiled = jnp.repeat(feat[:, None, :], k, axis=1)
+                if "fn" not in picked:
+                    _, picked["fn"] = fast.pick_first_compiling(
+                        candidates, tiled)
+                return picked["fn"](tiled)
         elif variant == "nic":
             def run(feat, style):
                 zeros = nic_mod.initial_state(rows, eng.dec_cfg)
@@ -188,23 +200,22 @@ class BatchingEngine:
                     vocab_size=vocab_size, batch=n,
                     first_input=jnp.repeat(feat[:, None, :], k, axis=1))
         elif variant == "stylenet_att":
+            # shared fast-path chain (attention mega kernel on TPU)
+            from icee_tpu.core.config import mode_id
+            from icee_tpu.decode import fast
+
+            att_candidates = fast.attention_candidates(
+                dec, jnp.asarray(mode_id(mode)), n, k,
+                eng.att_cfg.max_seq_length, vocab_size, eng.vocab.start,
+                eng.vocab.end, n_img_block=min(16, n))
+            picked_att = {}
+
             def run(spatial, style):  # (n, P, D)
-                feats_k = jnp.repeat(spatial, k, axis=0)    # (n*k, P, D)
-                att = att_mod._select_attention(dec["attention"], style)
-                att1 = feats_k @ att["enc_w"] + att["enc_b"]
-
-                def step(x, s):
-                    logits, _, s2 = att_mod.factored_att_decode_step(
-                        dec, x, feats_k, s, style, att1=att1)
-                    return logits, s2
-
-                return beam_search_batched(
-                    embed_fn=lambda t: fl.embed(dec, t),
-                    step_fn=step,
-                    init_model_state=att_mod.init_hidden_state(dec, feats_k),
-                    start_token=eng.vocab.start, end_token=eng.vocab.end,
-                    k=k, max_seq_length=eng.att_cfg.max_seq_length,
-                    vocab_size=vocab_size, batch=n)
+                del style
+                if "fn" not in picked_att:
+                    _, picked_att["fn"] = fast.pick_first_compiling(
+                        att_candidates, spatial)
+                return picked_att["fn"](spatial)
         else:  # nic_att
             def run(spatial, style):
                 feats_k = jnp.repeat(spatial, k, axis=0)
@@ -224,6 +235,11 @@ class BatchingEngine:
                     k=k, max_seq_length=eng.att_cfg.max_seq_length,
                     vocab_size=vocab_size, batch=n)
 
-        fn = jax.jit(run)
+        if variant in ("stylenet", "stylenet_att"):
+            # the fast-path chain probes candidates at first call — that
+            # must happen OUTSIDE jit (the candidates are jitted already)
+            fn = run
+        else:
+            fn = jax.jit(run)
         self._decode_cache[key] = fn
         return fn

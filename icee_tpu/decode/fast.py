@@ -79,6 +79,50 @@ def factored_candidates(
     ]
 
 
+def nic_candidates(
+    dec_params: dict,
+    batch: int,
+    k: int,
+    max_seq_length: int,
+    vocab_size: int,
+    start_token: int,
+    end_token: int,
+    hidden_size: int,
+    n_img_block: int = 64,
+    n_streams: int = 2,
+    v_tile: int = 2048,
+) -> List[Tuple[str, Callable]]:
+    """Candidates for the NIC (torch-LSTM) beam: mega kernel with
+    ``cell="lstm"`` -> pure-XLA beam.  Fns take feats (batch, k, E)."""
+    import jax
+    import jax.numpy as jnp
+
+    from icee_tpu.decode.beam import beam_search_batched
+    from icee_tpu.models import lstm as nic
+
+    def run_mega(feats):
+        from icee_tpu.ops.pallas_beam import mega_beam_decode
+
+        return mega_beam_decode(
+            dec_params, feats, jnp.asarray(0), batch,
+            start_token=start_token, end_token=end_token, k=k,
+            max_seq_length=max_seq_length, n_img_block=n_img_block,
+            v_tile=v_tile, n_streams=n_streams, cell="lstm")
+
+    def run_xla(feats):
+        zeros = jnp.zeros((batch * k, hidden_size),
+                          dec_params["linear_w"].dtype)
+        return beam_search_batched(
+            embed_fn=lambda t: nic.embed(dec_params, t),
+            step_fn=lambda x, s: nic.decode_step(dec_params, x, s),
+            init_model_state=(zeros, zeros),
+            start_token=start_token, end_token=end_token, k=k,
+            max_seq_length=max_seq_length, vocab_size=vocab_size,
+            batch=batch, first_input=feats)
+
+    return [("mega", jax.jit(run_mega)), ("xla", jax.jit(run_xla))]
+
+
 def attention_candidates(
     dec_params: dict,
     style,

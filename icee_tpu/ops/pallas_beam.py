@@ -58,7 +58,7 @@ def _kernel(feat_ref, emb_ref,
             *, k: int, n_img: int, f_dim: int, h_dim: int, e_dim: int,
             v_tile: int, vocab: int, max_len: int, start_token: int,
             end_token: int, feed_feature: bool, n_streams: int = 1,
-            profile: str = "full"):
+            cell: str = "factored", profile: str = "full"):
     # ``profile`` is a perf-diagnosis knob ("full" in production): "no_topk"
     # stubs the streaming vocab top-k, "no_select" the beam-select/gather
     # phase, "no_embed" the one-hot embedding matmul.  Each stub keeps the
@@ -102,23 +102,40 @@ def _kernel(feat_ref, emb_ref,
         h = h_scr[:].astype(wdt)
         c = c_scr[:]
 
-        # --- FactoredLSTM cell (reference quirk h=o*c, model.py:153) ---
-        v_all = jnp.dot(x, vw_ref[:], preferred_element_type=jnp.float32)
-        w_all = jnp.dot(h, ww_ref[:], preferred_element_type=jnp.float32)
-        z = []
-        for g in range(4):
-            v_g = v_all[:, g * f_dim:(g + 1) * f_dim] + vb_ref[g, :]
-            s_g = jnp.dot(v_g.astype(wdt), sw_ref[g],
-                          preferred_element_type=jnp.float32) + sb_ref[g, :]
-            u_g = jnp.dot(s_g.astype(wdt), uw_ref[g],
-                          preferred_element_type=jnp.float32) + ub_ref[g, :]
-            z.append(u_g + w_all[:, g * h_dim:(g + 1) * h_dim] + wb_ref[g, :])
-        i_t = jax.nn.sigmoid(z[0])
-        f_t = jax.nn.sigmoid(z[1])
-        o_t = jax.nn.sigmoid(z[2])
-        g_t = jnp.tanh(z[3])
-        c_new = f_t * c + i_t * g_t
-        h_new = o_t * c_new
+        if cell == "factored":
+            # --- FactoredLSTM cell (reference quirk h=o*c, model.py:153) ---
+            v_all = jnp.dot(x, vw_ref[:], preferred_element_type=jnp.float32)
+            w_all = jnp.dot(h, ww_ref[:], preferred_element_type=jnp.float32)
+            z = []
+            for g in range(4):
+                v_g = v_all[:, g * f_dim:(g + 1) * f_dim] + vb_ref[g, :]
+                s_g = jnp.dot(v_g.astype(wdt), sw_ref[g],
+                              preferred_element_type=jnp.float32) + sb_ref[g, :]
+                u_g = jnp.dot(s_g.astype(wdt), uw_ref[g],
+                              preferred_element_type=jnp.float32) + ub_ref[g, :]
+                z.append(u_g + w_all[:, g * h_dim:(g + 1) * h_dim]
+                         + wb_ref[g, :])
+            i_t = jax.nn.sigmoid(z[0])
+            f_t = jax.nn.sigmoid(z[1])
+            o_t = jax.nn.sigmoid(z[2])
+            g_t = jnp.tanh(z[3])
+            c_new = f_t * c + i_t * g_t
+            h_new = o_t * c_new
+        else:
+            # --- torch LSTMCell (NIC, nic/model.py:51): vw/ww carry
+            # W_ih/W_hh, vb/wb carry b_ih/b_hh as (1, 4H); gate order
+            # [i, f, g, o]; h = o * tanh(c) — same float order as
+            # ops/cells.lstm_cell
+            z = (jnp.dot(x, vw_ref[:], preferred_element_type=jnp.float32)
+                 + vb_ref[0, :]
+                 + jnp.dot(h, ww_ref[:], preferred_element_type=jnp.float32)
+                 + wb_ref[0, :])
+            i_t = jax.nn.sigmoid(z[:, 0 * h_dim:1 * h_dim])
+            f_t = jax.nn.sigmoid(z[:, 1 * h_dim:2 * h_dim])
+            g_t = jnp.tanh(z[:, 2 * h_dim:3 * h_dim])
+            o_t = jax.nn.sigmoid(z[:, 3 * h_dim:4 * h_dim])
+            c_new = f_t * c + i_t * g_t
+            h_new = o_t * jnp.tanh(c_new)
         h_b = h_new.astype(wdt)
 
         # --- vocab-tiled head + streaming exact top-k + logsumexp,
@@ -323,7 +340,8 @@ def _beam_select(t, is_first, logp_top, idx_top, h_new, c_new,
     jax.jit,
     static_argnames=("batch", "start_token", "end_token", "k",
                      "max_seq_length", "n_img_block", "v_tile",
-                     "feed_feature", "n_streams", "interpret", "_profile"))
+                     "feed_feature", "n_streams", "cell", "interpret",
+                     "_profile"))
 def mega_beam_decode(
     params: dict,
     features: Optional[jax.Array],    # (B, k, E) or None (research mode)
@@ -337,6 +355,7 @@ def mega_beam_decode(
     v_tile: int = 2048,
     feed_feature: bool = True,
     n_streams: int = 1,
+    cell: str = "factored",
     interpret: bool = False,
     _profile: str = "full",
 ) -> BeamResult:
@@ -345,12 +364,20 @@ def mega_beam_decode(
     Returns :class:`BeamResult` with leading batch dim, token-identical to
     ``beam_search_batched`` over ``factored_lstm.decode_step``.
     """
-    emb = params["B"]
+    if cell == "factored":
+        emb = params["B"]
+        h_dim = params["W_w"].shape[0]
+        f_dim = params["U_w"].shape[1]
+        cw = params["C_w"]
+        cb = params["C_b"]
+    else:  # NIC torch-LSTM decoder (models/lstm.py param layout)
+        emb = params["embed"]
+        h_dim = params["cell"]["W_hh"].shape[0]
+        f_dim = h_dim
+        cw = params["linear_w"]
+        cb = params["linear_b"]
     vocab, e_dim = emb.shape
-    assert params["V_w"].shape[0] == e_dim, "input_size must equal embed_size"
-    h_dim = params["W_w"].shape[0]
-    f_dim = params["U_w"].shape[1]
-    wdt = params["C_w"].dtype
+    wdt = cw.dtype
     max_len = max_seq_length + 2
 
     n_img_block = min(n_img_block, batch)
@@ -365,8 +392,7 @@ def mega_beam_decode(
     # exp()->0 in the normalizer), C_w/Emb pad with zeros.
     v_tile = min(v_tile, -(-vocab // 128) * 128)
     vp = -(-vocab // v_tile) * v_tile
-    cw = params["C_w"]
-    cb = params["C_b"].reshape(1, -1).astype(jnp.float32)
+    cb = cb.reshape(1, -1).astype(jnp.float32)
     if vp != vocab:
         cw = jnp.pad(cw, ((0, 0), (0, vp - vocab)))
         cb = jnp.pad(cb, ((0, 0), (0, vp - vocab)),
@@ -384,14 +410,33 @@ def mega_beam_decode(
     feats = (feats.reshape(n_blocks, n_streams, n2, k, e_dim)
              .transpose(0, 1, 3, 2, 4).reshape(bp * k, e_dim))
 
-    s_w = jnp.take(params["S_w"], style, axis=0)
-    s_b = jnp.take(params["S_b"], style, axis=0)
+    if cell == "factored":
+        cell_ws = [params["V_w"], params["V_b"],
+                   jnp.take(params["S_w"], style, axis=0),
+                   jnp.take(params["S_b"], style, axis=0),
+                   params["U_w"], params["U_b"],
+                   params["W_w"], params["W_b"]]
+        cell_shapes = [(e_dim, 4 * f_dim), (4, f_dim),
+                       (4, f_dim, f_dim), (4, f_dim),
+                       (4, f_dim, h_dim), (4, h_dim),
+                       (h_dim, 4 * h_dim), (4, h_dim)]
+    else:
+        dummy = jnp.zeros((1, 1), wdt)
+        lc = params["cell"]
+        cell_ws = [lc["W_ih"], lc["b_ih"].reshape(1, -1),
+                   dummy, dummy,
+                   dummy, dummy,
+                   lc["W_hh"], lc["b_hh"].reshape(1, -1)]
+        cell_shapes = [(e_dim, 4 * h_dim), (1, 4 * h_dim),
+                       (1, 1), (1, 1), (1, 1), (1, 1),
+                       (h_dim, 4 * h_dim), (1, 4 * h_dim)]
 
     kernel = functools.partial(
         _kernel, k=k, n_img=n_img_block, f_dim=f_dim, h_dim=h_dim,
         e_dim=e_dim, v_tile=v_tile, vocab=vp, max_len=max_len,
         start_token=start_token, end_token=end_token,
-        feed_feature=feed_feature, n_streams=n_streams, profile=_profile)
+        feed_feature=feed_feature, n_streams=n_streams, cell=cell,
+        profile=_profile)
 
     vmem = pltpu.VMEM
     full = lambda *shape: pl.BlockSpec(  # noqa: E731
@@ -417,20 +462,9 @@ def mega_beam_decode(
     call = pl.pallas_call(
         kernel,
         grid=(n_blocks, max_seq_length + 1),
-        in_specs=[
-            row_spec,                                   # features
-            full(vp, e_dim),                            # embedding
-            full(e_dim, 4 * f_dim),                     # V_w
-            full(4, f_dim),                             # V_b
-            full(4, f_dim, f_dim),                      # S_w (style slice)
-            full(4, f_dim),                             # S_b
-            full(4, f_dim, h_dim),                      # U_w
-            full(4, h_dim),                             # U_b
-            full(h_dim, 4 * h_dim),                     # W_w
-            full(4, h_dim),                             # W_b
-            full(h_dim, vp),                            # C_w
-            full(1, vp),                                # C_b (f32)
-        ],
+        in_specs=([row_spec, full(vp, e_dim)]
+                  + [full(*sh) for sh in cell_shapes]
+                  + [full(h_dim, vp), full(1, vp)]),
         out_specs=(img(max_len), img(1), img(1)),
         scratch_shapes=[
             pltpu.VMEM((rows_blk, h_dim), jnp.float32),    # h
@@ -445,11 +479,7 @@ def mega_beam_decode(
         compiler_params=compiler_params,
         interpret=interpret,
     )
-    tokens, lengths, scores = call(
-        feats, emb,
-        params["V_w"], params["V_b"], s_w, s_b,
-        params["U_w"], params["U_b"], params["W_w"], params["W_b"],
-        cw, cb)
+    tokens, lengths, scores = call(feats, emb, *cell_ws, cw, cb)
     return BeamResult(tokens=tokens[:batch],
                       length=lengths[:batch, 0],
                       score=scores[:batch, 0])

@@ -189,16 +189,21 @@ class BatchingEngine:
                         candidates, tiled)
                 return picked["fn"](tiled)
         elif variant == "nic":
+            from icee_tpu.decode import fast
+
+            nic_cands = fast.nic_candidates(
+                dec, n, k, eng.dec_cfg.max_seq_length, vocab_size,
+                eng.vocab.start, eng.vocab.end, eng.dec_cfg.hidden_size,
+                n_img_block=min(64, n))
+            picked_nic = {}
+
             def run(feat, style):
-                zeros = nic_mod.initial_state(rows, eng.dec_cfg)
-                return beam_search_batched(
-                    embed_fn=lambda t: nic_mod.embed(dec, t),
-                    step_fn=lambda x, s: nic_mod.decode_step(dec, x, s),
-                    init_model_state=zeros,
-                    start_token=eng.vocab.start, end_token=eng.vocab.end,
-                    k=k, max_seq_length=eng.dec_cfg.max_seq_length,
-                    vocab_size=vocab_size, batch=n,
-                    first_input=jnp.repeat(feat[:, None, :], k, axis=1))
+                del style
+                tiled = jnp.repeat(feat[:, None, :], k, axis=1)
+                if "fn" not in picked_nic:
+                    _, picked_nic["fn"] = fast.pick_first_compiling(
+                        nic_cands, tiled)
+                return picked_nic["fn"](tiled)
         elif variant == "stylenet_att":
             # shared fast-path chain (attention mega kernel on TPU)
             from icee_tpu.core.config import mode_id
@@ -235,7 +240,7 @@ class BatchingEngine:
                     k=k, max_seq_length=eng.att_cfg.max_seq_length,
                     vocab_size=vocab_size, batch=n)
 
-        if variant in ("stylenet", "stylenet_att"):
+        if variant in ("stylenet", "nic", "stylenet_att"):
             # the fast-path chain probes candidates at first call — that
             # must happen OUTSIDE jit (the candidates are jitted already)
             fn = run

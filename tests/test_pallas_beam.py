@@ -152,3 +152,35 @@ def test_mega_block_size_independence(rng):
                                       np.asarray(outs[0].tokens))
         np.testing.assert_array_equal(np.asarray(o.length),
                                       np.asarray(outs[0].length))
+
+
+def test_mega_nic_lstm_cell_matches_xla_beam(rng):
+    """cell="lstm": the NIC (torch LSTMCell, h=o*tanh(c)) decoder through
+    the mega kernel must match the XLA beam token-exactly."""
+    from icee_tpu.models import lstm as nic
+
+    cfg = DecoderConfig(vocab_size=512, embed_size=32, hidden_size=64,
+                        factored_size=64, max_seq_length=8)
+    params = nic.init_params(jax.random.PRNGKey(11), cfg)
+    batch, k, steps = 6, 5, 8
+    feats = jnp.asarray(
+        rng.standard_normal((batch, k, cfg.embed_size)).astype(np.float32))
+    zeros = jnp.zeros((batch * k, cfg.hidden_size), jnp.float32)
+
+    want = beam_search_batched(
+        embed_fn=lambda t: nic.embed(params, t),
+        step_fn=lambda x, s: nic.decode_step(params, x, s),
+        init_model_state=(zeros, zeros),
+        start_token=1, end_token=2, k=k, max_seq_length=steps,
+        vocab_size=cfg.vocab_size, batch=batch, first_input=feats)
+
+    got = mega_beam_decode(
+        params, feats, jnp.asarray(0), batch, start_token=1, end_token=2,
+        k=k, max_seq_length=steps, n_img_block=3, v_tile=128, cell="lstm",
+        interpret=True)
+    np.testing.assert_array_equal(np.asarray(got.tokens),
+                                  np.asarray(want.tokens))
+    np.testing.assert_array_equal(np.asarray(got.length),
+                                  np.asarray(want.length))
+    np.testing.assert_allclose(np.asarray(got.score), np.asarray(want.score),
+                               rtol=1e-5, atol=1e-5)

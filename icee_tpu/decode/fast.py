@@ -196,6 +196,77 @@ def attention_candidates(
     ]
 
 
+def nic_att_candidates(
+    dec_params: dict,
+    batch: int,
+    k: int,
+    max_seq_length: int,
+    vocab_size: int,
+    start_token: int,
+    end_token: int,
+    n_img_block: int = 16,
+    v_tile: int = 2048,
+) -> List[Tuple[str, Callable]]:
+    """Candidates for the NIC+Att beam: attention mega kernel with
+    ``kind="lstm"`` -> per-step fused -> XLA.  Fns take (batch, P, FS)."""
+    import jax
+    import jax.numpy as jnp
+
+    from icee_tpu.decode.beam import beam_search_batched
+    from icee_tpu.models import attention as att_mod
+
+    att = dec_params["attention"]
+    cell = dict(dec_params["cell"])
+    cell["C_w"] = dec_params["linear_w"]
+    cell["C_b"] = dec_params["linear_b"]
+    gate = {"f_beta_w": dec_params["f_beta_w"],
+            "f_beta_b": dec_params["f_beta_b"]}
+
+    def run_mega(spatial):
+        from icee_tpu.ops.pallas_att_decode import mega_att_beam_decode
+
+        return mega_att_beam_decode(
+            dec_params, spatial, jnp.asarray(0), batch,
+            start_token=start_token, end_token=end_token, k=k,
+            max_seq_length=max_seq_length, n_img_block=n_img_block,
+            v_tile=v_tile, kind="lstm")
+
+    def run_beam(spatial, fused):
+        att1 = spatial @ att["enc_w"] + att["enc_b"]
+        feats_k = jnp.repeat(spatial, k, axis=0)
+        att1_k = jnp.repeat(att1, k, axis=0)
+
+        def topk_step(x, s):
+            from icee_tpu.ops.pallas_att_decode import (
+                fused_att_decode_step_topk,
+            )
+
+            h, c = s
+            v, i, h2, c2, _ = fused_att_decode_step_topk(
+                cell, att, gate, x, h, c, spatial, att1, kind="lstm",
+                k=k, ktop=k, n_img_block=n_img_block, v_tile=v_tile)
+            return v, i, (h2, c2)
+
+        def xla_step(x, s):
+            logits, _, s2 = att_mod.rnn_att_decode_step(
+                dec_params, x, feats_k, s, att1=att1_k)
+            return logits, s2
+
+        return beam_search_batched(
+            embed_fn=lambda t: jnp.take(dec_params["embed"], t, axis=0),
+            step_fn=None if fused else xla_step,
+            init_model_state=att_mod.init_hidden_state(dec_params, feats_k),
+            start_token=start_token, end_token=end_token, k=k,
+            max_seq_length=max_seq_length, vocab_size=vocab_size,
+            batch=batch, step_topk_fn=topk_step if fused else None)
+
+    return [
+        ("mega", jax.jit(run_mega)),
+        ("fused-step", jax.jit(lambda ft: run_beam(ft, True))),
+        ("xla", jax.jit(lambda ft: run_beam(ft, False))),
+    ]
+
+
 def pick_first_compiling(candidates, probe) -> Tuple[str, Callable]:
     """Compile+run each candidate on ``probe`` until one succeeds."""
     import jax

@@ -314,9 +314,9 @@ def _mega_att_kernel(feat_ref, att1_ref, emb_ref,
                      tok_ref, len_ref, score_ref,
                      h_scr, c_scr, embx_scr, seqs_scr, scores_scr,
                      alive_scr, done_scr,
-                     *, k: int, n_img: int, f_dim: int, h_dim: int,
-                     e_dim: int, v_tile: int, vocab: int, max_len: int,
-                     start_token: int, end_token: int):
+                     *, kind: str, k: int, n_img: int, f_dim: int,
+                     h_dim: int, e_dim: int, v_tile: int, vocab: int,
+                     max_len: int, start_token: int, end_token: int):
     """Grid ``(n_blocks, T+1)``: per-image spatial features and the hoisted
     encoder projection stay VMEM-resident across ALL steps (the per-step
     fused kernel re-reads ~1 MB/image from HBM every step — the dominant
@@ -361,10 +361,17 @@ def _mega_att_kernel(feat_ref, att1_ref, emb_ref,
             k=k, n_img=n_img, wdt=wdt)
         c_prev = c_scr[:]
         h_prev_b = h_scr[:].astype(wdt)
-        h_new, c_new = _factored_cell_block(
-            x_full, c_prev, h_prev_b,
-            (vw_ref, vb_ref, sw_ref, sb_ref, uw_ref, ub_ref, ww_ref, wb_ref),
-            f_dim=f_dim, h_dim=h_dim, wdt=wdt)
+        if kind == "factored":
+            h_new, c_new = _factored_cell_block(
+                x_full, c_prev, h_prev_b,
+                (vw_ref, vb_ref, sw_ref, sb_ref, uw_ref, ub_ref, ww_ref,
+                 wb_ref),
+                f_dim=f_dim, h_dim=h_dim, wdt=wdt)
+        else:
+            # NIC+Att: vw/ww carry W_ih/W_hh, vb/wb carry b_ih/b_hh (1, 4H)
+            h_new, c_new = _lstm_cell_block(
+                x_full, c_prev, h_prev_b,
+                (vw_ref, ww_ref, vb_ref, wb_ref), h_dim=h_dim, wdt=wdt)
         logp_top, idx_top = _head_topk(h_new.astype(wdt), cw_ref, cb_ref,
                                        ktop=k, v_tile=v_tile, vocab=vocab)
         rank = jax.lax.broadcasted_iota(jnp.int32, (n_img, k), 1)
@@ -394,9 +401,10 @@ def _mega_att_kernel(feat_ref, att1_ref, emb_ref,
 @functools.partial(
     jax.jit,
     static_argnames=("batch", "start_token", "end_token", "k",
-                     "max_seq_length", "n_img_block", "v_tile", "interpret"))
+                     "max_seq_length", "n_img_block", "v_tile", "kind",
+                     "interpret"))
 def mega_att_beam_decode(
-    params: dict,            # full factored-attention params (stacked styles)
+    params: dict,            # full attention-decoder params
     features: jax.Array,     # (B, P, FS) per-image spatial features
     style: jax.Array,
     batch: int,
@@ -406,22 +414,32 @@ def mega_att_beam_decode(
     max_seq_length: int = 40,
     n_img_block: int = 16,
     v_tile: int = 2048,
+    kind: str = "factored",
     interpret: bool = False,
 ):
-    """Whole attention-beam-search-in-one-kernel decode (StyleNet+Att).
+    """Whole attention-beam-search-in-one-kernel decode.
 
+    ``kind="factored"``: StyleNet+Att (stacked styles, ``style`` selects);
+    ``kind="lstm"``: NIC+Att (torch LSTMCell, single attention net).
     Token-identical to ``beam_search_batched`` over
-    ``factored_att_decode_step`` (research semantics: step 1 embeds
-    ``<start>``); returns :class:`BeamResult` with a leading batch dim.
+    ``factored_att_decode_step`` / ``rnn_att_decode_step`` (research
+    semantics: step 1 embeds ``<start>``); returns :class:`BeamResult`.
     """
     from icee_tpu.decode.beam import BeamResult
     from icee_tpu.models.attention import _select_attention
 
-    emb = params["B"]
+    if kind == "factored":
+        emb = params["B"]
+        h_dim = params["W_w"].shape[0]
+        f_dim = params["U_w"].shape[1]
+        cw_full, cb_full = params["C_w"], params["C_b"]
+    else:
+        emb = params["embed"]
+        h_dim = params["cell"]["W_hh"].shape[0]
+        f_dim = h_dim
+        cw_full, cb_full = params["linear_w"], params["linear_b"]
     vocab, e_dim = emb.shape
-    h_dim = params["W_w"].shape[0]
-    f_dim = params["U_w"].shape[1]
-    wdt = params["C_w"].dtype
+    wdt = cw_full.dtype
     max_len = max_seq_length + 2
     n_pix, fs = features.shape[1], features.shape[2]
 
@@ -432,8 +450,8 @@ def mega_att_beam_decode(
 
     v_tile = min(v_tile, -(-vocab // 128) * 128)
     vp = -(-vocab // v_tile) * v_tile
-    cw = params["C_w"]
-    cb = params["C_b"].reshape(1, -1).astype(jnp.float32)
+    cw = cw_full
+    cb = cb_full.reshape(1, -1).astype(jnp.float32)
     if vp != vocab:
         cw = jnp.pad(cw, ((0, 0), (0, vp - vocab)))
         cb = jnp.pad(cb, ((0, 0), (0, vp - vocab)),
@@ -443,11 +461,29 @@ def mega_att_beam_decode(
     feats = features.astype(wdt)
     if bp != batch:
         feats = jnp.pad(feats, ((0, bp - batch), (0, 0), (0, 0)))
-    att = _select_attention(params["attention"], style)
+    if kind == "factored":
+        att = _select_attention(params["attention"], style)
+        cell_ws = [params["V_w"], params["V_b"],
+                   jnp.take(params["S_w"], style, axis=0),
+                   jnp.take(params["S_b"], style, axis=0),
+                   params["U_w"], params["U_b"],
+                   params["W_w"], params["W_b"]]
+        cell_shapes = [(e_dim + fs, 4 * f_dim), (4, f_dim),
+                       (4, f_dim, f_dim), (4, f_dim),
+                       (4, f_dim, h_dim), (4, h_dim),
+                       (h_dim, 4 * h_dim), (4, h_dim)]
+    else:
+        att = params["attention"]
+        dummy = jnp.zeros((1, 1), wdt)
+        lc = params["cell"]
+        cell_ws = [lc["W_ih"], lc["b_ih"].reshape(1, -1),
+                   dummy, dummy, dummy, dummy,
+                   lc["W_hh"], lc["b_hh"].reshape(1, -1)]
+        cell_shapes = [(e_dim + fs, 4 * h_dim), (1, 4 * h_dim),
+                       (1, 1), (1, 1), (1, 1), (1, 1),
+                       (h_dim, 4 * h_dim), (1, 4 * h_dim)]
     att1 = (feats @ att["enc_w"] + att["enc_b"]).astype(wdt)
     a_dim = att1.shape[2]
-    s_w = jnp.take(params["S_w"], style, axis=0)
-    s_b = jnp.take(params["S_b"], style, axis=0)
 
     vmem = pltpu.VMEM
     full = lambda *shape: pl.BlockSpec(  # noqa: E731
@@ -458,8 +494,8 @@ def mega_att_beam_decode(
                                  memory_space=vmem)
 
     kernel = functools.partial(
-        _mega_att_kernel, k=k, n_img=n_img_block, f_dim=f_dim, h_dim=h_dim,
-        e_dim=e_dim, v_tile=v_tile, vocab=vp, max_len=max_len,
+        _mega_att_kernel, kind=kind, k=k, n_img=n_img_block, f_dim=f_dim,
+        h_dim=h_dim, e_dim=e_dim, v_tile=v_tile, vocab=vp, max_len=max_len,
         start_token=start_token, end_token=end_token)
     out_shape = (
         jax.ShapeDtypeStruct((bp, max_len), jnp.int32),
@@ -477,10 +513,7 @@ def mega_att_beam_decode(
             full(h_dim, fs), full(1, fs),
             full(fs, h_dim), full(1, h_dim),      # init_h
             full(fs, h_dim), full(1, h_dim),      # init_c
-            full(e_dim + fs, 4 * f_dim), full(4, f_dim),
-            full(4, f_dim, f_dim), full(4, f_dim),
-            full(4, f_dim, h_dim), full(4, h_dim),
-            full(h_dim, 4 * h_dim), full(4, h_dim),
+        ] + [full(*sh) for sh in cell_shapes] + [
             full(h_dim, vp), full(1, vp),
         ],
         out_specs=(img(max_len), img(1), img(1)),
@@ -506,9 +539,7 @@ def mega_att_beam_decode(
         params["f_beta_w"], params["f_beta_b"].reshape(1, -1),
         params["init_h_w"], params["init_h_b"].reshape(1, -1),
         params["init_c_w"], params["init_c_b"].reshape(1, -1),
-        params["V_w"], params["V_b"], s_w, s_b,
-        params["U_w"], params["U_b"], params["W_w"], params["W_b"],
-        cw, cb)
+        *cell_ws, cw, cb)
     return BeamResult(tokens=tokens[:batch],
                       length=lengths[:batch, 0],
                       score=scores[:batch, 0])

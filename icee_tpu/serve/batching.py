@@ -10,9 +10,10 @@ one device call.
 with the same ``caption(image_path, mode)`` contract.  Concurrent callers
 enqueue; a collector thread drains the queue for a small window
 (``window_ms``, default 4 ms) or until ``max_batch``, groups requests by
-mode, and decodes each (variant, mode) group with ONE
-``beam_search_batched`` call.  Feature batches are padded to the next power
-of two so each (variant, batch-bucket) compiles once.
+mode, and decodes each (variant, mode) group with ONE batched device call
+through the shared fast-path chain (``decode/fast.py``: mega kernels on
+TPU, XLA beam elsewhere).  Feature batches are padded to the next power of
+two so each (variant, batch-bucket) compiles once.
 
 ``beam_search_batched`` is proved equivalent to ``vmap(beam_search)``
 (``tests/test_beam_batched.py``), so captions are identical to the serial
@@ -155,25 +156,16 @@ class BatchingEngine:
         key = (variant, id(dec), mode, n)
         if key in self._decode_cache:
             return self._decode_cache[key]
-        import jax
         import jax.numpy as jnp
 
-        from icee_tpu.decode.beam import beam_search_batched
-        from icee_tpu.models import attention as att_mod
-        from icee_tpu.models import factored_lstm as fl
-        from icee_tpu.models import lstm as nic_mod
+        from icee_tpu.decode import fast
 
         k = self.k
         vocab_size = len(eng.vocab)
-        rows = n * k
 
         if variant == "stylenet":
             # shared fast-path chain: mega kernel -> fused step -> XLA
             # (serving semantics: feature fed at step 1)
-            from icee_tpu.decode import fast
-
-            from icee_tpu.core.config import mode_id
-
             candidates = fast.factored_candidates(
                 dec, jnp.asarray(mode_id(mode)), n, k,
                 eng.dec_cfg.max_seq_length, vocab_size, eng.vocab.start,
@@ -189,8 +181,6 @@ class BatchingEngine:
                         candidates, tiled)
                 return picked["fn"](tiled)
         elif variant == "nic":
-            from icee_tpu.decode import fast
-
             nic_cands = fast.nic_candidates(
                 dec, n, k, eng.dec_cfg.max_seq_length, vocab_size,
                 eng.vocab.start, eng.vocab.end, eng.dec_cfg.hidden_size,
@@ -206,9 +196,6 @@ class BatchingEngine:
                 return picked_nic["fn"](tiled)
         elif variant == "stylenet_att":
             # shared fast-path chain (attention mega kernel on TPU)
-            from icee_tpu.core.config import mode_id
-            from icee_tpu.decode import fast
-
             att_candidates = fast.attention_candidates(
                 dec, jnp.asarray(mode_id(mode)), n, k,
                 eng.att_cfg.max_seq_length, vocab_size, eng.vocab.start,
@@ -222,29 +209,19 @@ class BatchingEngine:
                         att_candidates, spatial)
                 return picked_att["fn"](spatial)
         else:  # nic_att
+            na_cands = fast.nic_att_candidates(
+                dec, n, k, eng.att_cfg.max_seq_length, vocab_size,
+                eng.vocab.start, eng.vocab.end, n_img_block=min(16, n))
+            picked_na = {}
+
             def run(spatial, style):
-                feats_k = jnp.repeat(spatial, k, axis=0)
-                att = dec["attention"]
-                att1 = feats_k @ att["enc_w"] + att["enc_b"]
+                del style
+                if "fn" not in picked_na:
+                    _, picked_na["fn"] = fast.pick_first_compiling(
+                        na_cands, spatial)
+                return picked_na["fn"](spatial)
 
-                def step(x, s):
-                    logits, _, s2 = att_mod.rnn_att_decode_step(
-                        dec, x, feats_k, s, att1=att1)
-                    return logits, s2
-
-                return beam_search_batched(
-                    embed_fn=lambda t: jnp.take(dec["embed"], t, axis=0),
-                    step_fn=step,
-                    init_model_state=att_mod.init_hidden_state(dec, feats_k),
-                    start_token=eng.vocab.start, end_token=eng.vocab.end,
-                    k=k, max_seq_length=eng.att_cfg.max_seq_length,
-                    vocab_size=vocab_size, batch=n)
-
-        if variant in ("stylenet", "nic", "stylenet_att"):
-            # the fast-path chain probes candidates at first call — that
-            # must happen OUTSIDE jit (the candidates are jitted already)
-            fn = run
-        else:
-            fn = jax.jit(run)
-        self._decode_cache[key] = fn
-        return fn
+        # every variant now routes through the fast-path chain, whose
+        # candidate probing must happen OUTSIDE jit (candidates are jitted)
+        self._decode_cache[key] = run
+        return run

@@ -186,3 +186,39 @@ def test_mega_att_beam_matches_xla_beam(rng):
                                   np.asarray(want.length))
     np.testing.assert_allclose(np.asarray(got.score), np.asarray(want.score),
                                rtol=1e-5, atol=1e-5)
+
+
+def test_mega_att_nic_lstm_matches_xla_beam(rng):
+    """kind="lstm": NIC+Att through the attention mega kernel must match
+    the XLA rnn_att beam token-exactly."""
+    from icee_tpu.decode.beam import beam_search_batched
+    from icee_tpu.ops.pallas_att_decode import mega_att_beam_decode
+
+    params = att_mod.init_rnn_att_params(jax.random.PRNGKey(6), CFG)
+    steps, batch = 6, 4
+    feats = _rows(rng, (batch, P, CFG.feature_size))
+    att = params["attention"]
+    att1 = feats @ att["enc_w"] + att["enc_b"]
+    feats_k = jnp.repeat(feats, K, axis=0)
+    att1_k = jnp.repeat(att1, K, axis=0)
+
+    def xla_step(x, s):
+        logits, _, s2 = att_mod.rnn_att_decode_step(
+            params, x, feats_k, s, att1=att1_k)
+        return logits, s2
+
+    want = beam_search_batched(
+        embed_fn=lambda t: jnp.take(params["embed"], t, axis=0),
+        step_fn=xla_step,
+        init_model_state=att_mod.init_hidden_state(params, feats_k),
+        start_token=1, end_token=2, k=K, max_seq_length=steps,
+        vocab_size=CFG.vocab_size, batch=batch)
+
+    got = mega_att_beam_decode(
+        params, feats, jnp.asarray(0), batch, start_token=1, end_token=2,
+        k=K, max_seq_length=steps, n_img_block=2, v_tile=128, kind="lstm",
+        interpret=True)
+    np.testing.assert_array_equal(np.asarray(got.tokens),
+                                  np.asarray(want.tokens))
+    np.testing.assert_array_equal(np.asarray(got.length),
+                                  np.asarray(want.length))

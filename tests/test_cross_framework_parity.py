@@ -151,3 +151,196 @@ def test_torch_reference_beam_matches_icee(rng, style_idx, style_prefix):
         if np.isfinite(want_score):
             np.testing.assert_allclose(float(res_mega.score[i]), want_score,
                                        rtol=1e-4)
+
+
+# --- NIC (torch's own nn.LSTMCell: exact reference semantics) ---------------
+
+@torch.no_grad()
+def _torch_nic_beam(sd, cell, feature, start=1, end=2):
+    import torch.nn.functional as Fn
+
+    k = K
+    prev = torch.full((k,), start, dtype=torch.long)
+    seqs = prev.unsqueeze(1)
+    top_scores = torch.zeros(k, 1)
+    h = torch.zeros(k, H)
+    c = torch.zeros(k, H)
+    complete, complete_scores = [], []
+    step = 1
+    while True:
+        x = feature.expand(k, E) if step == 1 else sd["embed.weight"][prev]
+        h, c = cell(x, (h, c))
+        scores = Fn.log_softmax(
+            h @ sd["linear.weight"].T + sd["linear.bias"], dim=1)
+        scores = top_scores.expand_as(scores) + scores
+        if step == 1:
+            top_scores, top_words = scores[0].topk(k, 0, True, True)
+        else:
+            top_scores, top_words = scores.view(-1).topk(k, 0, True, True)
+        prev_idx = torch.div(top_words, V, rounding_mode="floor")
+        words = top_words % V
+        seqs = torch.cat([seqs[prev_idx], words.unsqueeze(1)], dim=1)
+        incomplete = [i for i, w in enumerate(words) if w != end]
+        done = sorted(set(range(len(words))) - set(incomplete))
+        if done:
+            complete.extend(seqs[done].tolist())
+            complete_scores.extend(t.item() for t in top_scores[done])
+        k -= len(done)
+        if k == 0:
+            break
+        seqs = seqs[incomplete]
+        h = h[prev_idx[incomplete]]
+        c = c[prev_idx[incomplete]]
+        top_scores = top_scores[incomplete].unsqueeze(1)
+        prev = words[incomplete]
+        if step > MAX_STEPS:
+            break
+        step += 1
+    if not complete:
+        return [end], float("-inf")
+    best = int(np.argmax(complete_scores))
+    return complete[best], complete_scores[best]
+
+
+def test_torch_nic_beam_matches_icee(rng):
+    import torch.nn as nn
+
+    from icee_tpu.checkpoint.torch_import import import_nic_decoder_state_dict
+    from icee_tpu.ops.pallas_beam import mega_beam_decode
+
+    torch.manual_seed(5)
+    cell = nn.LSTMCell(E, H)
+    sd = {"embed.weight": torch.randn(V, E) * 0.5,
+          "lstm.weight_ih": cell.weight_ih.data,
+          "lstm.weight_hh": cell.weight_hh.data,
+          "lstm.bias_ih": cell.bias_ih.data,
+          "lstm.bias_hh": cell.bias_hh.data,
+          "linear.weight": torch.randn(V, H) * 0.5,
+          "linear.bias": torch.randn(V) * 0.1}
+    params = import_nic_decoder_state_dict(sd)
+
+    batch = 3
+    feats_t = torch.randn(batch, E, generator=torch.Generator().manual_seed(8))
+    feats_j = jnp.asarray(feats_t.numpy())[:, None, :].repeat(K, axis=1)
+
+    want = [_torch_nic_beam(sd, cell, feats_t[i:i + 1])
+            for i in range(batch)]
+    res = mega_beam_decode(
+        params, feats_j, jnp.asarray(0), batch, start_token=1, end_token=2,
+        k=K, max_seq_length=MAX_STEPS, n_img_block=3, v_tile=96,
+        cell="lstm", interpret=True)
+    for i in range(batch):
+        got = np.asarray(res.tokens[i][: int(res.length[i])]).tolist()
+        assert got == want[i][0], f"img {i}: {want[i][0]} != {got}"
+
+
+# --- StyleNet+Att (reference model_att.py:307-426 transcription) ------------
+
+P_PIX, A_DIM, FS = 6, 10, 14
+
+
+def _att_state_dict(seed=3):
+    g = torch.Generator().manual_seed(seed)
+    sd = _torch_state_dict(seed)
+    # widen V_* to the concat input [emb ; gated context]
+    for gate in GATES:
+        sd[f"V_{gate}.weight"] = torch.randn(F, E + FS, generator=g) * 0.4
+    for a in ("attention", "attention_happy", "attention_sad",
+              "attention_angry"):
+        sd[f"{a}.encoder_att.weight"] = torch.randn(A_DIM, FS, generator=g) * .4
+        sd[f"{a}.encoder_att.bias"] = torch.randn(A_DIM, generator=g) * 0.1
+        sd[f"{a}.decoder_att.weight"] = torch.randn(A_DIM, H, generator=g) * .4
+        sd[f"{a}.decoder_att.bias"] = torch.randn(A_DIM, generator=g) * 0.1
+        sd[f"{a}.full_att.weight"] = torch.randn(1, A_DIM, generator=g) * 0.4
+        sd[f"{a}.full_att.bias"] = torch.randn(1, generator=g) * 0.1
+    for n, shp in (("init_h", (H, FS)), ("init_c", (H, FS)),
+                   ("f_beta", (FS, H))):
+        sd[f"{n}.weight"] = torch.randn(*shp, generator=g) * 0.4
+        sd[f"{n}.bias"] = torch.randn(shp[0], generator=g) * 0.1
+    return sd
+
+
+@torch.no_grad()
+def _torch_att_beam(sd, att_name, style_prefix, features, start=1, end=2):
+    """model_att.py:307-426: init from mean features, embed(start) at
+    step 1, per-style attention + f_beta gate, concat input."""
+    import torch.nn.functional as Fn
+
+    def lin(name, inp):
+        return inp @ sd[f"{name}.weight"].T + sd[f"{name}.bias"]
+
+    k = K
+    feats = features.expand(k, P_PIX, FS)
+    prev = torch.full((k,), start, dtype=torch.long)
+    seqs = prev.unsqueeze(1)
+    top_scores = torch.zeros(k, 1)
+    mean = feats.mean(dim=1)
+    h = lin("init_h", mean)
+    c = lin("init_c", mean)
+    complete, complete_scores = [], []
+    step = 1
+    while True:
+        emb = sd["B.weight"][prev]
+        att1 = lin(f"{att_name}.encoder_att", feats)       # (k, P, A)
+        att2 = lin(f"{att_name}.decoder_att", h)           # (k, A)
+        e = lin(f"{att_name}.full_att",
+                torch.relu(att1 + att2.unsqueeze(1))).squeeze(2)
+        alpha = Fn.softmax(e, dim=1)
+        awe = (feats * alpha.unsqueeze(2)).sum(dim=1)
+        gate = torch.sigmoid(lin("f_beta", h))
+        x = torch.cat([emb, gate * awe], dim=1)
+        h, c = _torch_step(sd, style_prefix, x, h, c)
+        scores = Fn.log_softmax(h @ sd["C.weight"].T + sd["C.bias"], dim=1)
+        scores = top_scores.expand_as(scores) + scores
+        if step == 1:
+            top_scores, top_words = scores[0].topk(k, 0, True, True)
+        else:
+            top_scores, top_words = scores.view(-1).topk(k, 0, True, True)
+        prev_idx = torch.div(top_words, V, rounding_mode="floor")
+        words = top_words % V
+        seqs = torch.cat([seqs[prev_idx], words.unsqueeze(1)], dim=1)
+        incomplete = [i for i, w in enumerate(words) if w != end]
+        done = sorted(set(range(len(words))) - set(incomplete))
+        if done:
+            complete.extend(seqs[done].tolist())
+            complete_scores.extend(t.item() for t in top_scores[done])
+        k -= len(done)
+        if k == 0:
+            break
+        feats = feats[:k]
+        seqs = seqs[incomplete]
+        h = h[prev_idx[incomplete]]
+        c = c[prev_idx[incomplete]]
+        top_scores = top_scores[incomplete].unsqueeze(1)
+        prev = words[incomplete]
+        if step > MAX_STEPS:
+            break
+        step += 1
+    if not complete:
+        return [end], float("-inf")
+    best = int(np.argmax(complete_scores))
+    return complete[best], complete_scores[best]
+
+
+def test_torch_attention_beam_matches_icee(rng):
+    from icee_tpu.checkpoint.torch_import import (
+        import_factored_att_decoder_state_dict,
+    )
+    from icee_tpu.ops.pallas_att_decode import mega_att_beam_decode
+
+    sd = _att_state_dict()
+    params = import_factored_att_decoder_state_dict(sd)
+    batch = 3
+    feats_t = torch.randn(batch, P_PIX, FS,
+                          generator=torch.Generator().manual_seed(9))
+    feats_j = jnp.asarray(feats_t.numpy())
+
+    want = [_torch_att_beam(sd, "attention_happy", "happy_",
+                            feats_t[i:i + 1]) for i in range(batch)]
+    res = mega_att_beam_decode(
+        params, feats_j, jnp.asarray(1), batch, start_token=1, end_token=2,
+        k=K, max_seq_length=MAX_STEPS, n_img_block=3, v_tile=96,
+        interpret=True)
+    for i in range(batch):
+        got = np.asarray(res.tokens[i][: int(res.length[i])]).tolist()
+        assert got == want[i][0], f"img {i}: {want[i][0]} != {got}"

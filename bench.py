@@ -105,7 +105,7 @@ def bench_decode(jax, jnp, dec, feats_stack, style):
     raise RuntimeError("no decode path compiled")
 
 
-ATT_BATCH, ATT_PIX = 64, 196
+ATT_BATCH, ATT_PIX = 96, 196
 
 
 def bench_att_decode(jax, jnp):
@@ -129,7 +129,7 @@ def bench_att_decode(jax, jnp):
     def run(ft):
         return mega_att_beam_decode(
             params, ft, style, ATT_BATCH, k=K, max_seq_length=MAX_STEPS,
-            n_img_block=16, v_tile=2048).tokens
+            n_img_block=24, v_tile=2048).tokens
 
     many = jax.jit(lambda fs: jax.lax.map(run, fs))
     np.asarray(many(stack))  # compile + warmup

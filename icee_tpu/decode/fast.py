@@ -132,7 +132,7 @@ def attention_candidates(
     vocab_size: int,
     start_token: int,
     end_token: int,
-    n_img_block: int = 16,
+    n_img_block: int = 24,
     v_tile: int = 2048,
 ) -> List[Tuple[str, Callable]]:
     """Candidates for the StyleNet+Att beam: fns take spatial features
@@ -204,7 +204,7 @@ def nic_att_candidates(
     vocab_size: int,
     start_token: int,
     end_token: int,
-    n_img_block: int = 16,
+    n_img_block: int = 24,
     v_tile: int = 2048,
 ) -> List[Tuple[str, Callable]]:
     """Candidates for the NIC+Att beam: attention mega kernel with

@@ -412,7 +412,7 @@ def mega_att_beam_decode(
     end_token: int = 2,
     k: int = 5,
     max_seq_length: int = 40,
-    n_img_block: int = 16,
+    n_img_block: int = 24,
     v_tile: int = 2048,
     kind: str = "factored",
     interpret: bool = False,

@@ -199,7 +199,7 @@ class BatchingEngine:
             att_candidates = fast.attention_candidates(
                 dec, jnp.asarray(mode_id(mode)), n, k,
                 eng.att_cfg.max_seq_length, vocab_size, eng.vocab.start,
-                eng.vocab.end, n_img_block=min(16, n))
+                eng.vocab.end, n_img_block=min(24, n))
             picked_att = {}
 
             def run(spatial, style):  # (n, P, D)
@@ -211,7 +211,7 @@ class BatchingEngine:
         else:  # nic_att
             na_cands = fast.nic_att_candidates(
                 dec, n, k, eng.att_cfg.max_seq_length, vocab_size,
-                eng.vocab.start, eng.vocab.end, n_img_block=min(16, n))
+                eng.vocab.start, eng.vocab.end, n_img_block=min(24, n))
             picked_na = {}
 
             def run(spatial, style):

@@ -344,3 +344,19 @@ def test_wsenti_dead_param_parity():
     assert "wsenti" in SWITCH_PARAMS              # train_joint.py:355-359
     mask = sw.switch_param_mask(p)
     assert mask["wsenti"] is True and mask["wemb"] is False
+
+
+def test_batch_norm_training_updates_gamma_beta(rng):
+    """BATCH_NORM=True end-to-end: gamma_h/beta_h must flow through the
+    solver (trainable + saveable, mrnn.py:90-103) and training must learn."""
+    ds, w2i, i2w = _toy_dataset(rng)
+    conf = dict(CONF)
+    conf["BATCH_NORM"] = True
+    conf["batch_size_val"] = 4
+    params, _ = T.train_base(ds, len(w2i), conf, num_epochs=6, seed=0)
+    assert "gamma_h" in params and "beta_h" in params
+    # the affine params moved off their init (ones/zeros): the solver
+    # trains them (reference adds them to param_names_trainable,
+    # mrnn.py:97-103)
+    assert not np.allclose(np.asarray(params["gamma_h"]), 1.0)
+    assert not np.allclose(np.asarray(params["beta_h"]), 0.0)

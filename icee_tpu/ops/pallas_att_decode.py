@@ -51,7 +51,6 @@ def _attend_block(x_ref, h_ref, feat_ref, att1_ref, decw_ref, decb_ref,
                    preferred_element_type=jnp.float32) + decb_ref[0, :]
     att1_v = att1_ref[:]                      # (n_img, P, A)
     feat_v = feat_ref[:]                      # (n_img, P, FS)
-    n_pix = att1_v.shape[1]
     fullw_b = jnp.broadcast_to(fullw_ref[:][None],
                                (n_img,) + fullw_ref.shape)  # (n_img, A, 1)
     xs, alphas = [], []
@@ -77,7 +76,6 @@ def _attend_block(x_ref, h_ref, feat_ref, att1_ref, decw_ref, decb_ref,
             [x_ref[sl].astype(jnp.float32), gctx], axis=1)  # (n_img, E+FS)
         xs.append(x_p)
         alphas.append(alpha)
-    del n_pix
     return jnp.concatenate(xs, axis=0), jnp.concatenate(alphas, axis=0)
 
 

@@ -184,3 +184,37 @@ def test_mega_nic_lstm_cell_matches_xla_beam(rng):
                                   np.asarray(want.length))
     np.testing.assert_allclose(np.asarray(got.score), np.asarray(want.score),
                                rtol=1e-5, atol=1e-5)
+
+
+def test_mega_fuzz_random_configs(rng):
+    """Randomized (dims, k, vocab, batch, blocks, streams) fuzz: the mega
+    kernel must match the XLA beam token-exactly on every draw."""
+    for trial in range(5):
+        vocab = int(rng.integers(130, 700))
+        e = int(rng.integers(8, 40))
+        h = int(rng.integers(16, 80))
+        k = int(rng.integers(2, 6))
+        batch = int(rng.integers(2, 9))
+        steps = int(rng.integers(3, 9))
+        nib = int(rng.integers(1, batch + 1))
+        ns = 2 if (nib % 2 == 0 and rng.random() < 0.5) else 1
+        feed = bool(rng.random() < 0.7)
+        cfg = DecoderConfig(vocab_size=vocab, embed_size=e, hidden_size=h,
+                            factored_size=h, max_seq_length=steps)
+        params = fl.init_params(jax.random.PRNGKey(trial), cfg)
+        feats = jnp.asarray(
+            rng.standard_normal((batch, k, e)).astype(np.float32))
+        style = jnp.asarray(int(rng.integers(0, 4)))
+
+        want = _xla_beam(params, cfg, feats if feed else None, style, batch,
+                         k, steps, fused=False, feed_feature=feed)
+        got = mega_beam_decode(
+            params, feats if feed else None, style, batch, start_token=1,
+            end_token=2, k=k, max_seq_length=steps, n_img_block=nib,
+            n_streams=ns, v_tile=128, feed_feature=feed, interpret=True)
+        ctx = dict(trial=trial, vocab=vocab, e=e, h=h, k=k, batch=batch,
+                   steps=steps, nib=nib, ns=ns, feed=feed)
+        np.testing.assert_array_equal(np.asarray(got.tokens),
+                                      np.asarray(want.tokens), err_msg=str(ctx))
+        np.testing.assert_array_equal(np.asarray(got.length),
+                                      np.asarray(want.length), err_msg=str(ctx))

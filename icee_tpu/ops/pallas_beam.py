@@ -168,7 +168,7 @@ def _kernel(feat_ref, emb_ref,
                 run_se[s] = run_se[s] * jnp.exp(run_m[s] - m_new) + jnp.sum(
                     jnp.exp(logits - m_new), axis=1, keepdims=True)
                 run_m[s] = m_new
-                tv, ti = _row_topk(logits, j * v_tile, k)
+                tv, ti = _row_topk(logits, j * v_tile, k, tile_max=tile_max)
                 run_v[s], run_i[s] = _merge_topk(run_v[s], run_i[s], tv, ti,
                                                  k)
         logp_top, idx_top = [], []

@@ -36,16 +36,19 @@ from jax.experimental.pallas import tpu as pltpu
 NEG = -1e30
 
 
-def _row_topk(tile: jax.Array, base: jax.Array, ktop: int):
+def _row_topk(tile: jax.Array, base: jax.Array, ktop: int, tile_max=None):
     """Exact per-row top-k of ``tile`` (R, W) -> ((R, ktop) vals,
     (R, ktop) global indices offset by ``base``).  Ties -> lowest index,
-    matching lax.top_k / torch.topk."""
+    matching lax.top_k / torch.topk.  ``tile_max`` (R, 1), if given, is the
+    precomputed row max (the streaming-logsumexp pass already has it),
+    saving the first full-width reduction."""
     r, w = tile.shape
     col = jax.lax.broadcasted_iota(jnp.int32, (r, w), 1)
     cur = tile
     vals, idxs = [], []
     for it in range(ktop):
-        m = jnp.max(cur, axis=1, keepdims=True)
+        m = tile_max if (it == 0 and tile_max is not None) else jnp.max(
+            cur, axis=1, keepdims=True)
         ismax = cur == m
         idx = jnp.min(jnp.where(ismax, col, jnp.int32(2**30)), axis=1,
                       keepdims=True)
@@ -135,8 +138,8 @@ def _kernel(x_ref, h_ref, c_ref,
         jnp.exp(logits - m_new), axis=1, keepdims=True)
     m_scr[:] = m_new
 
-    # streaming exact top-k
-    tv, ti = _row_topk(logits, j * v_tile, ktop)
+    # streaming exact top-k (reusing the logsumexp pass's tile max)
+    tv, ti = _row_topk(logits, j * v_tile, ktop, tile_max=tile_max)
     mv, mi = _merge_topk(runv_scr[:], runi_scr[:], tv, ti, ktop)
     runv_scr[:] = mv
     runi_scr[:] = mi

@@ -44,24 +44,49 @@ N_COMMON = 11  # x, h, c, feat, att1, dec_w, dec_b, full_w, full_b, fb_w, fb_b
 
 def _attend_block(x_ref, h_ref, feat_ref, att1_ref, decw_ref, decb_ref,
                   fullw_ref, fullb_ref, fbw_ref, fbb_ref,
-                  *, k, n_img, wdt):
-    """Per-slot re-attention + gated context -> (x_full, alpha_full)."""
-    h32 = h_ref[:].astype(jnp.float32)
-    att2 = jnp.dot(h_ref[:].astype(wdt), decw_ref[:],
+                  *, k, n_img, wdt, row0=0, img0=0):
+    """Per-slot re-attention + gated context -> (x_full, alpha_full).
+
+    ``row0``/``img0`` select a stream window (rows [row0, row0+n_img*k),
+    images [img0, img0+n_img)) so the mega kernel can interleave
+    independent image streams; the per-step kernel uses the defaults.
+
+    VMEM note (probed on hardware): the unrolled k-slot loop's relu
+    temporaries ((n_img, P, A) each) live in vector registers and SPILL to
+    scoped VMEM (measured 56 MB of spill slots at 32-image blocks — the
+    binding constraint on block size).  Staging them through a VMEM scratch
+    does NOT shrink the spill (store-forwarding keeps the registers live);
+    the fix is tiling the attention dim A so each slot's peak live
+    temporary is (n_img, P, a_tile).
+    """
+    rows = n_img * k
+    a_dim = att1_ref.shape[-1]
+    a_tile = 128 if a_dim % 128 == 0 else a_dim
+    h32 = h_ref[row0:row0 + rows].astype(jnp.float32)
+    att2 = jnp.dot(h32.astype(wdt), decw_ref[:],
                    preferred_element_type=jnp.float32) + decb_ref[0, :]
-    att1_v = att1_ref[:]                      # (n_img, P, A)
-    feat_v = feat_ref[:]                      # (n_img, P, FS)
+    att1_v = att1_ref[img0:img0 + n_img]      # (n_img, P, A)
+    feat_v = feat_ref[img0:img0 + n_img]      # (n_img, P, FS)
     fullw_b = jnp.broadcast_to(fullw_ref[:][None],
                                (n_img,) + fullw_ref.shape)  # (n_img, A, 1)
     xs, alphas = [], []
     for p in range(k):
         sl = slice(p * n_img, (p + 1) * n_img)
         a2p = att2[sl].astype(att1_v.dtype)                 # (n_img, A)
-        r3 = jnp.maximum(att1_v + a2p[:, None, :], 0.0)     # relu
-        e = jax.lax.dot_general(
-            r3.astype(wdt), fullw_b,
-            dimension_numbers=(((2,), (1,)), ((0,), (0,))),
-            preferred_element_type=jnp.float32)             # (n_img, P, 1)
+        # A-tiled relu+score: e = sum_t relu(att1+att2)[.., t] @ full_w[t]
+        # (f32 accumulation; relu is elementwise so tiling is exact, only
+        # the contraction order differs from a single full-A dot)
+        e = jnp.zeros((n_img, feat_v.shape[1], 1), jnp.float32)
+        for a0 in range(0, a_dim, a_tile):
+            # slice BEFORE adding the axis: `a2p[:, None, a0:a1]` is
+            # advanced indexing -> lax.gather, which Mosaic cannot lower
+            a2p_t = a2p[:, a0:a0 + a_tile]
+            r3_t = jnp.maximum(
+                att1_v[:, :, a0:a0 + a_tile] + a2p_t[:, None, :], 0.0)
+            e = e + jax.lax.dot_general(
+                r3_t.astype(wdt), fullw_b[:, a0:a0 + a_tile, :],
+                dimension_numbers=(((2,), (1,)), ((0,), (0,))),
+                preferred_element_type=jnp.float32)         # (n_img, P, 1)
         e2 = e[:, :, 0] + fullb_ref[0, 0]                   # (n_img, P)
         alpha = jax.nn.softmax(e2, axis=1)
         ctx = jax.lax.dot_general(
@@ -73,7 +98,8 @@ def _attend_block(x_ref, h_ref, feat_ref, att1_ref, decw_ref, decb_ref,
                     preferred_element_type=jnp.float32) + fbb_ref[0, :])
         gctx = gate * ctx
         x_p = jnp.concatenate(
-            [x_ref[sl].astype(jnp.float32), gctx], axis=1)  # (n_img, E+FS)
+            [x_ref[row0 + p * n_img:row0 + (p + 1) * n_img].astype(
+                jnp.float32), gctx], axis=1)                # (n_img, E+FS)
         xs.append(x_p)
         alphas.append(alpha)
     return jnp.concatenate(xs, axis=0), jnp.concatenate(alphas, axis=0)
@@ -95,7 +121,7 @@ def _head_topk(h_b, cw_ref, cb_ref, *, ktop, v_tile, vocab):
         run_se = run_se * jnp.exp(run_m - m_new) + jnp.sum(
             jnp.exp(logits - m_new), axis=1, keepdims=True)
         run_m = m_new
-        tv, ti = _row_topk(logits, j * v_tile, ktop)
+        tv, ti = _row_topk(logits, j * v_tile, ktop, tile_max=tile_max)
         run_v, run_i = _merge_topk(run_v, run_i, tv, ti, ktop)
     return run_v - (run_m + jnp.log(run_se)), run_i
 
@@ -314,16 +340,27 @@ def _mega_att_kernel(feat_ref, att1_ref, emb_ref,
                      alive_scr, done_scr,
                      *, kind: str, k: int, n_img: int, f_dim: int,
                      h_dim: int, e_dim: int, v_tile: int, vocab: int,
-                     max_len: int, start_token: int, end_token: int):
+                     max_len: int, start_token: int, end_token: int,
+                     n_streams: int = 1):
     """Grid ``(n_blocks, T+1)``: per-image spatial features and the hoisted
     encoder projection stay VMEM-resident across ALL steps (the per-step
     fused kernel re-reads ~1 MB/image from HBM every step — the dominant
     cost it leaves on the table).  Rows beam-major; state/select logic is
-    ``pallas_beam._beam_select`` verbatim."""
+    ``pallas_beam._beam_select`` verbatim.
+
+    ``n_streams=2`` splits the block into independent image halves (stream
+    ``s`` owns images ``[s*n2, (s+1)*n2)`` and rows ``[s*rows2, ...)``,
+    beam-major within) and interleaves their phases so one stream's
+    streaming top-k / beam select (VPU) overlaps the other's attention /
+    cell / head / embedding matmuls (MXU) — the same interleave that bought
+    1.58x on the non-attention mega kernel (``ops/pallas_beam.py``).
+    """
     from icee_tpu.ops.pallas_beam import _beam_select
 
     t = pl.program_id(1)
     rows = n_img * k
+    n2 = n_img // n_streams
+    rows2 = n2 * k
     n_vt = vocab // v_tile
     wdt = cw_ref.dtype
 
@@ -338,8 +375,14 @@ def _mega_att_kernel(feat_ref, att1_ref, emb_ref,
               + ihb_ref[0, :]).astype(wdt).astype(jnp.float32)
         c0 = (jnp.dot(mean, icw_ref[:], preferred_element_type=jnp.float32)
               + icb_ref[0, :]).astype(wdt).astype(jnp.float32)
-        h_scr[:] = jnp.concatenate([h0] * k, axis=0)
-        c_scr[:] = jnp.concatenate([c0] * k, axis=0)
+        # stream-major rows: stream s's slot p of local image j at row
+        # s*rows2 + p*n2 + j
+        h_scr[:] = jnp.concatenate(
+            [h0[s * n2:(s + 1) * n2] for s in range(n_streams)
+             for _ in range(k)], axis=0)
+        c_scr[:] = jnp.concatenate(
+            [c0[s * n2:(s + 1) * n2] for s in range(n_streams)
+             for _ in range(k)], axis=0)
         # research-style step 1: embed <start> (no feature input)
         embx_scr[:] = jnp.broadcast_to(
             emb_ref[start_token, :].astype(jnp.float32), (rows, e_dim))
@@ -353,54 +396,95 @@ def _mega_att_kernel(feat_ref, att1_ref, emb_ref,
     @pl.when(done_scr[0, 0] == 0)
     def _step():
         is_first = t == 0
-        x_full, _ = _attend_block(
-            embx_scr, h_scr, feat_ref, att1_ref, decw_ref, decb_ref,
-            fullw_ref, fullb_ref, fbw_ref, fbb_ref,
-            k=k, n_img=n_img, wdt=wdt)
-        c_prev = c_scr[:]
-        h_prev_b = h_scr[:].astype(wdt)
-        if kind == "factored":
-            h_new, c_new = _factored_cell_block(
-                x_full, c_prev, h_prev_b,
-                (vw_ref, vb_ref, sw_ref, sb_ref, uw_ref, ub_ref, ww_ref,
-                 wb_ref),
-                f_dim=f_dim, h_dim=h_dim, wdt=wdt)
-        else:
-            # NIC+Att: vw/ww carry W_ih/W_hh, vb/wb carry b_ih/b_hh (1, 4H)
-            h_new, c_new = _lstm_cell_block(
-                x_full, c_prev, h_prev_b,
-                (vw_ref, ww_ref, vb_ref, wb_ref), h_dim=h_dim, wdt=wdt)
-        logp_top, idx_top = _head_topk(h_new.astype(wdt), cw_ref, cb_ref,
-                                       ktop=k, v_tile=v_tile, vocab=vocab)
-        rank = jax.lax.broadcasted_iota(jnp.int32, (n_img, k), 1)
-        words = _beam_select(
-            t, is_first, logp_top, idx_top, h_new, c_new,
-            tok_ref, len_ref, score_ref,
-            h_scr, c_scr, seqs_scr, scores_scr, alive_scr,
-            k=k, n_img=n_img, h_dim=h_dim, max_len=max_len,
-            end_token=end_token, wdt=wdt, rank=rank)
-        done_scr[0, 0] = (jnp.sum(alive_scr[:]) == 0).astype(jnp.int32)
 
-        # next word embedding: one-hot matmul over vocab tiles (exact)
-        flat_w = jnp.concatenate(
-            [jnp.sum(jnp.where(rank == q, words, 0), axis=1, keepdims=True)
-             for q in range(k)], axis=0)                    # (rows, 1)
-        x_new = jnp.zeros((rows, e_dim), jnp.float32)
+        # --- per-stream re-attention + cell (MXU-heavy; independent) ---
+        h_news, c_news = [], []
+        for s in range(n_streams):
+            x_full, _ = _attend_block(
+                embx_scr, h_scr, feat_ref, att1_ref, decw_ref, decb_ref,
+                fullw_ref, fullb_ref, fbw_ref, fbb_ref,
+                k=k, n_img=n2, wdt=wdt, row0=s * rows2, img0=s * n2)
+            c_prev = c_scr[s * rows2:(s + 1) * rows2]
+            h_prev_b = h_scr[s * rows2:(s + 1) * rows2].astype(wdt)
+            if kind == "factored":
+                h_new, c_new = _factored_cell_block(
+                    x_full, c_prev, h_prev_b,
+                    (vw_ref, vb_ref, sw_ref, sb_ref, uw_ref, ub_ref, ww_ref,
+                     wb_ref),
+                    f_dim=f_dim, h_dim=h_dim, wdt=wdt)
+            else:
+                # NIC+Att: vw/ww carry W_ih/W_hh, vb/wb b_ih/b_hh (1, 4H)
+                h_new, c_new = _lstm_cell_block(
+                    x_full, c_prev, h_prev_b,
+                    (vw_ref, ww_ref, vb_ref, wb_ref), h_dim=h_dim, wdt=wdt)
+            h_news.append(h_new)
+            c_news.append(c_new)
+
+        # --- vocab-tiled head + streaming top-k, interleaved across
+        # streams: tile j+1's matmul (MXU) issues before tile j's top-k
+        # (VPU), and the other stream's phases slot between them ---
+        def head_tile(s, j):
+            return (jnp.dot(h_news[s].astype(wdt),
+                            cw_ref[:, j * v_tile:(j + 1) * v_tile],
+                            preferred_element_type=jnp.float32)
+                    + cb_ref[0, j * v_tile:(j + 1) * v_tile])
+
+        run_m = [jnp.full((rows2, 1), NEG, jnp.float32)] * n_streams
+        run_se = [jnp.zeros((rows2, 1), jnp.float32)] * n_streams
+        run_v = [jnp.full((rows2, k), NEG, jnp.float32)] * n_streams
+        run_i = [jnp.zeros((rows2, k), jnp.int32)] * n_streams
+        logits_next = [head_tile(s, 0) for s in range(n_streams)]
         for j in range(n_vt):
-            col_v = j * v_tile + jax.lax.broadcasted_iota(
-                jnp.int32, (rows, v_tile), 1)
-            onehot = (col_v == flat_w).astype(wdt)
-            x_new = x_new + jnp.dot(
-                onehot, emb_ref[j * v_tile:(j + 1) * v_tile, :],
-                preferred_element_type=jnp.float32)
-        embx_scr[:] = x_new
+            for s in range(n_streams):
+                logits = logits_next[s]
+                if j + 1 < n_vt:
+                    logits_next[s] = head_tile(s, j + 1)
+                tile_max = jnp.max(logits, axis=1, keepdims=True)
+                m_new = jnp.maximum(run_m[s], tile_max)
+                run_se[s] = run_se[s] * jnp.exp(run_m[s] - m_new) + jnp.sum(
+                    jnp.exp(logits - m_new), axis=1, keepdims=True)
+                run_m[s] = m_new
+                tv, ti = _row_topk(logits, j * v_tile, k,
+                                   tile_max=tile_max)
+                run_v[s], run_i[s] = _merge_topk(run_v[s], run_i[s], tv, ti,
+                                                 k)
+
+        # --- beam select + next-input embedding, interleaved per stream ---
+        rank = jax.lax.broadcasted_iota(jnp.int32, (n2, k), 1)
+        for s in range(n_streams):
+            r0 = s * rows2
+            logp_top = run_v[s] - (run_m[s] + jnp.log(run_se[s]))
+            words = _beam_select(
+                t, is_first, logp_top, run_i[s], h_news[s], c_news[s],
+                tok_ref, len_ref, score_ref,
+                h_scr, c_scr, seqs_scr, scores_scr, alive_scr,
+                k=k, n_img=n2, h_dim=h_dim, max_len=max_len,
+                end_token=end_token, wdt=wdt, rank=rank,
+                row0=r0, img0=s * n2)
+
+            # next word embedding: one-hot matmul over vocab tiles (exact)
+            flat_w = jnp.concatenate(
+                [jnp.sum(jnp.where(rank == q, words, 0), axis=1,
+                         keepdims=True)
+                 for q in range(k)], axis=0)                # (rows2, 1)
+            x_new = jnp.zeros((rows2, e_dim), jnp.float32)
+            for j in range(n_vt):
+                col_v = j * v_tile + jax.lax.broadcasted_iota(
+                    jnp.int32, (rows2, v_tile), 1)
+                onehot = (col_v == flat_w).astype(wdt)
+                x_new = x_new + jnp.dot(
+                    onehot, emb_ref[j * v_tile:(j + 1) * v_tile, :],
+                    preferred_element_type=jnp.float32)
+            embx_scr[r0:r0 + rows2] = x_new
+
+        done_scr[0, 0] = (jnp.sum(alive_scr[:]) == 0).astype(jnp.int32)
 
 
 @functools.partial(
     jax.jit,
     static_argnames=("batch", "start_token", "end_token", "k",
                      "max_seq_length", "n_img_block", "v_tile", "kind",
-                     "interpret"))
+                     "n_streams", "interpret"))
 def mega_att_beam_decode(
     params: dict,            # full attention-decoder params
     features: jax.Array,     # (B, P, FS) per-image spatial features
@@ -413,6 +497,7 @@ def mega_att_beam_decode(
     n_img_block: int = 24,
     v_tile: int = 2048,
     kind: str = "factored",
+    n_streams: int = 1,
     interpret: bool = False,
 ):
     """Whole attention-beam-search-in-one-kernel decode.
@@ -442,6 +527,8 @@ def mega_att_beam_decode(
     n_pix, fs = features.shape[1], features.shape[2]
 
     n_img_block = min(n_img_block, batch)
+    if n_img_block % n_streams:
+        n_streams = 1
     bp = -(-batch // n_img_block) * n_img_block
     n_blocks = bp // n_img_block
     rows_blk = n_img_block * k
@@ -494,7 +581,7 @@ def mega_att_beam_decode(
     kernel = functools.partial(
         _mega_att_kernel, kind=kind, k=k, n_img=n_img_block, f_dim=f_dim,
         h_dim=h_dim, e_dim=e_dim, v_tile=v_tile, vocab=vp, max_len=max_len,
-        start_token=start_token, end_token=end_token)
+        start_token=start_token, end_token=end_token, n_streams=n_streams)
     out_shape = (
         jax.ShapeDtypeStruct((bp, max_len), jnp.int32),
         jax.ShapeDtypeStruct((bp, 1), jnp.int32),

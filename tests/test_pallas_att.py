@@ -148,9 +148,11 @@ def test_fused_att_beam_matches_xla_beam(rng):
                                   np.asarray(want.length))
 
 
-def test_mega_att_beam_matches_xla_beam(rng):
+@pytest.mark.parametrize("nib,n_streams", [(3, 1), (2, 2)])
+def test_mega_att_beam_matches_xla_beam(rng, nib, n_streams):
     """The whole-search attention kernel must match the XLA attention beam
-    token-exactly (research semantics, batch padding exercised)."""
+    token-exactly (research semantics, batch padding exercised; with
+    ``n_streams=2`` the block splits into interleaved image streams)."""
     from icee_tpu.decode.beam import beam_search_batched
     from icee_tpu.ops.pallas_att_decode import mega_att_beam_decode
 
@@ -178,7 +180,8 @@ def test_mega_att_beam_matches_xla_beam(rng):
 
     got = mega_att_beam_decode(
         params, feats, style, batch, start_token=1, end_token=2, k=K,
-        max_seq_length=steps, n_img_block=3, v_tile=128, interpret=True)
+        max_seq_length=steps, n_img_block=nib, v_tile=128,
+        n_streams=n_streams, interpret=True)
 
     np.testing.assert_array_equal(np.asarray(got.tokens),
                                   np.asarray(want.tokens))
@@ -217,7 +220,7 @@ def test_mega_att_nic_lstm_matches_xla_beam(rng):
     got = mega_att_beam_decode(
         params, feats, jnp.asarray(0), batch, start_token=1, end_token=2,
         k=K, max_seq_length=steps, n_img_block=2, v_tile=128, kind="lstm",
-        interpret=True)
+        n_streams=2, interpret=True)
     np.testing.assert_array_equal(np.asarray(got.tokens),
                                   np.asarray(want.tokens))
     np.testing.assert_array_equal(np.asarray(got.length),

@@ -55,6 +55,38 @@ def _median_per_batch(fn, stacked, n_inner):
     return float(np.median(times)), float(np.min(times))
 
 
+def bench_calibration(jax, jnp):
+    """Session-speed yardstick: a fixed 4096^3 bf16 matmul chain timed
+    in-jit (lax.scan, 32 iterations).  The v5e peak is 197 bf16 TFLOP/s;
+    the achieved TFLOP/s calibrates the shared chip's session speed so
+    ``BENCH_r*.json`` decode numbers are comparable across rounds (the
+    relay varies 2-3x between sessions).  ``decode_ms_calibrated`` =
+    decode_ms * (calib_tflops / 180) rescales decode time to a
+    nominal-speed session."""
+    n, iters = 4096, 32
+    rng = np.random.default_rng(0)
+    a = jnp.asarray(rng.standard_normal((n, n)), jnp.bfloat16)
+    b = jnp.asarray(rng.standard_normal((n, n)), jnp.bfloat16)
+
+    @jax.jit
+    def chain(a, b):
+        def body(x, _):
+            y = jnp.dot(x, b, preferred_element_type=jnp.bfloat16)
+            # renormalize so the chain neither overflows nor denormals
+            return y / jnp.float32(64.0).astype(jnp.bfloat16), ()
+        out, _ = jax.lax.scan(body, a, None, length=iters)
+        return out
+
+    np.asarray(chain(a, b))  # compile + warmup
+    times = []
+    for _ in range(REPS):
+        t0 = time.perf_counter()
+        np.asarray(chain(a, b))
+        times.append(time.perf_counter() - t0)
+    sec = float(np.median(times))
+    return 2 * n * n * n * iters / sec / 1e12
+
+
 def bench_decode(jax, jnp, dec, feats_stack, style):
     from icee_tpu.decode.beam import beam_search_batched
     from icee_tpu.models import factored_lstm as fl
@@ -206,6 +238,12 @@ def main():
     cps = BATCH / med
 
     try:
+        calib_tflops = bench_calibration(jax, jnp)
+    except Exception as e:
+        print(f"# calibration matmul failed ({type(e).__name__})")
+        calib_tflops = None
+
+    try:
         att_med = bench_att_decode(jax, jnp)
         att_cps = ATT_BATCH / att_med
     except Exception as e:
@@ -231,6 +269,11 @@ def main():
         "decode_path": path,
         "decode_ms": round(med * 1e3, 2),
         "decode_ms_best": round(best * 1e3, 2),
+        "calib_matmul_tflops": (None if calib_tflops is None
+                                else round(calib_tflops, 1)),
+        "decode_ms_calibrated": (None if calib_tflops is None
+                                 else round(med * 1e3 * calib_tflops / 180,
+                                            2)),
         "att_decode_captions_per_sec": (None if att_cps is None
                                         else round(att_cps, 2)),
         "train_step_ms_fused": (None if train_fused_ms is None

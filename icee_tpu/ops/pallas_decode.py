@@ -59,6 +59,50 @@ def _row_topk(tile: jax.Array, base: jax.Array, ktop: int, tile_max=None):
     return jnp.concatenate(vals, 1), jnp.concatenate(idxs, 1)
 
 
+def _row_topk_fold(tile: jax.Array, base: jax.Array, ktop: int,
+                   tile_max=None, fold_to: int = 128):
+    """Exact per-row top-k via a binary tournament fold.
+
+    Semantically identical to :func:`_row_topk` (ties -> lowest index) but
+    replaces each iteration's two full-width reduces with a (val, idx) fold
+    down to ``fold_to`` lanes: compare/select pairs on geometrically
+    shrinking widths (W/2 + W/4 + ... element-ops instead of reduce passes
+    over W), then the max/index-find reduces on only the ``fold_to``-wide
+    remainder.  Exactness: the fold keeps, per surviving lane, the
+    subtree's max with its lowest column index, so min-index among
+    max-valued survivors equals the tile's argmax with lax.top_k/torch
+    tie-break.
+
+    Requires W a power of two > ``fold_to``; callers fall back to
+    :func:`_row_topk` otherwise.  ``tile_max`` is accepted for signature
+    compatibility (the fold produces the max itself).
+    """
+    del tile_max
+    r, w = tile.shape
+    col = jax.lax.broadcasted_iota(jnp.int32, (r, w), 1)
+    cur = tile
+    vals, idxs = [], []
+    for it in range(ktop):
+        v, i = cur, col
+        ww = w
+        while ww > fold_to:
+            h = ww // 2
+            v1, v2 = v[:, :h], v[:, h:ww]
+            i1, i2 = i[:, :h], i[:, h:ww]
+            take = (v1 > v2) | ((v1 == v2) & (i1 < i2))
+            v = jnp.where(take, v1, v2)
+            i = jnp.where(take, i1, i2)
+            ww = h
+        m = jnp.max(v, axis=1, keepdims=True)
+        idx = jnp.min(jnp.where(v == m, i, jnp.int32(2**30)), axis=1,
+                      keepdims=True)
+        vals.append(m)
+        idxs.append(idx + base)
+        if it + 1 < ktop:
+            cur = jnp.where(col == idx, NEG, cur)
+    return jnp.concatenate(vals, 1), jnp.concatenate(idxs, 1)
+
+
 def _merge_topk(v1, i1, v2, i2, ktop: int):
     """Merge two (R, ktop) sorted-ish candidate sets -> exact top-k.
     Tie-break: lower global index first (both inputs carry global indices)."""

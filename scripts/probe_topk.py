@@ -1,0 +1,117 @@
+"""Probe: streaming-top-k formulations head-to-head on TPU.
+
+The mega beam kernels are VPU-bound on the per-tile exact top-k
+(``docs/KERNELS.md``: top-k ~58us vs head matmul ~34us per 2048-wide tile).
+This probe times three exact formulations in an otherwise identical kernel
+(head matmul + logsumexp + top-k over vocab tiles, no beam machinery):
+
+  reduce : ops/pallas_decode._row_topk (iterative full-width max reduce +
+           where/min index find + mask) — the current production form
+  fold   : binary tournament fold to 128 lanes carrying (val, idx) with
+           lower-index tie-break, final small reduce, full-width mask
+  hybrid : fold for the argmax, but value from the fold result (no final
+           reduce pair)
+
+All three are token-exact vs lax.top_k (asserted in interpret mode by
+tests/test_pallas.py::test_row_topk_fold_matches_lax; this script measures
+compiled TPU time with in-jit lax.scan repetitions).
+
+Usage: PYTHONPATH=/root/repo:/root/.axon_site python scripts/probe_topk.py
+"""
+import functools
+import sys
+import time
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from icee_tpu.ops.pallas_decode import (NEG, _merge_topk, _row_topk,
+                                        _row_topk_fold)
+
+ROWS, H, V_TILE, N_VT, K = 1280, 512, 2048, 4, 5
+REPS_IN = 8   # in-kernel repetitions via grid steps
+REPS = 5
+
+
+def _kernel(h_ref, cw_ref, cb_ref, out_v, out_i, *, variant):
+    topk = {"reduce": _row_topk,
+            "fold": _row_topk_fold,
+            "fold512": functools.partial(_row_topk_fold, fold_to=512)}[variant]
+    run_m = jnp.full((ROWS, 1), NEG, jnp.float32)
+    run_se = jnp.zeros((ROWS, 1), jnp.float32)
+    run_v = jnp.full((ROWS, K), NEG, jnp.float32)
+    run_i = jnp.zeros((ROWS, K), jnp.int32)
+    for j in range(N_VT):
+        logits = jnp.dot(h_ref[:], cw_ref[:, j * V_TILE:(j + 1) * V_TILE],
+                         preferred_element_type=jnp.float32)
+        logits = logits + cb_ref[0, j * V_TILE:(j + 1) * V_TILE]
+        tile_max = jnp.max(logits, axis=1, keepdims=True)
+        m_new = jnp.maximum(run_m, tile_max)
+        run_se = run_se * jnp.exp(run_m - m_new) + jnp.sum(
+            jnp.exp(logits - m_new), axis=1, keepdims=True)
+        run_m = m_new
+        tv, ti = topk(logits, j * V_TILE, K, tile_max=tile_max)
+        run_v, run_i = _merge_topk(run_v, run_i, tv, ti, K)
+    out_v[:] = run_v - (run_m + jnp.log(run_se))
+    out_i[:] = run_i
+
+
+def build(variant):
+    @jax.jit
+    def run(h, cw, cb):
+        return pl.pallas_call(
+            functools.partial(_kernel, variant=variant),
+            grid=(REPS_IN,),
+            in_specs=[pl.BlockSpec((ROWS, H), lambda i: (0, 0),
+                                   memory_space=pltpu.VMEM),
+                      pl.BlockSpec((H, N_VT * V_TILE), lambda i: (0, 0),
+                                   memory_space=pltpu.VMEM),
+                      pl.BlockSpec((1, N_VT * V_TILE), lambda i: (0, 0),
+                                   memory_space=pltpu.VMEM)],
+            out_specs=(pl.BlockSpec((ROWS, K), lambda i: (0, 0),
+                                    memory_space=pltpu.VMEM),
+                       pl.BlockSpec((ROWS, K), lambda i: (0, 0),
+                                    memory_space=pltpu.VMEM)),
+            out_shape=(jax.ShapeDtypeStruct((ROWS, K), jnp.float32),
+                       jax.ShapeDtypeStruct((ROWS, K), jnp.int32)),
+        )(h, cw, cb)
+    return run
+
+
+def main():
+    rng = np.random.default_rng(0)
+    h = jnp.asarray(rng.standard_normal((ROWS, H)), jnp.bfloat16)
+    cw = jnp.asarray(rng.standard_normal((H, N_VT * V_TILE)) * 0.05,
+                     jnp.bfloat16)
+    cb = jnp.asarray(rng.standard_normal((1, N_VT * V_TILE)) * 0.01,
+                     jnp.float32)
+
+    ref = None
+    for variant in (sys.argv[1:] or ["reduce", "fold", "hybrid"]):
+        fn = build(variant)
+        try:
+            t0 = time.perf_counter()
+            v, i = fn(h, cw, cb)
+            v, i = np.asarray(v), np.asarray(i)
+            compile_s = time.perf_counter() - t0
+        except Exception as e:
+            print(f"{variant}: FAILED {type(e).__name__}: {e}", flush=True)
+            continue
+        if ref is None:
+            ref = (v, i)
+        times = []
+        for _ in range(REPS):
+            t0 = time.perf_counter()
+            jax.block_until_ready(fn(h, cw, cb))
+            times.append((time.perf_counter() - t0) / REPS_IN)
+        med = float(np.median(times))
+        match = bool((v == ref[0]).all() and (i == ref[1]).all())
+        print(f"{variant:7s}: median {med*1e6:7.1f} us/step-equiv  "
+              f"compile {compile_s:5.1f}s  match_reduce={match}", flush=True)
+
+
+if __name__ == "__main__":
+    main()

@@ -37,7 +37,8 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from icee_tpu.ops.pallas_decode import NEG, _merge_topk, _row_topk
+from icee_tpu.ops.pallas_decode import (NEG, _merge_topk, _row_topk,
+                                        _row_topk_fold)
 
 N_COMMON = 11  # x, h, c, feat, att1, dec_w, dec_b, full_w, full_b, fb_w, fb_b
 
@@ -311,7 +312,7 @@ def fused_att_decode_step_topk(
         out_specs=out_specs,
         out_shape=out_shape,
         compiler_params=pltpu.CompilerParams(
-            vmem_limit_bytes=110 * 1024 * 1024),
+            vmem_limit_bytes=127 * 1024 * 1024),
         interpret=interpret,
     )
     outs = call(take(x_emb), take(h), take(c),
@@ -341,7 +342,7 @@ def _mega_att_kernel(feat_ref, att1_ref, emb_ref,
                      *, kind: str, k: int, n_img: int, f_dim: int,
                      h_dim: int, e_dim: int, v_tile: int, vocab: int,
                      max_len: int, start_token: int, end_token: int,
-                     n_streams: int = 1):
+                     n_streams: int = 1, topk_fold: bool = False):
     """Grid ``(n_blocks, T+1)``: per-image spatial features and the hoisted
     encoder projection stay VMEM-resident across ALL steps (the per-step
     fused kernel re-reads ~1 MB/image from HBM every step — the dominant
@@ -363,6 +364,8 @@ def _mega_att_kernel(feat_ref, att1_ref, emb_ref,
     rows2 = n2 * k
     n_vt = vocab // v_tile
     wdt = cw_ref.dtype
+    use_fold = topk_fold and v_tile > 128 and (v_tile & (v_tile - 1)) == 0
+    topk_fn = _row_topk_fold if use_fold else _row_topk
 
     @pl.when(t == 0)
     def _init():
@@ -444,8 +447,8 @@ def _mega_att_kernel(feat_ref, att1_ref, emb_ref,
                 run_se[s] = run_se[s] * jnp.exp(run_m[s] - m_new) + jnp.sum(
                     jnp.exp(logits - m_new), axis=1, keepdims=True)
                 run_m[s] = m_new
-                tv, ti = _row_topk(logits, j * v_tile, k,
-                                   tile_max=tile_max)
+                tv, ti = topk_fn(logits, j * v_tile, k,
+                                 tile_max=tile_max)
                 run_v[s], run_i[s] = _merge_topk(run_v[s], run_i[s], tv, ti,
                                                  k)
 
@@ -484,7 +487,7 @@ def _mega_att_kernel(feat_ref, att1_ref, emb_ref,
     jax.jit,
     static_argnames=("batch", "start_token", "end_token", "k",
                      "max_seq_length", "n_img_block", "v_tile", "kind",
-                     "n_streams", "interpret"))
+                     "n_streams", "topk_fold", "interpret"))
 def mega_att_beam_decode(
     params: dict,            # full attention-decoder params
     features: jax.Array,     # (B, P, FS) per-image spatial features
@@ -498,6 +501,7 @@ def mega_att_beam_decode(
     v_tile: int = 2048,
     kind: str = "factored",
     n_streams: int = 1,
+    topk_fold: bool = False,
     interpret: bool = False,
 ):
     """Whole attention-beam-search-in-one-kernel decode.
@@ -587,7 +591,8 @@ def mega_att_beam_decode(
     kernel = functools.partial(
         _mega_att_kernel, kind=kind, k=k, n_img=n_img_block, f_dim=f_dim,
         h_dim=h_dim, e_dim=e_dim, v_tile=v_tile, vocab=vp, max_len=max_len,
-        start_token=start_token, end_token=end_token, n_streams=n_streams)
+        start_token=start_token, end_token=end_token, n_streams=n_streams,
+        topk_fold=topk_fold)
     out_shape = (
         jax.ShapeDtypeStruct((bp, max_len), jnp.int32),
         jax.ShapeDtypeStruct((bp, 1), jnp.int32),
@@ -619,7 +624,7 @@ def mega_att_beam_decode(
         ],
         out_shape=out_shape,
         compiler_params=pltpu.CompilerParams(
-            vmem_limit_bytes=110 * 1024 * 1024),
+            vmem_limit_bytes=127 * 1024 * 1024),
         interpret=interpret,
     )
     tokens, lengths, scores = call(

@@ -45,7 +45,8 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from icee_tpu.decode.beam import BeamResult
-from icee_tpu.ops.pallas_decode import NEG, _merge_topk, _row_topk
+from icee_tpu.ops.pallas_decode import (NEG, _merge_topk, _row_topk,
+                                        _row_topk_fold)
 
 BIG = 2**30  # tie-break sentinel (any value > every candidate index)
 
@@ -58,7 +59,8 @@ def _kernel(feat_ref, emb_ref,
             *, k: int, n_img: int, f_dim: int, h_dim: int, e_dim: int,
             v_tile: int, vocab: int, max_len: int, start_token: int,
             end_token: int, feed_feature: bool, n_streams: int = 1,
-            cell: str = "factored", profile: str = "full"):
+            cell: str = "factored", profile: str = "full",
+            topk_fold: bool = False):
     # ``profile`` is a perf-diagnosis knob ("full" in production): "no_topk"
     # stubs the streaming vocab top-k, "no_select" the beam-select/gather
     # phase, "no_embed" the one-hot embedding matmul.  Each stub keeps the
@@ -75,6 +77,9 @@ def _kernel(feat_ref, emb_ref,
     rows2 = n2 * k
     n_vt = vocab // v_tile
     wdt = cw_ref.dtype
+    # fold top-k needs a power-of-two tile wider than the 128-lane remainder
+    use_fold = topk_fold and v_tile > 128 and (v_tile & (v_tile - 1)) == 0
+    topk_fn = _row_topk_fold if use_fold else _row_topk
 
     @pl.when(t == 0)
     def _init():
@@ -168,7 +173,7 @@ def _kernel(feat_ref, emb_ref,
                 run_se[s] = run_se[s] * jnp.exp(run_m[s] - m_new) + jnp.sum(
                     jnp.exp(logits - m_new), axis=1, keepdims=True)
                 run_m[s] = m_new
-                tv, ti = _row_topk(logits, j * v_tile, k, tile_max=tile_max)
+                tv, ti = topk_fn(logits, j * v_tile, k, tile_max=tile_max)
                 run_v[s], run_i[s] = _merge_topk(run_v[s], run_i[s], tv, ti,
                                                  k)
         logp_top, idx_top = [], []
@@ -341,7 +346,7 @@ def _beam_select(t, is_first, logp_top, idx_top, h_new, c_new,
     static_argnames=("batch", "start_token", "end_token", "k",
                      "max_seq_length", "n_img_block", "v_tile",
                      "feed_feature", "n_streams", "cell", "interpret",
-                     "_profile"))
+                     "_profile", "topk_fold"))
 def mega_beam_decode(
     params: dict,
     features: Optional[jax.Array],    # (B, k, E) or None (research mode)
@@ -358,6 +363,7 @@ def mega_beam_decode(
     cell: str = "factored",
     interpret: bool = False,
     _profile: str = "full",
+    topk_fold: bool = False,
 ) -> BeamResult:
     """Whole-beam-search-in-one-kernel decode for ``batch`` images.
 
@@ -436,7 +442,7 @@ def mega_beam_decode(
         e_dim=e_dim, v_tile=v_tile, vocab=vp, max_len=max_len,
         start_token=start_token, end_token=end_token,
         feed_feature=feed_feature, n_streams=n_streams, cell=cell,
-        profile=_profile)
+        profile=_profile, topk_fold=topk_fold)
 
     vmem = pltpu.VMEM
     full = lambda *shape: pl.BlockSpec(  # noqa: E731

@@ -148,8 +148,9 @@ def test_fused_att_beam_matches_xla_beam(rng):
                                   np.asarray(want.length))
 
 
-@pytest.mark.parametrize("nib,n_streams", [(3, 1), (2, 2)])
-def test_mega_att_beam_matches_xla_beam(rng, nib, n_streams):
+@pytest.mark.parametrize("nib,n_streams,topk_fold",
+                         [(3, 1, False), (2, 2, False), (3, 1, True)])
+def test_mega_att_beam_matches_xla_beam(rng, nib, n_streams, topk_fold):
     """The whole-search attention kernel must match the XLA attention beam
     token-exactly (research semantics, batch padding exercised; with
     ``n_streams=2`` the block splits into interleaved image streams)."""
@@ -180,8 +181,9 @@ def test_mega_att_beam_matches_xla_beam(rng, nib, n_streams):
 
     got = mega_att_beam_decode(
         params, feats, style, batch, start_token=1, end_token=2, k=K,
-        max_seq_length=steps, n_img_block=nib, v_tile=128,
-        n_streams=n_streams, interpret=True)
+        max_seq_length=steps, n_img_block=nib,
+        v_tile=256 if topk_fold else 128, n_streams=n_streams,
+        topk_fold=topk_fold, interpret=True)
 
     np.testing.assert_array_equal(np.asarray(got.tokens),
                                   np.asarray(want.tokens))

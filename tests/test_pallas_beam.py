@@ -51,10 +51,11 @@ def _xla_beam(params, cfg, feats, style, batch, k, steps, fused,
         step_topk_fn=topk_step if fused else None)
 
 
-@pytest.mark.parametrize("fused_ref,n_streams", [(True, 1), (False, 1),
-                                                 (False, 2)])
+@pytest.mark.parametrize("fused_ref,n_streams,topk_fold",
+                         [(True, 1, False), (False, 1, False),
+                          (False, 2, False), (False, 1, True)])
 @pytest.mark.parametrize("style", [0, 2])
-def test_mega_matches_xla_beam(rng, fused_ref, n_streams, style):
+def test_mega_matches_xla_beam(rng, fused_ref, n_streams, topk_fold, style):
     cfg, params = _make()
     batch, k, steps = 6, 5, 8
     feats = jnp.asarray(
@@ -66,7 +67,8 @@ def test_mega_matches_xla_beam(rng, fused_ref, n_streams, style):
     got = mega_beam_decode(
         params, feats, style, batch, start_token=1, end_token=2, k=k,
         max_seq_length=steps, n_img_block=3 if n_streams == 1 else 2,
-        n_streams=n_streams, v_tile=128, interpret=True)
+        n_streams=n_streams, v_tile=256 if topk_fold else 128,
+        topk_fold=topk_fold, interpret=True)
 
     np.testing.assert_array_equal(np.asarray(got.tokens),
                                   np.asarray(want.tokens))

@@ -312,7 +312,7 @@ def fused_att_decode_step_topk(
         out_specs=out_specs,
         out_shape=out_shape,
         compiler_params=pltpu.CompilerParams(
-            vmem_limit_bytes=127 * 1024 * 1024),
+            vmem_limit_bytes=110 * 1024 * 1024),
         interpret=interpret,
     )
     outs = call(take(x_emb), take(h), take(c),
@@ -624,7 +624,7 @@ def mega_att_beam_decode(
         ],
         out_shape=out_shape,
         compiler_params=pltpu.CompilerParams(
-            vmem_limit_bytes=127 * 1024 * 1024),
+            vmem_limit_bytes=110 * 1024 * 1024),
         interpret=interpret,
     )
     tokens, lengths, scores = call(

@@ -5,8 +5,8 @@ stacked batches) so the axon relay's ~27 ms per-dispatch floor amortizes
 away; median over REPS dispatches.  Configs are compared same-session
 (the shared chip varies 2-3x between sessions).
 
-Usage:  python scripts/bench_sweep.py "256,2,2048" "256,4,2048" ...
-Each positional arg is "n_img_block,n_streams,v_tile".
+Usage:  python scripts/bench_sweep.py "256,2,2048" "256,2,2048,1" ...
+Each positional arg is "n_img_block,n_streams,v_tile[,topk_fold]".
 """
 import sys
 import time
@@ -37,21 +37,23 @@ style = jnp.asarray(1)
 
 configs = [tuple(int(x) for x in a.split(",")) for a in sys.argv[1:]] or [
     (256, 2, 2048), (256, 4, 2048)]
+configs = [c if len(c) == 4 else c + (0,) for c in configs]
 
 ref_tokens = None
-for nib, streams, vt in configs:
-    def run(ft, nib=nib, streams=streams, vt=vt):
+for nib, streams, vt, fold in configs:
+    def run(ft, nib=nib, streams=streams, vt=vt, fold=fold):
         return mega_beam_decode(dec, ft, style, BATCH, start_token=1,
                                 end_token=2, k=K, max_seq_length=MAX_STEPS,
                                 n_img_block=nib, v_tile=vt,
-                                n_streams=streams).tokens
+                                n_streams=streams,
+                                topk_fold=bool(fold)).tokens
 
     many = jax.jit(lambda fs, f=run: jax.lax.map(f, fs))
     t0 = time.perf_counter()
     try:
         out = np.asarray(many(feats_stack))
     except Exception as e:
-        print(f"nib={nib} streams={streams} vt={vt}: FAILED "
+        print(f"nib={nib} streams={streams} vt={vt} fold={fold}: FAILED "
               f"{type(e).__name__}: {e}", flush=True)
         continue
     compile_s = time.perf_counter() - t0
@@ -64,7 +66,7 @@ for nib, streams, vt in configs:
         np.asarray(many(feats_stack))
         times.append((time.perf_counter() - t0) / PIPELINE)
     med, best = float(np.median(times)), float(np.min(times))
-    print(f"nib={nib} streams={streams} vt={vt}: "
+    print(f"nib={nib} streams={streams} vt={vt} fold={fold}: "
           f"median {med*1e3:6.1f} ms ({BATCH/med:7.0f} cps)  "
           f"best {best*1e3:6.1f} ms ({BATCH/best:7.0f} cps)  "
           f"compile {compile_s:5.1f}s  match_first={exact}", flush=True)

@@ -80,6 +80,13 @@ def _row_topk_fold(tile: jax.Array, base: jax.Array, ktop: int,
     del tile_max
     r, w = tile.shape
     col = jax.lax.broadcasted_iota(jnp.int32, (r, w), 1)
+    if w > fold_to:
+        # materialize the iota with a data-dependent zero: Mosaic lays a
+        # bare broadcasted_iota out sublane-broadcast, and lane-slicing that
+        # layout crashes ApplyVectorLayout (probed: compiler SIGABRT
+        # "Check failed: limits[i] <= dim(i)"; same workaround as the
+        # profile stub in ops/pallas_beam.py)
+        col = col + (tile * 0.0).astype(jnp.int32)
     cur = tile
     vals, idxs = [], []
     for it in range(ktop):

@@ -9,8 +9,7 @@ This probe times three exact formulations in an otherwise identical kernel
            where/min index find + mask) — the current production form
   fold   : binary tournament fold to 128 lanes carrying (val, idx) with
            lower-index tie-break, final small reduce, full-width mask
-  hybrid : fold for the argmax, but value from the fold result (no final
-           reduce pair)
+  fold512: fold only to 512 lanes (2 levels), reduces on the remainder
 
 All three are token-exact vs lax.top_k (asserted in interpret mode by
 tests/test_pallas.py::test_row_topk_fold_matches_lax; this script measures
@@ -31,8 +30,8 @@ from jax.experimental.pallas import tpu as pltpu
 from icee_tpu.ops.pallas_decode import (NEG, _merge_topk, _row_topk,
                                         _row_topk_fold)
 
-ROWS, H, V_TILE, N_VT, K = 1280, 512, 2048, 4, 5
-REPS_IN = 8   # in-kernel repetitions via grid steps
+ROWS, H, V_TILE, N_VT, K = 640, 512, 2048, 4, 5
+REPS_IN = 256  # in-kernel repetitions via grid steps (amortizes the ~27 ms relay dispatch floor)
 REPS = 5
 
 
@@ -77,6 +76,8 @@ def build(variant):
                                     memory_space=pltpu.VMEM)),
             out_shape=(jax.ShapeDtypeStruct((ROWS, K), jnp.float32),
                        jax.ShapeDtypeStruct((ROWS, K), jnp.int32)),
+            compiler_params=pltpu.CompilerParams(
+                vmem_limit_bytes=100 * 1024 * 1024),
         )(h, cw, cb)
     return run
 
@@ -90,7 +91,7 @@ def main():
                      jnp.float32)
 
     ref = None
-    for variant in (sys.argv[1:] or ["reduce", "fold", "hybrid"]):
+    for variant in (sys.argv[1:] or ["reduce", "fold", "fold512"]):
         fn = build(variant)
         try:
             t0 = time.perf_counter()

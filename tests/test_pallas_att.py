@@ -227,3 +227,80 @@ def test_mega_att_nic_lstm_matches_xla_beam(rng):
                                   np.asarray(want.tokens))
     np.testing.assert_array_equal(np.asarray(got.length),
                                   np.asarray(want.length))
+
+
+def test_mega_att_fuzz_random_configs(rng):
+    """Randomized (dims, k, P, vocab, batch, blocks, streams, kind, fold)
+    fuzz: the attention mega kernel must match the XLA attention beam
+    token-exactly on every draw (mirrors
+    test_pallas_beam.test_mega_fuzz_random_configs)."""
+    from icee_tpu.decode.beam import beam_search_batched
+    from icee_tpu.ops.pallas_att_decode import mega_att_beam_decode
+
+    for trial in range(4):
+        vocab = int(rng.integers(140, 520))
+        e = int(rng.integers(8, 32))
+        h = int(rng.integers(16, 56))
+        a = int(rng.integers(8, 40))
+        fs = int(rng.integers(16, 48))
+        p_pix = int(rng.integers(4, 14))
+        k = int(rng.integers(2, 6))
+        batch = int(rng.integers(2, 7))
+        steps = int(rng.integers(3, 8))
+        nib = int(rng.integers(1, batch + 1))
+        ns = 2 if (nib % 2 == 0 and rng.random() < 0.5) else 1
+        kind = "factored" if rng.random() < 0.6 else "lstm"
+        fold = bool(rng.random() < 0.4)
+        cfg = AttentionDecoderConfig(
+            vocab_size=vocab, embed_size=e, hidden_size=h, factored_size=h,
+            attention_size=a, feature_size=fs, max_seq_length=steps)
+        if kind == "factored":
+            params = att_mod.init_factored_att_params(
+                jax.random.PRNGKey(trial), cfg)
+            style = jnp.asarray(int(rng.integers(0, 4)))
+            att = att_mod._select_attention(params["attention"], style)
+            embed_fn = lambda t, p=params: fl.embed(p, t)  # noqa: E731
+        else:
+            params = att_mod.init_rnn_att_params(
+                jax.random.PRNGKey(trial), cfg)
+            style = jnp.asarray(0)
+            att = params["attention"]
+            embed_fn = lambda t, p=params: jnp.take(  # noqa: E731
+                p["embed"], t, axis=0)
+        feats = _rows(rng, (batch, p_pix, fs))
+        att1 = feats @ att["enc_w"] + att["enc_b"]
+        feats_k = jnp.repeat(feats, k, axis=0)
+        att1_k = jnp.repeat(att1, k, axis=0)
+
+        if kind == "factored":
+            def xla_step(x, s, params=params, feats_k=feats_k,
+                         att1_k=att1_k, style=style):
+                logits, _, s2 = att_mod.factored_att_decode_step(
+                    params, x, feats_k, s, style, att1=att1_k)
+                return logits, s2
+        else:
+            def xla_step(x, s, params=params, feats_k=feats_k,
+                         att1_k=att1_k):
+                logits, _, s2 = att_mod.rnn_att_decode_step(
+                    params, x, feats_k, s, att1=att1_k)
+                return logits, s2
+
+        want = beam_search_batched(
+            embed_fn=embed_fn, step_fn=xla_step,
+            init_model_state=att_mod.init_hidden_state(params, feats_k),
+            start_token=1, end_token=2, k=k, max_seq_length=steps,
+            vocab_size=vocab, batch=batch)
+        got = mega_att_beam_decode(
+            params, feats, style, batch, start_token=1, end_token=2, k=k,
+            max_seq_length=steps, n_img_block=nib,
+            v_tile=256 if fold else 128, kind=kind, n_streams=ns,
+            topk_fold=fold, interpret=True)
+        ctx = dict(trial=trial, vocab=vocab, e=e, h=h, a=a, fs=fs,
+                   p=p_pix, k=k, batch=batch, steps=steps, nib=nib, ns=ns,
+                   kind=kind, fold=fold)
+        np.testing.assert_array_equal(np.asarray(got.tokens),
+                                      np.asarray(want.tokens),
+                                      err_msg=str(ctx))
+        np.testing.assert_array_equal(np.asarray(got.length),
+                                      np.asarray(want.length),
+                                      err_msg=str(ctx))

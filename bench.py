@@ -57,13 +57,16 @@ def _median_per_batch(fn, stacked, n_inner):
 
 def bench_calibration(jax, jnp):
     """Session-speed yardstick: a fixed 4096^3 bf16 matmul chain timed
-    in-jit (lax.scan, 32 iterations).  The v5e peak is 197 bf16 TFLOP/s;
-    the achieved TFLOP/s calibrates the shared chip's session speed so
-    ``BENCH_r*.json`` decode numbers are comparable across rounds (the
-    relay varies 2-3x between sessions).  ``decode_ms_calibrated`` =
-    decode_ms * (calib_tflops / 180) rescales decode time to a
-    nominal-speed session."""
-    n, iters = 4096, 32
+    in-jit (lax.scan).  The v5e peak is 197 bf16 TFLOP/s; this chain
+    measured 165 TFLOP/s (84% MFU) in the round-2 reference session, so
+    the achieved TFLOP/s calibrates the shared chip's session speed and
+    ``decode_ms_calibrated`` = decode_ms * (calib_tflops / 165) rescales
+    decode time to what a nominal session would show (the relay varies
+    2-3x between sessions)."""
+    # 256 in-jit iterations: ~180 ms of MXU per dispatch, so the ~27 ms
+    # relay floor contributes <15% (32 iters measured 83 TFLOP/s from the
+    # floor alone; see the timing-protocol note above)
+    n, iters = 4096, 256
     rng = np.random.default_rng(0)
     a = jnp.asarray(rng.standard_normal((n, n)), jnp.bfloat16)
     b = jnp.asarray(rng.standard_normal((n, n)), jnp.bfloat16)
@@ -75,7 +78,9 @@ def bench_calibration(jax, jnp):
             # renormalize so the chain neither overflows nor denormals
             return y / jnp.float32(64.0).astype(jnp.bfloat16), ()
         out, _ = jax.lax.scan(body, a, None, length=iters)
-        return out
+        # reduce to a scalar: returning the (n, n) matrix would drag 32 MB
+        # through the relay tunnel per rep and swamp the measurement
+        return jnp.sum(out.astype(jnp.float32))
 
     np.asarray(chain(a, b))  # compile + warmup
     times = []
@@ -271,8 +276,11 @@ def main():
         "decode_ms_best": round(best * 1e3, 2),
         "calib_matmul_tflops": (None if calib_tflops is None
                                 else round(calib_tflops, 1)),
+        # nominal = 165 TFLOP/s (84% of v5e bf16 peak), the calibration
+        # reading in the round-2 session that set the reference decode
+        # numbers: calibrated decode_ms ~ what a nominal session would show
         "decode_ms_calibrated": (None if calib_tflops is None
-                                 else round(med * 1e3 * calib_tflops / 180,
+                                 else round(med * 1e3 * calib_tflops / 165,
                                             2)),
         "att_decode_captions_per_sec": (None if att_cps is None
                                         else round(att_cps, 2)),

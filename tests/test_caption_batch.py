@@ -1,0 +1,69 @@
+"""Batch captioning CLI (`cli/caption_batch.py`): an overfit model must
+caption every image in the batch with its training caption through the
+shared fast-path chain, and the detok must follow the serving contract
+(strip specials, drop trailing ``<unk>`` — ``app/backend/sample.py:82-96``)."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from icee_tpu.cli.caption_batch import caption_batch
+from icee_tpu.core.config import DecoderConfig, EncoderConfig, TrainConfig
+from icee_tpu.data import build_vocab, load_caption_dataset
+from icee_tpu.data.pipeline import caption_dataset_loader
+from icee_tpu.models import encoder as enc_mod
+from icee_tpu.models import factored_lstm as fl
+from icee_tpu.train.loops import MultitaskTrainer
+
+CORPUS = (
+    "i1.jpg#0\tseorang anak bermain bola\n"
+    "i2.jpg#0\tseekor anjing coklat berlari\n"
+    "i3.jpg#0\tdua orang tua duduk\n"
+)
+
+FEAT = 16
+
+
+def test_caption_batch_reproduces_overfit_captions(tmp_path):
+    (tmp_path / "train.txt").write_text(CORPUS)
+    vocab = build_vocab(str(tmp_path / "train.txt"), threshold=1)
+    ds = load_caption_dataset(str(tmp_path / "train.txt"), vocab)
+
+    rng = np.random.default_rng(0)
+    feats = {e.image: rng.standard_normal((FEAT,)).astype(np.float32)
+             for e in ds}
+
+    def loader():
+        return caption_dataset_loader(
+            ds, batch_size=3, max_len=10,
+            image_provider=lambda n: feats[n], shuffle=True, seed=0,
+            prefetch=0)
+
+    cfg = DecoderConfig(vocab_size=len(vocab), embed_size=24, hidden_size=32,
+                        factored_size=32, dropout=0.0, max_seq_length=8)
+    tcfg = TrainConfig(mode="happy", lr_caption=5e-3,
+                       teacher_forcing_ratio=0.8, log_step=10_000)
+    trainer = MultitaskTrainer(
+        cfg, tcfg, vocab,
+        fl.init_params(jax.random.PRNGKey(0), cfg),
+        enc_mod.init_head_params(jax.random.PRNGKey(1),
+                                 EncoderConfig(embed_size=24,
+                                               feature_size=FEAT)),
+        model_dir=str(tmp_path / "m"), data_name="cb")
+
+    last = None
+    for _ in range(300):
+        last = trainer._run_train(loader(), 0, 10_000, "FAC")
+    assert last.loss < 0.05, f"train loss stuck at {last.loss}"
+
+    # batch_size=2 over 3 images also exercises the final-chunk padding
+    names = [e.image for e in ds]
+    out = caption_batch(
+        trainer.dec, trainer.head, cfg, vocab, names,
+        lambda n: feats[n], mode_idx=0, batch_size=2, k=5,
+        feed_feature=True)
+
+    assert sorted(out) == sorted(names)
+    for e in ds:
+        want = " ".join(vocab.idx2word[i] for i in e.caption_ids[1:-1])
+        assert out[e.image] == want, f"{e.image}: {out[e.image]!r} != {want!r}"

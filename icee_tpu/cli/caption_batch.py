@@ -26,9 +26,15 @@ IMAGE_EXTS = (".jpg", ".jpeg", ".png", ".bmp")
 
 
 def caption_batch(dec_params, head, cfg, vocab, names, provider, mode_idx,
-                  batch_size=64, k=5, attention=False, feed_feature=True):
+                  batch_size=64, k=5, attention=False, feed_feature=True,
+                  mesh=None, interpret=False):
     """-> dict image name -> detokenized caption (serving detok contract:
-    strip specials, drop trailing ``<unk>``, ``app/backend/sample.py:82-96``)."""
+    strip specials, drop trailing ``<unk>``, ``app/backend/sample.py:82-96``).
+
+    ``mesh``: a ``("data", "model")`` mesh decodes each batch data-parallel
+    via ``fast.sharded_mega_decode`` (params replicated, images split over
+    the data axis, zero collectives) — linear scaling over ICI for the
+    non-attention families."""
     import jax.numpy as jnp
 
     from icee_tpu.decode import fast
@@ -36,6 +42,11 @@ def caption_batch(dec_params, head, cfg, vocab, names, provider, mode_idx,
 
     style = jnp.asarray(mode_idx)
     batch_size = min(batch_size, max(1, len(names)))
+    if mesh is not None and not attention:
+        from icee_tpu.parallel.mesh import DATA_AXIS
+
+        n_data = mesh.shape[DATA_AXIS]
+        batch_size = max(n_data, batch_size - batch_size % n_data)
     if attention:
         candidates = fast.attention_candidates(
             dec_params, style, batch_size, k, cfg.max_seq_length,
@@ -52,6 +63,11 @@ def caption_batch(dec_params, head, cfg, vocab, names, provider, mode_idx,
 
     def decode(feats):
         feats = prep(feats)
+        if mesh is not None and not attention:
+            return fast.sharded_mega_decode(
+                dec_params, feats, style, mesh, batch_size, k=k,
+                max_seq_length=cfg.max_seq_length,
+                feed_feature=feed_feature, interpret=interpret)
         if _state["fn"] is None:
             _, _state["fn"] = fast.pick_first_compiling(candidates, feats)
         return _state["fn"](feats)
@@ -126,10 +142,20 @@ def main(args) -> None:
         head = enc_mod.init_head_params(
             jax.random.PRNGKey(1), EncoderConfig(embed_size=cfg.embed_size))
 
+    mesh = None
+    if args.data_parallel and not args.attention and len(jax.devices()) > 1:
+        from icee_tpu.parallel.mesh import make_mesh
+
+        mesh = make_mesh()           # all devices on the data axis
+    elif args.data_parallel:
+        print("WARNING: --data_parallel needs >1 device and a non-attention "
+              "family; decoding single-device", file=sys.stderr)
+
     captions = caption_batch(
         dec, head, cfg, vocab, names, provider, mode_id(args.mode),
         batch_size=args.batch_size, k=args.beam_size,
-        attention=args.attention, feed_feature=not args.research_semantics)
+        attention=args.attention, feed_feature=not args.research_semantics,
+        mesh=mesh)
 
     text = json.dumps(captions, ensure_ascii=False, indent=2)
     if args.out:
@@ -145,6 +171,10 @@ if __name__ == "__main__":
     parser.add_argument("--checkpoint_path", type=str, default=None)
     parser.add_argument("--attention", action="store_true",
                         help="use the attention decoder family")
+    parser.add_argument("--data_parallel", action="store_true",
+                        help="decode data-parallel over all devices "
+                             "(jax.sharding.Mesh + shard_map; non-attention "
+                             "families)")
     parser.add_argument("--research_semantics", action="store_true",
                         help="ignore the image feature in the beam "
                              "(stylenet/model.py:224-227) instead of the "

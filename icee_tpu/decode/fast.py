@@ -294,6 +294,7 @@ def sharded_mega_decode(
     n_img_block: int = 64,
     n_streams: int = 2,
     v_tile: int = 2048,
+    feed_feature: bool = True,
     interpret: bool = False,
 ):
     """Data-parallel mega-kernel decode over a device mesh.
@@ -322,7 +323,8 @@ def sharded_mega_decode(
             start_token=start_token, end_token=end_token, k=k,
             max_seq_length=max_seq_length,
             n_img_block=min(n_img_block, local), v_tile=v_tile,
-            n_streams=n_streams, interpret=interpret)
+            n_streams=n_streams, feed_feature=feed_feature,
+            interpret=interpret)
 
     spec = P(DATA_AXIS)
     fn = shard_map(

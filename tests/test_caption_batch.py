@@ -67,3 +67,34 @@ def test_caption_batch_reproduces_overfit_captions(tmp_path):
     for e in ds:
         want = " ".join(vocab.idx2word[i] for i in e.caption_ids[1:-1])
         assert out[e.image] == want, f"{e.image}: {out[e.image]!r} != {want!r}"
+
+
+def test_caption_batch_data_parallel_matches_single(tmp_path):
+    """--data_parallel path: sharded mega decode over the 8-device virtual
+    mesh (interpret mode) must produce the same captions as the
+    single-device chain."""
+    from icee_tpu.parallel.mesh import make_mesh
+
+    (tmp_path / "train.txt").write_text(CORPUS)
+    vocab = build_vocab(str(tmp_path / "train.txt"), threshold=1)
+    ds = load_caption_dataset(str(tmp_path / "train.txt"), vocab)
+    rng = np.random.default_rng(1)
+    feats = {e.image: rng.standard_normal((FEAT,)).astype(np.float32)
+             for e in ds}
+
+    cfg = DecoderConfig(vocab_size=len(vocab), embed_size=24, hidden_size=32,
+                        factored_size=32, dropout=0.0, max_seq_length=8)
+    dec = fl.init_params(jax.random.PRNGKey(2), cfg)
+    head = enc_mod.init_head_params(
+        jax.random.PRNGKey(3), EncoderConfig(embed_size=24,
+                                             feature_size=FEAT))
+    names = [e.image for e in ds]
+
+    single = caption_batch(dec, head, cfg, vocab, names,
+                           lambda n: feats[n], mode_idx=1, batch_size=8,
+                           k=3, feed_feature=True)
+    sharded = caption_batch(dec, head, cfg, vocab, names,
+                            lambda n: feats[n], mode_idx=1, batch_size=8,
+                            k=3, feed_feature=True, mesh=make_mesh(),
+                            interpret=True)
+    assert single == sharded

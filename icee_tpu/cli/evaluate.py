@@ -19,7 +19,7 @@ import numpy as np
 
 def evaluate(dec_params, head, cfg, vocab, dataset, provider, mode_idx,
              batch_size=64, k=5, print_pairs=True, attention=False,
-             feed_feature=False):
+             feed_feature=False, mesh=None, interpret=False):
     import jax.numpy as jnp
 
     from icee_tpu.models import encoder as enc_mod
@@ -36,6 +36,13 @@ def evaluate(dec_params, head, cfg, vocab, dataset, provider, mode_idx,
     # serving semantics (app/backend/model.py:414-417).
     from icee_tpu.decode import fast
 
+    if mesh is not None and not attention:
+        # data-parallel beam decode: images split over the mesh's data axis
+        # (params replicated, zero collectives — sharded_mega_decode)
+        from icee_tpu.parallel.mesh import DATA_AXIS
+
+        n_data = mesh.shape[DATA_AXIS]
+        batch_size = max(n_data, batch_size - batch_size % n_data)
     if attention:
         candidates = fast.attention_candidates(
             dec_params, style, batch_size, k, cfg.max_seq_length,
@@ -53,6 +60,11 @@ def evaluate(dec_params, head, cfg, vocab, dataset, provider, mode_idx,
 
     def decode(feats):
         feats = prep(feats)
+        if mesh is not None and not attention:
+            return fast.sharded_mega_decode(
+                dec_params, feats, style, mesh, batch_size, k=k,
+                max_seq_length=cfg.max_seq_length,
+                feed_feature=feed_feature, interpret=interpret)
         if _state["fn"] is None:
             _, _state["fn"] = fast.pick_first_compiling(candidates, feats)
         return _state["fn"](feats)
@@ -123,10 +135,19 @@ def main(args) -> None:
         head = enc_mod.init_head_params(
             jax.random.PRNGKey(1), EncoderConfig(embed_size=cfg.embed_size))
 
+    mesh = None
+    if args.data_parallel and not args.attention and len(jax.devices()) > 1:
+        from icee_tpu.parallel.mesh import make_mesh
+
+        mesh = make_mesh()
+    elif args.data_parallel:
+        print("WARNING: --data_parallel needs >1 device and a non-attention "
+              "family; decoding single-device")
+
     b1, b2, b3, b4 = evaluate(dec, head, cfg, vocab, dataset, provider,
                               mode_id(args.mode), batch_size=args.batch_size,
                               attention=args.attention,
-                              feed_feature=args.feed_feature)
+                              feed_feature=args.feed_feature, mesh=mesh)
     print("BLEU-1", b1)
     print("BLEU-2", b2)
     print("BLEU-3", b3)
@@ -139,6 +160,9 @@ if __name__ == "__main__":
     parser.add_argument("--attention", action="store_true",
                         help="evaluate the attention decoder (reference "
                              "evaluator default)")
+    parser.add_argument("--data_parallel", action="store_true",
+                        help="beam-decode data-parallel over all devices "
+                             "(non-attention families)")
     parser.add_argument("--feed_feature", action="store_true",
                         help="feed the image feature at beam step 1 (serving "
                              "semantics) instead of the reference research "

@@ -98,3 +98,30 @@ def test_caption_batch_data_parallel_matches_single(tmp_path):
                             k=3, feed_feature=True, mesh=make_mesh(),
                             interpret=True)
     assert single == sharded
+
+
+def test_evaluate_data_parallel_matches_single(tmp_path, capsys):
+    """cli/evaluate.evaluate with a mesh (sharded mega decode, interpret)
+    must report the same BLEU as the single-device chain."""
+    from icee_tpu.cli.evaluate import evaluate
+    from icee_tpu.parallel.mesh import make_mesh
+
+    (tmp_path / "train.txt").write_text(CORPUS)
+    vocab = build_vocab(str(tmp_path / "train.txt"), threshold=1)
+    ds = load_caption_dataset(str(tmp_path / "train.txt"), vocab)
+    rng = np.random.default_rng(2)
+    feats = {e.image: rng.standard_normal((FEAT,)).astype(np.float32)
+             for e in ds}
+
+    cfg = DecoderConfig(vocab_size=len(vocab), embed_size=24, hidden_size=32,
+                        factored_size=32, dropout=0.0, max_seq_length=8)
+    dec = fl.init_params(jax.random.PRNGKey(4), cfg)
+    head = enc_mod.init_head_params(
+        jax.random.PRNGKey(5), EncoderConfig(embed_size=24,
+                                             feature_size=FEAT))
+
+    kw = dict(batch_size=8, k=3, print_pairs=False, feed_feature=True)
+    single = evaluate(dec, head, cfg, vocab, ds, lambda n: feats[n], 0, **kw)
+    sharded = evaluate(dec, head, cfg, vocab, ds, lambda n: feats[n], 0,
+                       mesh=make_mesh(), interpret=True, **kw)
+    assert single == sharded

@@ -14,7 +14,7 @@ from icee_tpu.ops.pallas_att_decode import mega_att_beam_decode
 V, E, H, F = 8192, 300, 512, 512
 K, MAX_STEPS = 5, 40
 BATCH, PIX = 96, 196
-PIPELINE = 4
+PIPELINE = 8
 REPS = 5
 
 cfg = AttentionDecoderConfig(

@@ -22,7 +22,7 @@ from icee_tpu.ops.pallas_beam import mega_beam_decode
 V, E, H, F = 8192, 300, 512, 512
 K, MAX_STEPS = 5, 40
 BATCH = 1024
-PIPELINE = 4
+PIPELINE = 16
 REPS = 5
 
 cfg = DecoderConfig(vocab_size=V, embed_size=E, hidden_size=H,

@@ -179,6 +179,40 @@ def bench_att_decode(jax, jnp):
     return med
 
 
+BB_BATCH, BB_SIZE = 64, 224
+
+
+def bench_backbone(jax, jnp):
+    """ResNet-152 feature extraction (the serving/precompute hot path) in
+    bf16 conv mode (``models/resnet.cast_conv_weights``); returns
+    images/sec at batch BB_BATCH, eval-mode BN, 8 in-jit repetitions."""
+    from icee_tpu.models import resnet
+
+    params = resnet.cast_conv_weights(
+        resnet.init_params(jax.random.PRNGKey(0)), jnp.bfloat16)
+    rng = np.random.default_rng(0)
+    imgs = jnp.asarray(
+        rng.standard_normal((BB_BATCH, BB_SIZE, BB_SIZE, 3)), jnp.float32)
+    n_inner = 8
+
+    @jax.jit
+    def many(imgs):
+        def body(x, _):
+            feats, _ = resnet.global_features(params, x, train_bn=False)
+            # data-dependence between repetitions prevents CSE
+            return x + (jnp.sum(feats) * 1e-30).astype(x.dtype), ()
+        out, _ = jax.lax.scan(body, imgs, None, length=n_inner)
+        return jnp.sum(out)
+
+    np.asarray(many(imgs))  # compile + warmup
+    times = []
+    for _ in range(REPS):
+        t0 = time.perf_counter()
+        np.asarray(many(imgs))
+        times.append((time.perf_counter() - t0) / n_inner)
+    return BB_BATCH / float(np.median(times))
+
+
 def bench_train(jax, jnp, fused_scan):
     import optax
 
@@ -261,6 +295,12 @@ def main():
         att_cps = None
 
     try:
+        backbone_ips = bench_backbone(jax, jnp)
+    except Exception as e:
+        print(f"# backbone bench failed ({type(e).__name__})")
+        backbone_ips = None
+
+    try:
         train_fused_ms = bench_train(jax, jnp, fused_scan=True) * 1e3
     except Exception as e:
         print(f"# fused train scan unavailable ({type(e).__name__})")
@@ -289,6 +329,8 @@ def main():
                                             2)),
         "att_decode_captions_per_sec": (None if att_cps is None
                                         else round(att_cps, 2)),
+        "backbone_bf16_img_per_sec": (None if backbone_ips is None
+                                      else round(backbone_ips, 1)),
         "train_step_ms_fused": (None if train_fused_ms is None
                                 else round(train_fused_ms, 2)),
         "train_step_ms_xla": (None if train_xla_ms is None

@@ -55,6 +55,10 @@ def add_model_flags(p: argparse.ArgumentParser) -> None:
     p.add_argument("--num_layers", type=int, default=1)
     p.add_argument("--dropout", type=float, default=0.5)
     p.add_argument("--max_seq_length", type=int, default=40)
+    p.add_argument("--backbone_dtype", type=str, default="float32",
+                   choices=["float32", "bfloat16"],
+                   help="ResNet conv precision: bfloat16 runs the backbone "
+                        "on the MXU's native dtype (~2x; BN stays f32)")
 
 
 def add_train_flags(p: argparse.ArgumentParser) -> None:
@@ -130,24 +134,32 @@ def train_config(args) -> TrainConfig:
     )
 
 
-def load_resnet_params(path: Optional[str]):
-    """Backbone weights from torch .pth / .npz, or random init."""
+def load_resnet_params(path: Optional[str], conv_dtype: str = "float32"):
+    """Backbone weights from torch .pth / .npz, or random init.
+
+    ``conv_dtype="bfloat16"`` casts only the conv kernels (BN stays f32) so
+    the backbone runs on the MXU's native precision."""
     import jax
+    import jax.numpy as jnp
     from icee_tpu.models import resnet
 
     if path is None:
-        return resnet.init_params(jax.random.PRNGKey(0))
-    if path.endswith(".npz"):
+        params = resnet.init_params(jax.random.PRNGKey(0))
+    elif path.endswith(".npz"):
         sd = dict(np.load(path))
-        return resnet.import_torch_state_dict(sd)
-    import torch
+        params = resnet.import_torch_state_dict(sd)
+    else:
+        import torch
 
-    sd = torch.load(path, map_location="cpu")
-    if hasattr(sd, "state_dict"):
-        sd = sd.state_dict()
-    # strip an "resnet." wrapper prefix if present (EncoderCNN pickles)
-    sd = {k.removeprefix("resnet."): v for k, v in sd.items()}
-    return resnet.import_torch_state_dict(sd)
+        sd = torch.load(path, map_location="cpu")
+        if hasattr(sd, "state_dict"):
+            sd = sd.state_dict()
+        # strip an "resnet." wrapper prefix if present (EncoderCNN pickles)
+        sd = {k.removeprefix("resnet."): v for k, v in sd.items()}
+        params = resnet.import_torch_state_dict(sd)
+    if conv_dtype != "float32":
+        params = resnet.cast_conv_weights(params, jnp.dtype(conv_dtype))
+    return params
 
 
 def make_feature_provider(
@@ -177,7 +189,8 @@ def make_feature_provider(
         )
         from icee_tpu.models import resnet
 
-        backbone = load_resnet_params(args.resnet_weights)
+        backbone = load_resnet_params(
+            args.resnet_weights, getattr(args, "backbone_dtype", "float32"))
         if args.resnet_weights is None:
             print("WARNING: no --resnet_weights given; backbone is randomly "
                   "initialized (offline smoke mode)")

@@ -45,8 +45,12 @@ def conv(x: jax.Array, w: jax.Array, stride: int = 1, padding=None) -> jax.Array
         ph = (w.shape[0] - 1) // 2
         pw = (w.shape[1] - 1) // 2
         padding = ((ph, ph), (pw, pw))
+    # run the conv in the WEIGHT dtype with f32 accumulation: bf16 weights
+    # put the whole backbone on the MXU's native precision (a no-op cast
+    # for the default f32 params — mixed dtypes would otherwise silently
+    # promote to f32 and lose the speedup).  BN params stay f32 either way.
     return jax.lax.conv_general_dilated(
-        x, w, (stride, stride), padding,
+        x.astype(w.dtype), w, (stride, stride), padding,
         dimension_numbers=("NHWC", "HWIO", "NHWC"),
         preferred_element_type=jnp.float32,
     )
@@ -156,6 +160,24 @@ def spatial_features(
     (model_att.py:22-29)."""
     fmap, new_params = forward(params, images, train_bn)
     return adaptive_avg_pool(fmap, (grid, grid)), new_params
+
+
+def cast_conv_weights(params, dtype):
+    """Cast only the CONV kernels to ``dtype`` (bf16 backbone mode); BN
+    affine/running stats stay f32 — the cheap normalizations keep full
+    precision while every conv runs on the MXU's native bf16."""
+    def walk(node):
+        if isinstance(node, dict):
+            return {
+                k: (v.astype(dtype) if k.startswith(("conv", "downsample_conv"))
+                    else walk(v))
+                for k, v in node.items()
+            }
+        if isinstance(node, list):
+            return [walk(v) for v in node]
+        return node
+
+    return walk(params)
 
 
 # --- init and torch import ----------------------------------------------

@@ -169,3 +169,35 @@ def test_encoder_head_shapes(rng):
     assert feats.shape == (4, 20)
     # running stats moved
     assert not np.allclose(np.asarray(new_head["bn"]["running_mean"]), 0.0)
+
+
+def test_bf16_conv_cast_and_parity(rng):
+    """cast_conv_weights: only conv kernels go bf16 (BN stays f32); the
+    bf16 backbone's features track the f32 ones; f32 params keep the conv
+    bit-identical (the activation cast is a no-op)."""
+    import jax.numpy as jnp
+    from icee_tpu.models import resnet
+
+    params = resnet.init_params(jax.random.PRNGKey(7))
+    cast = resnet.cast_conv_weights(params, jnp.bfloat16)
+    assert cast["conv1"].dtype == jnp.bfloat16
+    assert cast["bn1"]["running_mean"].dtype == jnp.float32
+    blk = cast["layer1"][0]
+    assert blk["conv2"].dtype == jnp.bfloat16
+    assert blk["bn2"]["weight"].dtype == jnp.float32
+    assert blk["downsample_conv"].dtype == jnp.bfloat16
+
+    imgs = jnp.asarray(rng.standard_normal((1, 64, 64, 3)).astype(np.float32))
+    f32, _ = resnet.global_features(params, imgs, train_bn=False)
+    bf16, _ = resnet.global_features(cast, imgs, train_bn=False)
+    # bf16 convs with f32 accumulation: a random-init (untrained-BN) net
+    # EXPLODES activations over 152 layers, compounding the rounding, so
+    # assert direction/scale (normalized L2) rather than elementwise
+    a, b = np.asarray(f32).ravel(), np.asarray(bf16).ravel()
+    rel_l2 = np.linalg.norm(a - b) / np.linalg.norm(a)
+    assert rel_l2 < 0.05, rel_l2
+    cos = float(a @ b / (np.linalg.norm(a) * np.linalg.norm(b)))
+    assert cos > 0.995, cos
+    # and the f32 path is bitwise unchanged by the in-conv cast
+    f32_again, _ = resnet.global_features(params, imgs, train_bn=False)
+    np.testing.assert_array_equal(np.asarray(f32), np.asarray(f32_again))

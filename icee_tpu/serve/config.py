@@ -49,6 +49,8 @@ class ServeConfig:
     image_folder: str = "uploads/"
     vocab_path: Optional[str] = None
     resnet_weights: Optional[str] = None
+    # "bfloat16" runs the backbone convs on the MXU's native precision
+    backbone_dtype: str = "float32"
     # >0: group concurrent /generate requests for this many ms and decode
     # them with ONE batched beam call (serve/batching.py); 0 = per-request
     batch_window_ms: float = 0.0
@@ -75,6 +77,7 @@ def load_config(env_path: str = ".env") -> ServeConfig:
         image_folder=os.getenv("IMAGE_FOLDER") or "uploads/",
         vocab_path=os.getenv("VOCAB_PATH"),
         resnet_weights=os.getenv("RESNET_WEIGHTS"),
+        backbone_dtype=os.getenv("BACKBONE_DTYPE") or "float32",
         batch_window_ms=float(os.getenv("BATCH_WINDOW_MS") or 0.0),
         checkpoint_paths=ckpts,
     )

@@ -63,7 +63,9 @@ class CaptionEngine:
 
         from icee_tpu.cli.common import load_resnet_params
 
-        self.backbone = load_resnet_params(config.resnet_weights)
+        self.backbone = load_resnet_params(
+            config.resnet_weights,
+            getattr(config, "backbone_dtype", "float32"))
         self.models: Dict[str, dict] = {}
         self._decode_cache: Dict = {}
         self._load_models(smoke_mode)

@@ -260,6 +260,57 @@ def bench_train(jax, jnp, fused_scan):
     return float(np.median(times))
 
 
+SC_VOCAB, SC_BATCH = 8800, 128
+
+
+def bench_senticap(jax, jnp):
+    """SentiCap base-mRNN train step at the reference COCO regime
+    (``mrnn.py:30-111``: emb/hidden 512, visual 4096, batch 128, T=22,
+    teacher-forced, RMSProp) over a device-resident dataset — returns
+    ms/step, 16 in-jit steps per dispatch (``senticap/train.py``)."""
+    from icee_tpu.senticap import model as sc_model
+    from icee_tpu.senticap.config import senticap_conf
+    from icee_tpu.senticap.solver import make_solver
+    from icee_tpu.senticap.train import make_base_step
+
+    conf = senticap_conf(emb_size=512, lstm_hidden_size=512)
+    t = conf["MAX_SENTENCE_LEN"] + 2
+    params = sc_model.init_params(jax.random.PRNGKey(0), SC_VOCAB, conf)
+    solver = make_solver(conf)
+    opt_state = solver.init(params)
+    step = make_base_step(conf, solver)
+
+    rng = np.random.default_rng(0)
+    n = SC_BATCH * 4
+    data = {
+        "X": jnp.asarray(rng.integers(2, SC_VOCAB, (n, t)), jnp.int32),
+        "Y": jnp.asarray(rng.integers(2, SC_VOCAB, (n, t)), jnp.int32),
+        "Xlen": jnp.asarray(
+            (np.arange(t)[None, :] < rng.integers(5, t, (n, 1))), jnp.float32),
+        "V": jnp.asarray(
+            rng.standard_normal((n, conf["visual_size"])), jnp.float32),
+    }
+    idx = jnp.asarray(rng.integers(0, n, (16, SC_BATCH)), jnp.int32)
+    key = jax.random.PRNGKey(0)
+
+    @jax.jit
+    def many(params, opt_state):
+        def body(carry, ib):
+            p, o = carry
+            p, o, loss = step(p, o, data, ib, key)
+            return (p, o), loss
+        (_, _), losses = jax.lax.scan(body, (params, opt_state), idx)
+        return losses[-1]
+
+    np.asarray(many(params, opt_state))  # compile + warmup
+    times = []
+    for _ in range(REPS):
+        t0 = time.perf_counter()
+        np.asarray(many(params, opt_state))
+        times.append((time.perf_counter() - t0) / 16)
+    return float(np.median(times))
+
+
 def main():
     import jax
     import jax.numpy as jnp
@@ -310,6 +361,11 @@ def main():
     except Exception as e:
         print(f"# xla train step failed ({type(e).__name__})")
         train_xla_ms = None
+    try:
+        senticap_ms = bench_senticap(jax, jnp) * 1e3
+    except Exception as e:
+        print(f"# senticap train step failed ({type(e).__name__})")
+        senticap_ms = None
 
     print(json.dumps({
         "metric": "beam_decode_captions_per_sec",
@@ -335,6 +391,8 @@ def main():
                                 else round(train_fused_ms, 2)),
         "train_step_ms_xla": (None if train_xla_ms is None
                               else round(train_xla_ms, 2)),
+        "senticap_train_step_ms": (None if senticap_ms is None
+                                   else round(senticap_ms, 2)),
     }))
 
 

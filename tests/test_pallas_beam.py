@@ -220,3 +220,29 @@ def test_mega_fuzz_random_configs(rng):
                                       np.asarray(want.tokens), err_msg=str(ctx))
         np.testing.assert_array_equal(np.asarray(got.length),
                                       np.asarray(want.length), err_msg=str(ctx))
+
+
+def test_mega_all_tied_logits(rng):
+    """Degenerate tie storm: zero output head (every vocab word exactly
+    tied every step) must still match the XLA beam token-exactly — the
+    in-kernel candidate merge, streaming top-k and best-completed tracking
+    all resolve ties by lowest index, like lax.top_k."""
+    cfg, params = _make(seed=9)
+    params = dict(params)
+    params["C_w"] = jnp.zeros_like(params["C_w"])
+    params["C_b"] = jnp.zeros_like(params["C_b"])
+    batch, k, steps = 4, 4, 6
+    feats = jnp.asarray(
+        rng.standard_normal((batch, k, cfg.embed_size)).astype(np.float32))
+    style = jnp.asarray(1)
+
+    want = _xla_beam(params, cfg, feats, style, batch, k, steps, fused=False)
+    for fold, vt in ((False, 128), (True, 256)):
+        got = mega_beam_decode(
+            params, feats, style, batch, start_token=1, end_token=2, k=k,
+            max_seq_length=steps, n_img_block=2, v_tile=vt,
+            topk_fold=fold, interpret=True)
+        np.testing.assert_array_equal(np.asarray(got.tokens),
+                                      np.asarray(want.tokens))
+        np.testing.assert_array_equal(np.asarray(got.length),
+                                      np.asarray(want.length))

@@ -31,7 +31,8 @@ def main(args) -> None:
     names = sorted({n for n, _ in parse_caption_file(args.caption_path)})
     print(f"{len(names)} unique images")
 
-    backbone = load_resnet_params(args.resnet_weights)
+    backbone = load_resnet_params(
+        args.resnet_weights, getattr(args, "backbone_dtype", "float32"))
     if args.resnet_weights is None:
         print("WARNING: no --resnet_weights; random backbone (smoke mode)")
 
@@ -96,6 +97,9 @@ if __name__ == "__main__":
     parser.add_argument("--batch_size", type=int, default=32)
     parser.add_argument("--spatial", action="store_true")
     parser.add_argument("--grid", type=int, default=14)
+    parser.add_argument("--backbone_dtype", type=str, default="float32",
+                        choices=["float32", "bfloat16"],
+                        help="ResNet conv precision (bfloat16 = MXU-native)")
     parser.add_argument("--native_decode", action="store_true",
                         help="C++ libjpeg threaded batch feeder (faster; "
                              "classic bilinear resize instead of PIL's "

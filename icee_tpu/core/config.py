@@ -136,4 +136,7 @@ class TrainConfig:
     # Use the Pallas fused time-scan kernel (ops/pallas_lstm.py) for the
     # teacher-forced FactoredLSTM chain.  Only takes effect when
     # teacher_forcing_ratio >= 1.0 (the fully teacher-forced fast path).
-    fused_scan: bool = False
+    # None (default) = auto: on for the TPU backend (measured 3.3 vs
+    # 3.5 ms/step vs the XLA scan, interleaved A/B), off elsewhere (the
+    # kernel would run in slow interpret mode on CPU).
+    fused_scan: Optional[bool] = None

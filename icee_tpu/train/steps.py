@@ -86,7 +86,10 @@ def make_caption_steps(
     ``lang_optimizer`` covers the decoder only — the emotion track
     (``train_multitask.py:163-167``).
     """
-    fwd = (functools.partial(fl.forward, fused_scan=tcfg.fused_scan)
+    use_fused = tcfg.fused_scan
+    if use_fused is None:  # auto: the kernel wins ~5% on TPU, interpret-slow elsewhere
+        use_fused = jax.default_backend() == "tpu"
+    fwd = (functools.partial(fl.forward, fused_scan=use_fused)
            if factored else
            lambda p, c, caps, feats, style, **kw: nic.forward(p, c, caps, feats, **kw)
     )

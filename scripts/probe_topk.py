@@ -30,6 +30,30 @@ from jax.experimental.pallas import tpu as pltpu
 from icee_tpu.ops.pallas_decode import (NEG, _merge_topk, _row_topk,
                                         _row_topk_fold)
 
+
+def _row_topk_maskmax(tile, base, ktop, tile_max=None):
+    """Reordered reduce form: the mask select feeds the next iteration's
+    max directly (where+max in one dataflow chain, hoping Mosaic fuses the
+    select into the reduce and skips materializing the masked tile)."""
+    import jax
+    import jax.numpy as jnp
+
+    r, w = tile.shape
+    col = jax.lax.broadcasted_iota(jnp.int32, (r, w), 1)
+    cur = tile
+    m = tile_max if tile_max is not None else jnp.max(cur, axis=1,
+                                                      keepdims=True)
+    vals, idxs = [], []
+    for it in range(ktop):
+        idx = jnp.min(jnp.where(cur == m, col, jnp.int32(2**30)), axis=1,
+                      keepdims=True)
+        vals.append(m)
+        idxs.append(idx + base)
+        if it + 1 < ktop:
+            cur = jnp.where(col == idx, NEG, cur)
+            m = jnp.max(cur, axis=1, keepdims=True)
+    return jnp.concatenate(vals, 1), jnp.concatenate(idxs, 1)
+
 ROWS, H, V_TILE, N_VT, K = 640, 512, 2048, 4, 5
 REPS_IN = 256  # in-kernel repetitions via grid steps (amortizes the ~27 ms relay dispatch floor)
 REPS = 5
@@ -38,7 +62,8 @@ REPS = 5
 def _kernel(h_ref, cw_ref, cb_ref, out_v, out_i, *, variant):
     topk = {"reduce": _row_topk,
             "fold": _row_topk_fold,
-            "fold512": functools.partial(_row_topk_fold, fold_to=512)}[variant]
+            "fold512": functools.partial(_row_topk_fold, fold_to=512),
+            "maskmax": _row_topk_maskmax}[variant]
     run_m = jnp.full((ROWS, 1), NEG, jnp.float32)
     run_se = jnp.zeros((ROWS, 1), jnp.float32)
     run_v = jnp.full((ROWS, K), NEG, jnp.float32)
@@ -91,7 +116,7 @@ def main():
                      jnp.float32)
 
     ref = None
-    for variant in (sys.argv[1:] or ["reduce", "fold", "fold512"]):
+    for variant in (sys.argv[1:] or ["reduce", "maskmax"]):
         fn = build(variant)
         try:
             t0 = time.perf_counter()

@@ -342,7 +342,8 @@ def _mega_att_kernel(feat_ref, att1_ref, emb_ref,
                      *, kind: str, k: int, n_img: int, f_dim: int,
                      h_dim: int, e_dim: int, v_tile: int, vocab: int,
                      max_len: int, start_token: int, end_token: int,
-                     n_streams: int = 1, topk_fold: bool = False):
+                     n_streams: int = 1, topk_fold: bool = False,
+                     profile: str = "full"):
     """Grid ``(n_blocks, T+1)``: per-image spatial features and the hoisted
     encoder projection stay VMEM-resident across ALL steps (the per-step
     fused kernel re-reads ~1 MB/image from HBM every step — the dominant
@@ -403,10 +404,18 @@ def _mega_att_kernel(feat_ref, att1_ref, emb_ref,
         # --- per-stream re-attention + cell (MXU-heavy; independent) ---
         h_news, c_news = [], []
         for s in range(n_streams):
-            x_full, _ = _attend_block(
-                embx_scr, h_scr, feat_ref, att1_ref, decw_ref, decb_ref,
-                fullw_ref, fullb_ref, fbw_ref, fbb_ref,
-                k=k, n_img=n2, wdt=wdt, row0=s * rows2, img0=s * n2)
+            if profile == "no_attend":
+                # stub: keep embx/feat data-dependence, skip the attend math
+                stub_ctx = jnp.zeros(
+                    (rows2, feat_ref.shape[-1]), jnp.float32) + jnp.sum(
+                        feat_ref[s * n2]) * 1e-30
+                x_full = jnp.concatenate(
+                    [embx_scr[s * rows2:(s + 1) * rows2], stub_ctx], axis=1)
+            else:
+                x_full, _ = _attend_block(
+                    embx_scr, h_scr, feat_ref, att1_ref, decw_ref, decb_ref,
+                    fullw_ref, fullb_ref, fbw_ref, fbb_ref,
+                    k=k, n_img=n2, wdt=wdt, row0=s * rows2, img0=s * n2)
             c_prev = c_scr[s * rows2:(s + 1) * rows2]
             h_prev_b = h_scr[s * rows2:(s + 1) * rows2].astype(wdt)
             if kind == "factored":
@@ -442,6 +451,10 @@ def _mega_att_kernel(feat_ref, att1_ref, emb_ref,
                 logits = logits_next[s]
                 if j + 1 < n_vt:
                     logits_next[s] = head_tile(s, j + 1)
+                if profile == "no_topk":
+                    run_v[s] = run_v[s] + jnp.sum(logits, axis=1,
+                                                  keepdims=True) * 1e-30
+                    continue
                 tile_max = jnp.max(logits, axis=1, keepdims=True)
                 m_new = jnp.maximum(run_m[s], tile_max)
                 run_se[s] = run_se[s] * jnp.exp(run_m[s] - m_new) + jnp.sum(
@@ -456,7 +469,13 @@ def _mega_att_kernel(feat_ref, att1_ref, emb_ref,
         rank = jax.lax.broadcasted_iota(jnp.int32, (n2, k), 1)
         for s in range(n_streams):
             r0 = s * rows2
-            logp_top = run_v[s] - (run_m[s] + jnp.log(run_se[s]))
+            if profile == "no_topk":
+                logp_top = run_v[s]
+                run_i[s] = (jax.lax.broadcasted_iota(
+                    jnp.int32, (rows2, k), 1) + 3
+                    + (run_v[s] * 1e-30).astype(jnp.int32))
+            else:
+                logp_top = run_v[s] - (run_m[s] + jnp.log(run_se[s]))
             words = _beam_select(
                 t, is_first, logp_top, run_i[s], h_news[s], c_news[s],
                 tok_ref, len_ref, score_ref,
@@ -465,6 +484,11 @@ def _mega_att_kernel(feat_ref, att1_ref, emb_ref,
                 end_token=end_token, wdt=wdt, rank=rank,
                 row0=r0, img0=s * n2)
 
+            if profile == "no_embed":
+                embx_scr[r0:r0 + rows2] = (
+                    embx_scr[r0:r0 + rows2] * 1.0
+                    + jnp.sum(words.astype(jnp.float32)) * 1e-30)
+                continue
             # next word embedding: one-hot matmul over vocab tiles (exact)
             flat_w = jnp.concatenate(
                 [jnp.sum(jnp.where(rank == q, words, 0), axis=1,
@@ -487,7 +511,7 @@ def _mega_att_kernel(feat_ref, att1_ref, emb_ref,
     jax.jit,
     static_argnames=("batch", "start_token", "end_token", "k",
                      "max_seq_length", "n_img_block", "v_tile", "kind",
-                     "n_streams", "topk_fold", "interpret"))
+                     "n_streams", "topk_fold", "interpret", "_profile"))
 def mega_att_beam_decode(
     params: dict,            # full attention-decoder params
     features: jax.Array,     # (B, P, FS) per-image spatial features
@@ -503,6 +527,7 @@ def mega_att_beam_decode(
     n_streams: int = 1,
     topk_fold: bool = False,
     interpret: bool = False,
+    _profile: str = "full",
 ):
     """Whole attention-beam-search-in-one-kernel decode.
 
@@ -592,7 +617,7 @@ def mega_att_beam_decode(
         _mega_att_kernel, kind=kind, k=k, n_img=n_img_block, f_dim=f_dim,
         h_dim=h_dim, e_dim=e_dim, v_tile=v_tile, vocab=vp, max_len=max_len,
         start_token=start_token, end_token=end_token, n_streams=n_streams,
-        topk_fold=topk_fold)
+        topk_fold=topk_fold, profile=_profile)
     out_shape = (
         jax.ShapeDtypeStruct((bp, max_len), jnp.int32),
         jax.ShapeDtypeStruct((bp, 1), jnp.int32),

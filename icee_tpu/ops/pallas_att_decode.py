@@ -405,10 +405,14 @@ def _mega_att_kernel(feat_ref, att1_ref, emb_ref,
         h_news, c_news = [], []
         for s in range(n_streams):
             if profile == "no_attend":
-                # stub: keep embx/feat data-dependence, skip the attend math
-                stub_ctx = jnp.zeros(
-                    (rows2, feat_ref.shape[-1]), jnp.float32) + jnp.sum(
-                        feat_ref[s * n2]) * 1e-30
+                # stub: mean spatial feature as the context (keeps the
+                # feat/embx data-dependence and the cell's input shape,
+                # skips scores/softmax/gate; no scalar reduce — Mosaic
+                # can't lower full-tensor-to-scalar sums here)
+                mean_ctx = jnp.mean(
+                    feat_ref[s * n2:(s + 1) * n2].astype(jnp.float32),
+                    axis=1)                               # (n2, FS)
+                stub_ctx = jnp.concatenate([mean_ctx] * k, axis=0)
                 x_full = jnp.concatenate(
                     [embx_scr[s * rows2:(s + 1) * rows2], stub_ctx], axis=1)
             else:

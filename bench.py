@@ -312,8 +312,22 @@ def bench_senticap(jax, jnp):
 
 
 def main():
+    import os
     import jax
     import jax.numpy as jnp
+
+    # soft wall-clock budget: the mega-kernel compile alone can take
+    # ~15 min on the remote-compile service; once past the budget, the
+    # remaining (secondary) metrics are skipped so the headline decode
+    # number always reaches the final JSON line before any driver timeout
+    budget_s = float(os.getenv("ICEE_BENCH_BUDGET_S", "2400"))
+    t_start = time.time()
+
+    def over_budget(label):
+        if time.time() - t_start > budget_s:
+            print(f"# skipping {label}: past the {budget_s:.0f}s soft budget")
+            return True
+        return False
 
     from icee_tpu.core.config import DecoderConfig
     from icee_tpu.models import factored_lstm as fl
@@ -338,34 +352,39 @@ def main():
         print(f"# calibration matmul failed ({type(e).__name__})")
         calib_tflops = None
 
-    try:
-        att_med = bench_att_decode(jax, jnp)
-        att_cps = ATT_BATCH / att_med
-    except Exception as e:
-        print(f"# attention mega decode unavailable ({type(e).__name__})")
-        att_cps = None
+    att_cps = None
+    if not over_budget("attention decode"):
+        try:
+            att_med = bench_att_decode(jax, jnp)
+            att_cps = ATT_BATCH / att_med
+        except Exception as e:
+            print(f"# attention mega decode unavailable ({type(e).__name__})")
 
-    try:
-        backbone_ips = bench_backbone(jax, jnp)
-    except Exception as e:
-        print(f"# backbone bench failed ({type(e).__name__})")
-        backbone_ips = None
+    backbone_ips = None
+    if not over_budget("backbone"):
+        try:
+            backbone_ips = bench_backbone(jax, jnp)
+        except Exception as e:
+            print(f"# backbone bench failed ({type(e).__name__})")
 
-    try:
-        train_fused_ms = bench_train(jax, jnp, fused_scan=True) * 1e3
-    except Exception as e:
-        print(f"# fused train scan unavailable ({type(e).__name__})")
-        train_fused_ms = None
-    try:
-        train_xla_ms = bench_train(jax, jnp, fused_scan=False) * 1e3
-    except Exception as e:
-        print(f"# xla train step failed ({type(e).__name__})")
-        train_xla_ms = None
-    try:
-        senticap_ms = bench_senticap(jax, jnp) * 1e3
-    except Exception as e:
-        print(f"# senticap train step failed ({type(e).__name__})")
-        senticap_ms = None
+    train_fused_ms = None
+    if not over_budget("fused train"):
+        try:
+            train_fused_ms = bench_train(jax, jnp, fused_scan=True) * 1e3
+        except Exception as e:
+            print(f"# fused train scan unavailable ({type(e).__name__})")
+    train_xla_ms = None
+    if not over_budget("xla train"):
+        try:
+            train_xla_ms = bench_train(jax, jnp, fused_scan=False) * 1e3
+        except Exception as e:
+            print(f"# xla train step failed ({type(e).__name__})")
+    senticap_ms = None
+    if not over_budget("senticap train"):
+        try:
+            senticap_ms = bench_senticap(jax, jnp) * 1e3
+        except Exception as e:
+            print(f"# senticap train step failed ({type(e).__name__})")
 
     print(json.dumps({
         "metric": "beam_decode_captions_per_sec",

@@ -42,34 +42,44 @@ def caption_batch(dec_params, head, cfg, vocab, names, provider, mode_idx,
 
     style = jnp.asarray(mode_idx)
     batch_size = min(batch_size, max(1, len(names)))
-    if mesh is not None and not attention:
+    if mesh is not None:
         from icee_tpu.parallel.mesh import DATA_AXIS
 
         n_data = mesh.shape[DATA_AXIS]
         batch_size = max(n_data, batch_size - batch_size % n_data)
     if attention:
-        candidates = fast.attention_candidates(
-            dec_params, style, batch_size, k, cfg.max_seq_length,
-            cfg.vocab_size, vocab.start, vocab.end)
         prep = lambda feats: feats                                # noqa: E731
     else:
-        candidates = fast.factored_candidates(
+        prep = lambda feats: jnp.tile(feats[:, None, :], (1, k, 1))  # noqa: E731
+
+    def make_candidates():
+        # only the non-mesh branch probes the fallback chain; the mesh path
+        # goes straight to the sharded mega kernel
+        if attention:
+            return fast.attention_candidates(
+                dec_params, style, batch_size, k, cfg.max_seq_length,
+                cfg.vocab_size, vocab.start, vocab.end)
+        return fast.factored_candidates(
             dec_params, style, batch_size, k, cfg.max_seq_length,
             cfg.vocab_size, vocab.start, vocab.end, cfg.hidden_size,
             feed_feature=feed_feature)
-        prep = lambda feats: jnp.tile(feats[:, None, :], (1, k, 1))  # noqa: E731
 
     _state = {"fn": None}
 
     def decode(feats):
         feats = prep(feats)
-        if mesh is not None and not attention:
+        if mesh is not None:
+            if attention:
+                return fast.sharded_mega_att_decode(
+                    dec_params, feats, style, mesh, batch_size, k=k,
+                    max_seq_length=cfg.max_seq_length, interpret=interpret)
             return fast.sharded_mega_decode(
                 dec_params, feats, style, mesh, batch_size, k=k,
                 max_seq_length=cfg.max_seq_length,
                 feed_feature=feed_feature, interpret=interpret)
         if _state["fn"] is None:
-            _, _state["fn"] = fast.pick_first_compiling(candidates, feats)
+            _, _state["fn"] = fast.pick_first_compiling(
+                make_candidates(), feats)
         return _state["fn"](feats)
 
     out = {}
@@ -112,12 +122,25 @@ def main(args) -> None:
     vocab = load_vocab(args.vocab_path)
     cfg = common.decoder_config(args, len(vocab), attention=args.attention)
 
+    if args.feature_cache and not os.path.exists(args.feature_cache):
+        raise SystemExit(f"feature cache not found: {args.feature_cache}")
+    cache_files = (set(np.load(args.feature_cache).files)
+                   if args.feature_cache else None)
     if args.image_dir:
         names = sorted(
             f for f in os.listdir(args.image_dir)
             if f.lower().endswith(IMAGE_EXTS))
-    elif args.feature_cache and os.path.exists(args.feature_cache):
-        names = sorted(np.load(args.feature_cache).files)
+        if cache_files is not None:
+            # the provider serves from the cache, so a directory image
+            # missing there would KeyError mid-run; validate up front
+            missing = [n for n in names if n not in cache_files]
+            if missing:
+                raise SystemExit(
+                    f"{len(missing)} image(s) in --image_dir are absent "
+                    f"from --feature_cache (first: {missing[0]}); "
+                    "re-run precompute_features or drop --feature_cache")
+    elif cache_files is not None:
+        names = sorted(cache_files)
     else:
         raise SystemExit("need --image_dir or --feature_cache")
     if not names:
@@ -143,13 +166,13 @@ def main(args) -> None:
             jax.random.PRNGKey(1), EncoderConfig(embed_size=cfg.embed_size))
 
     mesh = None
-    if args.data_parallel and not args.attention and len(jax.devices()) > 1:
+    if args.data_parallel and len(jax.devices()) > 1:
         from icee_tpu.parallel.mesh import make_mesh
 
         mesh = make_mesh()           # all devices on the data axis
     elif args.data_parallel:
-        print("WARNING: --data_parallel needs >1 device and a non-attention "
-              "family; decoding single-device", file=sys.stderr)
+        print("WARNING: --data_parallel needs >1 device; "
+              "decoding single-device", file=sys.stderr)
 
     captions = caption_batch(
         dec, head, cfg, vocab, names, provider, mode_id(args.mode),
@@ -173,8 +196,7 @@ if __name__ == "__main__":
                         help="use the attention decoder family")
     parser.add_argument("--data_parallel", action="store_true",
                         help="decode data-parallel over all devices "
-                             "(jax.sharding.Mesh + shard_map; non-attention "
-                             "families)")
+                             "(jax.sharding.Mesh + shard_map; both families)")
     parser.add_argument("--research_semantics", action="store_true",
                         help="ignore the image feature in the beam "
                              "(stylenet/model.py:224-227) instead of the "

@@ -36,37 +36,46 @@ def evaluate(dec_params, head, cfg, vocab, dataset, provider, mode_idx,
     # serving semantics (app/backend/model.py:414-417).
     from icee_tpu.decode import fast
 
-    if mesh is not None and not attention:
+    if mesh is not None:
         # data-parallel beam decode: images split over the mesh's data axis
-        # (params replicated, zero collectives — sharded_mega_decode)
+        # (params replicated, zero collectives — sharded_mega_decode /
+        # sharded_mega_att_decode; both families)
         from icee_tpu.parallel.mesh import DATA_AXIS
 
         n_data = mesh.shape[DATA_AXIS]
         batch_size = max(n_data, batch_size - batch_size % n_data)
     if attention:
-        candidates = fast.attention_candidates(
-            dec_params, style, batch_size, k, cfg.max_seq_length,
-            cfg.vocab_size, vocab.start, vocab.end)
         prep = lambda feats: feats                               # noqa: E731
     else:
-        candidates = fast.factored_candidates(
+        prep = lambda feats: jnp.tile(feats[:, None, :], (1, k, 1))  # noqa: E731
+
+    def make_candidates():
+        if attention:
+            return fast.attention_candidates(
+                dec_params, style, batch_size, k, cfg.max_seq_length,
+                cfg.vocab_size, vocab.start, vocab.end)
+        return fast.factored_candidates(
             dec_params, style, batch_size, k, cfg.max_seq_length,
             cfg.vocab_size, vocab.start, vocab.end, cfg.hidden_size,
             feed_feature=feed_feature)
-        prep = lambda feats: jnp.tile(feats[:, None, :], (1, k, 1))  # noqa: E731
 
     # lazily pick the decode path on the first real batch (its shapes)
     _state = {"fn": None}
 
     def decode(feats):
         feats = prep(feats)
-        if mesh is not None and not attention:
+        if mesh is not None:
+            if attention:
+                return fast.sharded_mega_att_decode(
+                    dec_params, feats, style, mesh, batch_size, k=k,
+                    max_seq_length=cfg.max_seq_length, interpret=interpret)
             return fast.sharded_mega_decode(
                 dec_params, feats, style, mesh, batch_size, k=k,
                 max_seq_length=cfg.max_seq_length,
                 feed_feature=feed_feature, interpret=interpret)
         if _state["fn"] is None:
-            _, _state["fn"] = fast.pick_first_compiling(candidates, feats)
+            _, _state["fn"] = fast.pick_first_compiling(
+                make_candidates(), feats)
         return _state["fn"](feats)
 
     # one beam decode per unique image (evaluator decodes per test line; lines
@@ -136,13 +145,13 @@ def main(args) -> None:
             jax.random.PRNGKey(1), EncoderConfig(embed_size=cfg.embed_size))
 
     mesh = None
-    if args.data_parallel and not args.attention and len(jax.devices()) > 1:
+    if args.data_parallel and len(jax.devices()) > 1:
         from icee_tpu.parallel.mesh import make_mesh
 
         mesh = make_mesh()
     elif args.data_parallel:
-        print("WARNING: --data_parallel needs >1 device and a non-attention "
-              "family; decoding single-device")
+        print("WARNING: --data_parallel needs >1 device; "
+              "decoding single-device")
 
     b1, b2, b3, b4 = evaluate(dec, head, cfg, vocab, dataset, provider,
                               mode_id(args.mode), batch_size=args.batch_size,
@@ -162,7 +171,7 @@ if __name__ == "__main__":
                              "evaluator default)")
     parser.add_argument("--data_parallel", action="store_true",
                         help="beam-decode data-parallel over all devices "
-                             "(non-attention families)")
+                             "(both families; mega kernel per shard)")
     parser.add_argument("--feed_feature", action="store_true",
                         help="feed the image feature at beam step 1 (serving "
                              "semantics) instead of the reference research "

@@ -73,6 +73,33 @@ def main(args) -> None:
     if attention:
         family += "_att"
 
+    # multi-device training (SURVEY §2.5 DP row): a ("data", "model") mesh
+    # over all visible devices; the trainers place params/batches and the
+    # SAME jitted steps run data(+tensor)-parallel via GSPMD.  Multi-host
+    # runs additionally call parallel.mesh.init_distributed first (each
+    # host then feeds its shard of every batch).
+    mesh = None
+    if args.data_parallel:
+        from icee_tpu.parallel.mesh import init_distributed, make_mesh
+        from icee_tpu.parallel.train import dp_tp_shape
+
+        init_distributed(args.coordinator_address, args.num_processes,
+                         args.process_id)
+        n = len(jax.devices())
+        if n == 1:
+            print("WARNING: --data_parallel with a single device; "
+                  "training single-device")
+        else:
+            shape = dp_tp_shape(n, tp=args.tensor_parallel) \
+                if args.tensor_parallel > 1 else (n, 1)
+            mesh = make_mesh(shape)
+            for name in ("caption_batch_size", "language_batch_size"):
+                bs = getattr(tcfg, name)
+                if bs % shape[0]:
+                    raise SystemExit(
+                        f"--{name} {bs} must divide by the data-axis size "
+                        f"{shape[0]} for even batch sharding")
+
     key = jax.random.PRNGKey(args.seed)
     if family == "factored":
         dec = fl.init_params(key, cfg)
@@ -88,7 +115,7 @@ def main(args) -> None:
     common_kw = dict(
         cfg=cfg, tcfg=tcfg, vocab=vocab, dec_params=dec, head_params=head,
         family=family, log_path=args.log_path, model_dir=args.model_path,
-        data_name=args.data_name)
+        data_name=args.data_name, mesh=mesh)
 
     if args.trainer in ("multitask", "multitask_att"):
         trainer = MultitaskTrainer(**common_kw)
@@ -147,7 +174,7 @@ def main(args) -> None:
         params = s2s.init_params(key, scfg)
         head = enc_mod.init_head_params(jax.random.PRNGKey(args.seed + 1), ecfg)
         trainer = Seq2SeqTrainer(scfg, tcfg, vocab, params, head,
-                                 log_path=args.log_path)
+                                 log_path=args.log_path, mesh=mesh)
         trainer.train(
             loader(args.caption_path, tcfg.caption_batch_size),
             {emo: loader(p[0], tcfg.language_batch_size)
@@ -171,6 +198,19 @@ if __name__ == "__main__":
     parser.add_argument("--attention", action="store_true")
     parser.add_argument("--no_augment", action="store_true",
                         help="disable train-time crop/flip; use cached eval-mode features")
+    parser.add_argument("--data_parallel", action="store_true",
+                        help="train over all devices: ('data','model') mesh, "
+                             "batch sharded over the data axis, gradient "
+                             "psum over ICI (SURVEY §2.5)")
+    parser.add_argument("--tensor_parallel", type=int, default=1,
+                        help="model-axis size for vocab-dim tensor "
+                             "parallelism of the embedding/output head "
+                             "(with --data_parallel)")
+    parser.add_argument("--coordinator_address", type=str, default=None,
+                        help="multi-host: jax.distributed coordinator "
+                             "host:port")
+    parser.add_argument("--num_processes", type=int, default=None)
+    parser.add_argument("--process_id", type=int, default=None)
     parser.add_argument("--checkpoint_path", type=str, default=None,
                         help="resume/fine-tune source checkpoint")
     parser.add_argument("--data_name", type=str, default="flickr8k_id")

@@ -306,7 +306,7 @@ def sharded_mega_decode(
     the single-device kernel (tested on the 8-device virtual CPU mesh).
     """
     import jax
-    from jax.experimental.shard_map import shard_map
+    from jax import shard_map
     from jax.sharding import NamedSharding, PartitionSpec as P
 
     from icee_tpu.parallel.mesh import DATA_AXIS
@@ -314,6 +314,8 @@ def sharded_mega_decode(
     n_data = mesh.shape[DATA_AXIS]
     assert batch % n_data == 0, (batch, n_data)
     local = batch // n_data
+    # Pallas only compiles on TPU; a CPU (virtual) mesh runs interpret mode
+    interpret = interpret or jax.default_backend() != "tpu"
 
     def per_device(feats_shard):
         from icee_tpu.ops.pallas_beam import mega_beam_decode
@@ -331,7 +333,7 @@ def sharded_mega_decode(
         per_device, mesh=mesh,
         in_specs=(spec,),
         out_specs=jax.tree_util.tree_map(lambda _: spec, _beam_result_tree()),
-        check_rep=False)
+        check_vma=False)
     feats = jax.device_put(
         features, NamedSharding(mesh, P(DATA_AXIS, None, None)))
     return jax.jit(fn)(feats)
@@ -341,3 +343,62 @@ def _beam_result_tree():
     from icee_tpu.decode.beam import BeamResult
 
     return BeamResult(tokens=0, length=0, score=0)
+
+
+def sharded_mega_att_decode(
+    dec_params: dict,
+    features,                 # (B, P, FS) global spatial-feature batch
+    style,
+    mesh,
+    batch: int,
+    k: int = 5,
+    max_seq_length: int = 40,
+    start_token: int = 1,
+    end_token: int = 2,
+    n_img_block: int = 24,
+    v_tile: int = 2048,
+    kind: str = "factored",
+    interpret: bool = False,
+):
+    """Data-parallel ATTENTION mega-kernel decode over a device mesh.
+
+    The attention-family counterpart of :func:`sharded_mega_decode`
+    (VERDICT r2 #3): each device runs ``mega_att_beam_decode`` on its shard
+    of the spatial-feature batch — params replicated, batch split over the
+    ``"data"`` axis, zero collectives.  Serves both attention families
+    (``kind="factored"`` StyleNet+Att, ``kind="lstm"`` NIC+Att) and is
+    token-identical to the single-device kernel (tested on the 8-device
+    virtual CPU mesh).  Reference eval being scaled:
+    ``stylenet/evaluator.py:59-120`` over ``model_att.py:307-426``.
+    """
+    import jax
+    from jax import shard_map
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from icee_tpu.parallel.mesh import DATA_AXIS
+
+    n_data = mesh.shape[DATA_AXIS]
+    assert batch % n_data == 0, (batch, n_data)
+    local = batch // n_data
+    # Pallas only compiles on TPU; a CPU (virtual) mesh runs interpret mode
+    interpret = interpret or jax.default_backend() != "tpu"
+
+    def per_device(feats_shard):
+        from icee_tpu.ops.pallas_att_decode import mega_att_beam_decode
+
+        return mega_att_beam_decode(
+            dec_params, feats_shard, style, local,
+            start_token=start_token, end_token=end_token, k=k,
+            max_seq_length=max_seq_length,
+            n_img_block=min(n_img_block, local), v_tile=v_tile,
+            kind=kind, interpret=interpret)
+
+    spec = P(DATA_AXIS)
+    fn = shard_map(
+        per_device, mesh=mesh,
+        in_specs=(spec,),
+        out_specs=jax.tree_util.tree_map(lambda _: spec, _beam_result_tree()),
+        check_vma=False)
+    feats = jax.device_put(
+        features, NamedSharding(mesh, P(DATA_AXIS, None, None)))
+    return jax.jit(fn)(feats)

@@ -561,13 +561,28 @@ def mega_att_beam_decode(
 
     n_img_block = min(n_img_block, batch)
     if n_img_block % n_streams:
+        import warnings
+
+        warnings.warn(
+            f"mega_att_beam_decode: n_streams={n_streams} does not divide "
+            f"n_img_block={n_img_block}; running single-stream", stacklevel=2)
         n_streams = 1
     # Mosaic's tpu.concatenate can't mix sublane offsets on the non-concat
     # dim: the per-slot x/att2 slices start at row p*(n_img/n_streams), so
     # on hardware each stream's image count must be a multiple of the 8-row
-    # sublane tile (interpret mode has no layout constraint).
-    if not interpret and n_streams > 1 and (n_img_block // n_streams) % 8:
-        n_streams = 1
+    # sublane tile (interpret mode has no layout constraint, but warn there
+    # too so interpret-tested configs correspond to compiled behavior).
+    if n_streams > 1 and (n_img_block // n_streams) % 8:
+        import warnings
+
+        warnings.warn(
+            f"mega_att_beam_decode: n_img_block/n_streams = "
+            f"{n_img_block // n_streams} is not sublane-aligned (8); "
+            f"hardware runs single-stream"
+            + (" (interpret mode keeps the requested streams)"
+               if interpret else ""), stacklevel=2)
+        if not interpret:
+            n_streams = 1
     bp = -(-batch // n_img_block) * n_img_block
     n_blocks = bp // n_img_block
     rows_blk = n_img_block * k

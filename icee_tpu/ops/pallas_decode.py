@@ -85,8 +85,11 @@ def _row_topk_fold(tile: jax.Array, base: jax.Array, ktop: int,
         # bare broadcasted_iota out sublane-broadcast, and lane-slicing that
         # layout crashes ApplyVectorLayout (probed: compiler SIGABRT
         # "Check failed: limits[i] <= dim(i)"; same workaround as the
-        # profile stub in ops/pallas_beam.py)
-        col = col + (tile * 0.0).astype(jnp.int32)
+        # profile stub in ops/pallas_beam.py).  Non-finite logits are zeroed
+        # before the *0.0 so a +/-inf or NaN value cannot poison the int
+        # cast (inf*0 = NaN, and int(NaN) is undefined).
+        finite = jnp.where(jnp.abs(tile) < jnp.inf, tile, 0.0)
+        col = col + (finite * 0.0).astype(jnp.int32)
     cur = tile
     vals, idxs = [], []
     for it in range(ktop):

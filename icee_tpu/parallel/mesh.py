@@ -70,16 +70,19 @@ def decoder_param_shardings(params: dict, mesh: Mesh) -> dict:
     vocab_rows = {"B", "embed"}
     vocab_cols = {"C_w", "linear_w"}
     vocab_vec = {"C_b", "linear_b"}
+    tp = mesh.shape[MODEL_AXIS]
 
     def spec_for(path, leaf):
         name = path[-1].key if hasattr(path[-1], "key") else str(path[-1])
-        if name in vocab_rows and leaf.ndim >= 2:
+        # uneven shards are unsupported (device_put rejects them): a vocab
+        # that doesn't divide the model axis replicates that leaf instead
+        if name in vocab_rows and leaf.ndim >= 2 and leaf.shape[0] % tp == 0:
             return NamedSharding(mesh, P(MODEL_AXIS, *([None] * (leaf.ndim - 1))))
-        if name in vocab_cols and leaf.ndim >= 2:
+        if name in vocab_cols and leaf.ndim >= 2 and leaf.shape[-1] % tp == 0:
             return NamedSharding(
                 mesh, P(*([None] * (leaf.ndim - 1)), MODEL_AXIS)
             )
-        if name in vocab_vec and leaf.ndim == 1:
+        if name in vocab_vec and leaf.ndim == 1 and leaf.shape[0] % tp == 0:
             return NamedSharding(mesh, P(MODEL_AXIS))
         return NamedSharding(mesh, P())
 

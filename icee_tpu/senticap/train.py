@@ -238,48 +238,77 @@ def validation_perplexity(params, conf, dataset: sio.SentiDataset,
     return float(base_model.perplexity(s, data["Y"], data["Xlen"]))
 
 
+def make_beam_step(params, conf, switched: bool):
+    """``(senti_val) -> step_fn`` for :func:`make_device_beam`'s contract
+    (``step_fn(words, use_v, h, c, v_row)``); jit-traceable."""
+
+    def make(senti_val):
+        def one(words, use_v, h, c, v_row):
+            b = words.shape[0]
+            vv = jnp.broadcast_to(v_row[None, :], (b, v_row.shape[0]))
+            if switched:
+                return sw_model.one_step(
+                    params, conf, words, use_v, h, c, vv,
+                    jnp.asarray(senti_val))
+            s, h2, c2 = base_model.one_step(
+                params, conf, words, jnp.broadcast_to(use_v, (b,)),
+                h, c, vv)
+            return s, h2, c2
+
+        return one
+
+    return make
+
+
 def decode_split(params, conf, dataset: sio.SentiDataset, i2w: Dict[int, str],
-                 switched: bool = True, beam_size: int = 20):
+                 switched: bool = True, beam_size: int = 20,
+                 device: bool = True):
     """Test path (``run_load_gap_filler``, ``train_joint.py:91-320``): per
     image decode the styled (senti=+1) and descriptive (senti=-1) sentence
-    with attention traces."""
-    from icee_tpu.senticap.beam import beam_decode
+    with attention traces.
+
+    ``device=True`` runs each search as ONE jitted device program
+    (:func:`icee_tpu.senticap.beam.make_device_beam`, compiled once and
+    reused across images); ``device=False`` keeps the host-driven oracle
+    loop (the reference's per-token compiled-function protocol)."""
+    from icee_tpu.senticap.beam import beam_decode, make_device_beam
 
     out = []
     hs = conf["lstm_hidden_size"]
-    for i in range(dataset.V.shape[0]):
-        v = jnp.asarray(dataset.V[i : i + 1])
+    width = 2 * hs if switched else hs
+    max_len = conf["MAX_SENTENCE_LEN"]
+    make = make_beam_step(params, conf, switched)
 
-        def make_step(senti_val):
+    if device:
+        dec_att = make_device_beam(make(1.0), width, beam_size, max_len,
+                                   with_attention=switched)
+        dec_des = make_device_beam(make(-1.0), width, beam_size, max_len)
+
+    for i in range(dataset.V.shape[0]):
+        v_row = jnp.asarray(dataset.V[i])
+
+        def host_step(senti_val):
+            step = make(senti_val)
+
             def one(words, use_v, h, c):
-                b = words.shape[0]
-                vv = jnp.tile(v, (b, 1))
-                if h is None:
-                    width = 2 * hs if switched else hs
-                    h_in = jnp.zeros((b, width))
-                    c_in = jnp.zeros((b, width))
-                else:
-                    h_in, c_in = jnp.asarray(h), jnp.asarray(c)
-                if switched:
-                    s, h2, c2, att = sw_model.one_step(
-                        params, conf, jnp.asarray(words),
-                        jnp.asarray(use_v), h_in, c_in, vv,
-                        jnp.asarray(senti_val))
-                    return s, h2, c2, att
-                s, h2, c2 = base_model.one_step(
-                    params, conf, jnp.asarray(words),
-                    jnp.asarray(np.full((words.shape[0],), use_v)),
-                    h_in, c_in, vv)
-                return s, h2, c2
+                b = len(words)
+                h_in = jnp.zeros((b, width)) if h is None else jnp.asarray(h)
+                c_in = jnp.zeros((b, width)) if c is None else jnp.asarray(c)
+                return step(jnp.asarray(words), jnp.asarray(use_v),
+                            h_in, c_in, v_row)
 
             return one
 
         if switched:
-            _, pos_ids, att = beam_decode(make_step(1.0), dataset.V[i],
-                                          beam_size, conf["MAX_SENTENCE_LEN"],
-                                          with_attention=True)
-            _, des_ids = beam_decode(make_step(-1.0), dataset.V[i], beam_size,
-                                     conf["MAX_SENTENCE_LEN"])
+            if device:
+                _, pos_ids, att = dec_att(v_row)
+                _, des_ids = dec_des(v_row)
+            else:
+                _, pos_ids, att = beam_decode(host_step(1.0), dataset.V[i],
+                                              beam_size, max_len,
+                                              with_attention=True)
+                _, des_ids = beam_decode(host_step(-1.0), dataset.V[i],
+                                         beam_size, max_len)
             out.append({
                 "image": dataset.ids[i],
                 "positive": [i2w[w] for w in pos_ids[:-1]],
@@ -287,8 +316,11 @@ def decode_split(params, conf, dataset: sio.SentiDataset, i2w: Dict[int, str],
                 "attention": att,
             })
         else:
-            _, ids = beam_decode(make_step(-1.0), dataset.V[i], beam_size,
-                                 conf["MAX_SENTENCE_LEN"])
+            if device:
+                _, ids = dec_des(v_row)
+            else:
+                _, ids = beam_decode(host_step(-1.0), dataset.V[i],
+                                     beam_size, max_len)
             out.append({"image": dataset.ids[i],
                         "caption": [i2w[w] for w in ids[:-1]]})
     return out

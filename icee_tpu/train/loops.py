@@ -57,6 +57,17 @@ def _log(log_path: Optional[str], text: str) -> None:
             f.write(text + "\n")
 
 
+def _to_device(mesh, *arrays):
+    """Host batch tensors -> device arrays; with a mesh, mesh-spanning
+    arrays sharded over the data axis (per-host shard feeding via
+    ``jax.make_array_from_process_local_data`` on multi-host)."""
+    if mesh is None:
+        return tuple(jnp.asarray(a) for a in arrays)
+    from icee_tpu.parallel.data import global_batch
+
+    return tuple(global_batch(mesh, np.asarray(a)) for a in arrays)
+
+
 @dataclasses.dataclass
 class EpochStats:
     loss: float
@@ -88,6 +99,7 @@ class MultitaskTrainer:
         model_dir: str = "models",
         data_name: str = "flickr8k_id",
         metrics_path: Optional[str] = None,
+        mesh=None,
     ) -> None:
         self.cfg, self.tcfg, self.vocab = cfg, tcfg, vocab
         self.family = family
@@ -95,6 +107,14 @@ class MultitaskTrainer:
         self.factored = family.startswith("factored")
         self.dec = dec_params
         self.head = head_params
+        # multi-device training (SURVEY §2.5 DP row): params placed on the
+        # ("data", "model") mesh BEFORE optimizer init so the optax moments
+        # inherit the shardings; batches become mesh-spanning arrays in
+        # _to_device and jit/GSPMD inserts the gradient psum over ICI.  The
+        # SAME jitted steps serve single- and multi-device runs.
+        self.mesh = mesh
+        if mesh is not None:
+            self._place_params()
         self.sample_fn = sample_fn
         self.log_path = log_path
         self.model_dir = model_dir
@@ -125,6 +145,17 @@ class MultitaskTrainer:
         self.start_epoch = 0
         if self.sample_fn is None and not self.attention:
             self.sample_fn = self._default_sample_fn
+
+    def _place_params(self) -> None:
+        """TP (vocab-dim) decoder placement + replicated head on the mesh."""
+        from icee_tpu.parallel import train as ptrain
+
+        self.dec = ptrain.place_decoder(self.dec, self.mesh)
+        if self.head is not None:
+            self.head = ptrain.place_replicated(self.head, self.mesh)
+
+    def _to_device(self, *arrays):
+        return _to_device(self.mesh, *arrays)
 
     def _default_sample_fn(self, dec, head, feat, style):
         """Beam-decode one caption from a pooled feature (the per-validation
@@ -172,10 +203,9 @@ class MultitaskTrainer:
         losses = AverageMeter()
         t0 = time.time()
         for i, batch in enumerate(loader):
-            feats = jnp.asarray(batch.images)
-            caps = jnp.asarray(batch.captions)
-            lens = jnp.asarray(batch.lengths)
-            smask = jnp.asarray(batch.sample_mask)
+            feats, caps, lens, smask = self._to_device(
+                batch.images, batch.captions, batch.lengths,
+                batch.sample_mask)
             if style is None or style == 0:
                 if self.attention:
                     self.dec, self.opt_state, loss = self.factual_step(
@@ -210,11 +240,12 @@ class MultitaskTrainer:
         t0 = time.time()
         last_feat = None
         for batch in loader:
-            feats = jnp.asarray(batch.images)
+            feats, caps_d, lens_d, smask_d = self._to_device(
+                batch.images, batch.captions, batch.lengths,
+                batch.sample_mask)
             loss, top5, preds = self.val_step(
                 self.dec, *(() if self.attention else (self.head,)),
-                feats, jnp.asarray(batch.captions), jnp.asarray(batch.lengths),
-                jnp.asarray(batch.sample_mask), jnp.asarray(style))
+                feats, caps_d, lens_d, smask_d, jnp.asarray(style))
             n_tok = int(batch.lengths.sum())
             losses.update(float(loss), n_tok)
             top5s.update(float(top5), n_tok)
@@ -350,6 +381,10 @@ class MultitaskTrainer:
         self.head = restored["params"]["head"]
         self.opt_state = restored["opt_states"]["optimizer"]
         self.lang_opt_state = restored["opt_states"]["lang_optimizer"]
+        if self.mesh is not None:
+            # re-place restored host arrays; opt-state moments re-shard on
+            # the first jitted step (GSPMD propagates from the params)
+            self._place_params()
         self.start_epoch = int(restored["epoch"]) + 1
         self.epochs_since_improvement = {
             k: int(v) for k, v in restored["epochs_since_improvement"].items()
@@ -480,10 +515,11 @@ class PaperRegimeTrainer(MultitaskTrainer):
                 sid = mode_id(emo)
                 step = self.style_steps[emo]
                 for batch in loader:
+                    caps, lens, smask = self._to_device(
+                        batch.captions, batch.lengths, batch.sample_mask)
                     self.dec, self.style_opt_states[emo], loss = step(
                         self.dec, self.style_opt_states[emo],
-                        jnp.asarray(batch.captions), jnp.asarray(batch.lengths),
-                        jnp.asarray(batch.sample_mask), jnp.asarray(sid),
+                        caps, lens, smask, jnp.asarray(sid),
                         self._next_rng())
             self.save(epoch, is_best=False, mode_tag="PAPER")
 
@@ -495,10 +531,19 @@ class Seq2SeqTrainer:
     (``seq2seq/train.py:316-317``), so loaders only need (image, src)."""
 
     def __init__(self, cfg: Seq2SeqConfig, tcfg: TrainConfig, vocab, params,
-                 head, log_path: Optional[str] = None):
+                 head, log_path: Optional[str] = None, mesh=None):
         self.cfg, self.tcfg, self.vocab = cfg, tcfg, vocab
         self.params, self.head = params, head
         self.log_path = log_path
+        self.mesh = mesh
+        if mesh is not None:
+            # replicate everything (the seq2seq decoders are small); the
+            # batch axis shards over "data" in _to_device and GSPMD inserts
+            # the gradient psum
+            from icee_tpu.parallel import train as ptrain
+
+            self.params = ptrain.place_replicated(self.params, mesh)
+            self.head = ptrain.place_replicated(self.head, mesh)
         self.rng = jax.random.PRNGKey(tcfg.seed)
         self.optimizer = optim.make_adam(tcfg.lr_caption, tcfg)
         self.emotion_optimizer = optim.make_adam(tcfg.lr_language, tcfg)
@@ -520,12 +565,13 @@ class Seq2SeqTrainer:
         for epoch in range(num_epochs):
             losses = AverageMeter()
             for batch in data_loader:
+                imgs, caps, lens, smask = _to_device(
+                    self.mesh, batch.images, batch.captions, batch.lengths,
+                    batch.sample_mask)
                 self.params, self.head, self.opt_state, loss = \
                     self.factual_step(
                         self.params, self.head, self.opt_state,
-                        jnp.asarray(batch.images), jnp.asarray(batch.captions),
-                        jnp.asarray(batch.lengths),
-                        jnp.asarray(batch.sample_mask), self._next_rng())
+                        imgs, caps, lens, smask, self._next_rng())
                 losses.update(float(loss), int(batch.lengths.sum()))
             _log(self.log_path,
                  f"Epoch [{epoch}/{num_epochs}], [FAC], "
@@ -539,14 +585,15 @@ class Seq2SeqTrainer:
                 eid = mode_id(emo) - 1
                 e_losses = AverageMeter()
                 for batch in loader:
-                    caps = jnp.asarray(batch.captions)
-                    lens = jnp.asarray(batch.lengths)
+                    imgs, caps, lens, smask = _to_device(
+                        self.mesh, batch.images, batch.captions,
+                        batch.lengths, batch.sample_mask)
                     # dst = src (reference overwrite, seq2seq/train.py:316-317)
                     self.params, self.emotion_opt_state, loss = \
                         self.emotion_step(
                             self.params, self.head, self.emotion_opt_state,
-                            jnp.asarray(batch.images), caps, lens, caps, lens,
-                            jnp.asarray(batch.sample_mask), jnp.asarray(eid),
+                            imgs, caps, lens, caps, lens,
+                            smask, jnp.asarray(eid),
                             self._next_rng())
                     e_losses.update(float(loss), int(batch.lengths.sum()))
                 _log(self.log_path,
@@ -563,10 +610,11 @@ class Seq2SeqTrainer:
         forcing off, token-mean loss + top-5."""
         losses, top5s = AverageMeter(), AverageMeter()
         for batch in loader:
+            imgs, caps, lens, smask = _to_device(
+                self.mesh, batch.images, batch.captions, batch.lengths,
+                batch.sample_mask)
             loss, top5, _ = self.val_factual(
-                self.params, self.head, jnp.asarray(batch.images),
-                jnp.asarray(batch.captions), jnp.asarray(batch.lengths),
-                jnp.asarray(batch.sample_mask))
+                self.params, self.head, imgs, caps, lens, smask)
             n = int(batch.lengths.sum())
             losses.update(float(loss), n)
             top5s.update(float(top5), n)
@@ -577,12 +625,12 @@ class Seq2SeqTrainer:
         dst=src overwrite preserved."""
         losses, top5s = AverageMeter(), AverageMeter()
         for batch in loader:
-            caps = jnp.asarray(batch.captions)
-            lens = jnp.asarray(batch.lengths)
+            imgs, caps, lens, smask = _to_device(
+                self.mesh, batch.images, batch.captions, batch.lengths,
+                batch.sample_mask)
             loss, top5, _ = self.val_emotion(
-                self.params, self.head, jnp.asarray(batch.images),
-                caps, lens, caps, lens, jnp.asarray(batch.sample_mask),
-                jnp.asarray(emotion_id))
+                self.params, self.head, imgs,
+                caps, lens, caps, lens, smask, jnp.asarray(emotion_id))
             n = int((batch.lengths - 1).clip(min=0).sum())
             losses.update(float(loss), max(n, 1))
             top5s.update(float(top5), max(n, 1))

@@ -125,3 +125,34 @@ def test_evaluate_data_parallel_matches_single(tmp_path, capsys):
     sharded = evaluate(dec, head, cfg, vocab, ds, lambda n: feats[n], 0,
                        mesh=make_mesh(), interpret=True, **kw)
     assert single == sharded
+
+
+def test_evaluate_data_parallel_attention_matches_single(tmp_path):
+    """ATTENTION-family --data_parallel (sharded_mega_att_decode, VERDICT
+    r2 #3): evaluate with a mesh must report the same BLEU as the
+    single-device attention chain (stylenet_att, the reference's best
+    model family — evaluator.py:59-120)."""
+    from icee_tpu.cli.evaluate import evaluate
+    from icee_tpu.core.config import AttentionDecoderConfig
+    from icee_tpu.models import attention as att_mod
+    from icee_tpu.parallel.mesh import make_mesh
+
+    (tmp_path / "train.txt").write_text(CORPUS)
+    vocab = build_vocab(str(tmp_path / "train.txt"), threshold=1)
+    ds = load_caption_dataset(str(tmp_path / "train.txt"), vocab)
+    rng = np.random.default_rng(3)
+    p_pix = 6
+    feats = {e.image: rng.standard_normal((p_pix, FEAT)).astype(np.float32)
+             for e in ds}
+
+    cfg = AttentionDecoderConfig(
+        vocab_size=len(vocab), embed_size=24, hidden_size=32,
+        factored_size=32, attention_size=16, feature_size=FEAT,
+        max_seq_length=8)
+    dec = att_mod.init_factored_att_params(jax.random.PRNGKey(6), cfg)
+
+    kw = dict(batch_size=8, k=3, print_pairs=False, attention=True)
+    single = evaluate(dec, None, cfg, vocab, ds, lambda n: feats[n], 1, **kw)
+    sharded = evaluate(dec, None, cfg, vocab, ds, lambda n: feats[n], 1,
+                       mesh=make_mesh(), interpret=True, **kw)
+    assert single == sharded

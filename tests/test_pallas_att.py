@@ -148,6 +148,7 @@ def test_fused_att_beam_matches_xla_beam(rng):
                                   np.asarray(want.length))
 
 
+@pytest.mark.filterwarnings("ignore:mega_att_beam_decode")
 @pytest.mark.parametrize("nib,n_streams,topk_fold",
                          [(3, 1, False), (2, 2, False), (3, 1, True)])
 def test_mega_att_beam_matches_xla_beam(rng, nib, n_streams, topk_fold):
@@ -193,6 +194,7 @@ def test_mega_att_beam_matches_xla_beam(rng, nib, n_streams, topk_fold):
                                rtol=1e-5, atol=1e-5)
 
 
+@pytest.mark.filterwarnings("ignore:mega_att_beam_decode")
 def test_mega_att_nic_lstm_matches_xla_beam(rng):
     """kind="lstm": NIC+Att through the attention mega kernel must match
     the XLA rnn_att beam token-exactly."""
@@ -229,6 +231,7 @@ def test_mega_att_nic_lstm_matches_xla_beam(rng):
                                   np.asarray(want.length))
 
 
+@pytest.mark.filterwarnings("ignore:mega_att_beam_decode")
 def test_mega_att_fuzz_random_configs(rng):
     """Randomized (dims, k, P, vocab, batch, blocks, streams, kind, fold)
     fuzz: the attention mega kernel must match the XLA attention beam

@@ -1,0 +1,166 @@
+"""Multi-device TRAINING through the user-facing trainers (VERDICT r2 #1).
+
+``MultitaskTrainer(mesh=...)`` must run full epochs — train, val,
+BLEU, checkpoint — data(+tensor)-parallel over the 8-device virtual CPU
+mesh, with losses matching the single-device run on the same data (modulo
+reduction-order float noise).  Reference workload being scaled:
+``stylenet/train_multitask.py:180-269`` (which is single-device; SURVEY
+§2.5 DP row prescribes this mesh formulation as the TPU-native equivalent).
+"""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from icee_tpu.core.config import DecoderConfig, EncoderConfig, TrainConfig
+from icee_tpu.data import build_vocab, load_caption_dataset
+from icee_tpu.data.pipeline import caption_dataset_loader
+from icee_tpu.models import encoder as enc_mod
+from icee_tpu.models import factored_lstm as fl
+from icee_tpu.parallel.mesh import make_mesh
+from icee_tpu.train.loops import MultitaskTrainer
+
+FAC_CORPUS = (
+    "i1.jpg#0\tseorang anak bermain bola di lapangan\n"
+    "i2.jpg#0\tseekor anjing coklat berlari cepat\n"
+    "i3.jpg#0\tdua orang tua duduk di bangku\n"
+    "i4.jpg#0\tseorang wanita muda membaca buku\n"
+    "i5.jpg#0\tseorang pria berdiri di pantai\n"
+    "i6.jpg#0\tseekor kucing tidur di atas meja\n"
+    "i7.jpg#0\tanak anak berenang di sungai\n"
+    "i8.jpg#0\tseorang petani bekerja di sawah\n"
+)
+EMO_CORPUS = (
+    "i1.jpg#0\tseorang anak gembira bermain bola\n"
+    "i2.jpg#0\tseekor anjing senang berlari cepat\n"
+    "i3.jpg#0\tdua orang tua bahagia duduk santai\n"
+    "i4.jpg#0\tseorang wanita senang membaca buku\n"
+    "i5.jpg#0\tseorang pria gembira di pantai\n"
+    "i6.jpg#0\tseekor kucing nyaman tidur siang\n"
+    "i7.jpg#0\tanak anak riang berenang bersama\n"
+    "i8.jpg#0\tseorang petani bangga akan sawahnya\n"
+)
+
+FEAT, B = 16, 8
+
+
+def _data(tmp_path):
+    (tmp_path / "fac.txt").write_text(FAC_CORPUS)
+    (tmp_path / "emo.txt").write_text(EMO_CORPUS)
+    vocab = build_vocab(str(tmp_path / "fac.txt"), threshold=1)
+    for line in EMO_CORPUS.splitlines():
+        for w in line.split("\t")[1].split():
+            vocab.add_word(w)
+    fac = load_caption_dataset(str(tmp_path / "fac.txt"), vocab)
+    emo = load_caption_dataset(str(tmp_path / "emo.txt"), vocab)
+    rng = np.random.default_rng(0)
+    feats = {e.image: rng.standard_normal((FEAT,)).astype(np.float32)
+             for e in fac}
+    return vocab, fac, emo, feats
+
+
+def _loader(ds, feats, seed=0):
+    return caption_dataset_loader(
+        ds, batch_size=B, max_len=12,
+        image_provider=lambda n: feats[n], shuffle=True, seed=seed,
+        prefetch=0)
+
+
+def _trainer(vocab, tmp_path, mesh, tag):
+    cfg = DecoderConfig(vocab_size=len(vocab), embed_size=16, hidden_size=24,
+                        factored_size=24, dropout=0.0, max_seq_length=10)
+    tcfg = TrainConfig(mode="happy", lr_caption=5e-3, lr_language=5e-3,
+                       teacher_forcing_ratio=1.0, log_step=10_000,
+                       log_step_emotion=10_000)
+    return MultitaskTrainer(
+        cfg, tcfg, vocab,
+        fl.init_params(jax.random.PRNGKey(0), cfg),
+        enc_mod.init_head_params(
+            jax.random.PRNGKey(1),
+            EncoderConfig(embed_size=16, feature_size=FEAT)),
+        model_dir=str(tmp_path / f"m_{tag}"), data_name="dp", mesh=mesh)
+
+
+def _run(vocab, fac, emo, feats, tmp_path, mesh, tag):
+    trainer = _trainer(vocab, tmp_path, mesh, tag)
+    losses = []
+    orig = trainer._run_train
+
+    def spy(*a, **kw):
+        st = orig(*a, **kw)
+        losses.append(st.loss)
+        return st
+
+    trainer._run_train = spy
+    out = trainer.train(_loader(fac, feats), _loader(fac, feats, 1),
+                        _loader(emo, feats), _loader(emo, feats, 1),
+                        num_epochs=2)
+    return trainer, losses, out
+
+
+def test_multitask_trainer_dp_tp_matches_single_device(tmp_path):
+    """Two FULL MultitaskTrainer epochs (factual+emotion train, val BLEU,
+    checkpointing) on a (4, 2) DP x TP mesh == the single-device run."""
+    vocab, fac, emo, feats = _data(tmp_path)
+
+    mesh = make_mesh((4, 2))
+    _, losses_mesh, out_mesh = _run(vocab, fac, emo, feats, tmp_path, mesh,
+                                    "mesh")
+    trainer_s, losses_single, out_single = _run(vocab, fac, emo, feats,
+                                                tmp_path, None, "single")
+
+    assert len(losses_mesh) == len(losses_single) == 4  # 2 epochs x 2 tracks
+    np.testing.assert_allclose(losses_mesh, losses_single,
+                               rtol=2e-3, atol=1e-5)
+    for k in ("factual", "emotion"):
+        assert np.isfinite(out_mesh["best_bleu4"][k])
+
+    # checkpoints written from sharded state restore into a fresh mesh trainer
+    ckpt = str(tmp_path / "m_mesh" / "HAP_checkpoint_dp")
+    restored = _trainer(vocab, tmp_path, make_mesh((4, 2)), "restored")
+    restored.restore(ckpt)
+    assert restored.start_epoch == 2
+    for a, b in zip(jax.tree_util.tree_leaves(restored.dec),
+                    jax.tree_util.tree_leaves(
+                        jax.tree_util.tree_map(np.asarray, trainer_s.dec))):
+        np.testing.assert_allclose(np.asarray(a), b, rtol=2e-3, atol=1e-5)
+
+
+def test_mesh_trainer_batch_shards_over_data_axis(tmp_path):
+    """The mesh trainer's device batches really span the mesh (data-axis
+    sharded), and the TP decoder leaves carry vocab-dim shardings."""
+    vocab, fac, emo, feats = _data(tmp_path)
+    mesh = make_mesh((8, 1))
+    trainer = _trainer(vocab, tmp_path, mesh, "spec")
+    (caps,) = trainer._to_device(np.zeros((B, 12), np.int32))
+    assert len(caps.sharding.device_set) == 8
+    # params placed on the mesh
+    assert len(trainer.dec["C_w"].sharding.device_set) == 8
+
+
+def test_seq2seq_trainer_runs_on_mesh(tmp_path):
+    """Seq2SeqTrainer(mesh=...): one epoch DP == single-device losses."""
+    from icee_tpu.core.config import Seq2SeqConfig
+    from icee_tpu.models import seq2seq as s2s
+    from icee_tpu.train.loops import Seq2SeqTrainer
+
+    vocab, fac, emo, feats = _data(tmp_path)
+    scfg = Seq2SeqConfig(vocab_size=len(vocab), embed_size=16, hidden_size=24,
+                         num_layers=1, dropout=0.0, max_seq_length=10)
+    tcfg = TrainConfig(lr_caption=5e-3, lr_language=5e-3,
+                       teacher_forcing_ratio=1.0)
+
+    def run(mesh):
+        params = s2s.init_params(jax.random.PRNGKey(0), scfg)
+        head = enc_mod.init_head_params(
+            jax.random.PRNGKey(1), EncoderConfig(embed_size=16,
+                                                 feature_size=FEAT))
+        tr = Seq2SeqTrainer(scfg, tcfg, vocab, params, head, mesh=mesh)
+        tr.train(_loader(fac, feats), {"happy": _loader(emo, feats)},
+                 num_epochs=1)
+        vl, vt = tr.validate_factual(_loader(fac, feats, 1))
+        return vl
+
+    np.testing.assert_allclose(run(make_mesh((8, 1))), run(None),
+                               rtol=2e-3, atol=1e-5)

@@ -18,6 +18,19 @@
     "%22%3E%3C%2Frect%3E%3Ctext%20x%3D%2298%22%20y%3D%2296%22%20fill%3D%22" +
     "%23fff%22%3EImage%20cap%3C%2Ftext%3E%3C%2Fsvg%3E";
 
+  // Declarative state->DOM tables (Main.vue:92-97, :146-156).  These are
+  // JSON literals on purpose: tests/test_frontend_state.py parses them (no
+  // JS engine exists offline) and fails if a badge state or result row is
+  // changed or dropped.  BADGES maps status -> [className, text]; the
+  // "init" row is the fallthrough default.
+  var BADGES = {
+    "init": ["badge badge-pill badge-secondary", "-"],
+    "loading": ["badge badge-pill badge-primary", "loading..."],
+    "done": ["badge badge-pill badge-success", "done!"],
+    "error": ["badge badge-pill badge-danger", "error"]
+  };
+  var RESULT_KEYS = ["nic", "nic_att", "stylenet", "stylenet_att"];
+
   var state = {
     file: null,
     filename: "Choose file",
@@ -36,20 +49,10 @@
     el("filename").textContent = state.filename;
     var badge = el("status");
     badge.dataset.state = state.status;
-    if (state.status === "loading") {
-      badge.className = "badge badge-pill badge-primary";
-      badge.textContent = "loading...";
-    } else if (state.status === "error") {
-      badge.className = "badge badge-pill badge-danger";
-      badge.textContent = "error";
-    } else if (state.status === "done") {
-      badge.className = "badge badge-pill badge-success";
-      badge.textContent = "done!";
-    } else {
-      badge.className = "badge badge-pill badge-secondary";
-      badge.textContent = "-";
-    }
-    ["nic", "nic_att", "stylenet", "stylenet_att"].forEach(function (k) {
+    var spec = BADGES[state.status] || BADGES["init"];
+    badge.className = spec[0];
+    badge.textContent = spec[1];
+    RESULT_KEYS.forEach(function (k) {
       el(k).textContent = state.result[k] || "-";
     });
     el("thumb").src = state.result.path_img || PLACEHOLDER;

@@ -331,6 +331,90 @@ def fused_att_decode_step_topk(
 # Attention MEGA kernel: the whole attention beam search in ONE pallas_call
 # ---------------------------------------------------------------------------
 
+def _head_select_embed_phase(
+        h_news, c_news, t, is_first,
+        cw_ref, cb_ref, emb_ref, tok_ref, len_ref, score_ref,
+        h_scr, c_scr, embx_scr, seqs_scr, scores_scr, alive_scr, done_scr,
+        *, k, n2, rows2, n_streams, n_vt, v_tile, e_dim, h_dim, max_len,
+        end_token, wdt, topk_fn, profile):
+    """Per-step tail shared by both attention mega kernels: vocab-tiled head
+    + streaming exact top-k + logsumexp, beam select/state gather, and the
+    one-hot next-token embedding — phases interleaved across ``n_streams``
+    independent image halves so one stream's top-k/select (VPU) overlaps the
+    other's head/embedding matmuls (MXU)."""
+    from icee_tpu.ops.pallas_beam import _beam_select
+
+    def head_tile(s, j):
+        return (jnp.dot(h_news[s].astype(wdt),
+                        cw_ref[:, j * v_tile:(j + 1) * v_tile],
+                        preferred_element_type=jnp.float32)
+                + cb_ref[0, j * v_tile:(j + 1) * v_tile])
+
+    run_m = [jnp.full((rows2, 1), NEG, jnp.float32)] * n_streams
+    run_se = [jnp.zeros((rows2, 1), jnp.float32)] * n_streams
+    run_v = [jnp.full((rows2, k), NEG, jnp.float32)] * n_streams
+    run_i = [jnp.zeros((rows2, k), jnp.int32)] * n_streams
+    logits_next = [head_tile(s, 0) for s in range(n_streams)]
+    for j in range(n_vt):
+        for s in range(n_streams):
+            logits = logits_next[s]
+            # issue the NEXT head matmul (MXU) before this tile's top-k
+            # (VPU): with 2 streams the other stream's top-k overlaps it
+            if j + 1 < n_vt:
+                logits_next[s] = head_tile(s, j + 1)
+            if profile == "no_topk":
+                run_v[s] = run_v[s] + jnp.sum(logits, axis=1,
+                                              keepdims=True) * 1e-30
+                continue
+            tile_max = jnp.max(logits, axis=1, keepdims=True)
+            m_new = jnp.maximum(run_m[s], tile_max)
+            run_se[s] = run_se[s] * jnp.exp(run_m[s] - m_new) + jnp.sum(
+                jnp.exp(logits - m_new), axis=1, keepdims=True)
+            run_m[s] = m_new
+            tv, ti = topk_fn(logits, j * v_tile, k, tile_max=tile_max)
+            run_v[s], run_i[s] = _merge_topk(run_v[s], run_i[s], tv, ti, k)
+
+    # --- beam select + next-input embedding, interleaved per stream ---
+    rank = jax.lax.broadcasted_iota(jnp.int32, (n2, k), 1)
+    for s in range(n_streams):
+        r0 = s * rows2
+        if profile == "no_topk":
+            logp_top = run_v[s]
+            run_i[s] = (jax.lax.broadcasted_iota(
+                jnp.int32, (rows2, k), 1) + 3
+                + (run_v[s] * 1e-30).astype(jnp.int32))
+        else:
+            logp_top = run_v[s] - (run_m[s] + jnp.log(run_se[s]))
+        words = _beam_select(
+            t, is_first, logp_top, run_i[s], h_news[s], c_news[s],
+            tok_ref, len_ref, score_ref,
+            h_scr, c_scr, seqs_scr, scores_scr, alive_scr,
+            k=k, n_img=n2, h_dim=h_dim, max_len=max_len,
+            end_token=end_token, wdt=wdt, rank=rank,
+            row0=r0, img0=s * n2)
+
+        if profile == "no_embed":
+            embx_scr[r0:r0 + rows2] = (
+                embx_scr[r0:r0 + rows2] * 1.0
+                + jnp.sum(words.astype(jnp.float32)) * 1e-30)
+            continue
+        # next word embedding: one-hot matmul over vocab tiles (exact)
+        flat_w = jnp.concatenate(
+            [jnp.sum(jnp.where(rank == q, words, 0), axis=1,
+                     keepdims=True)
+             for q in range(k)], axis=0)                # (rows2, 1)
+        x_new = jnp.zeros((rows2, e_dim), jnp.float32)
+        for j in range(n_vt):
+            col_v = j * v_tile + jax.lax.broadcasted_iota(
+                jnp.int32, (rows2, v_tile), 1)
+            onehot = (col_v == flat_w).astype(wdt)
+            x_new = x_new + jnp.dot(
+                onehot, emb_ref[j * v_tile:(j + 1) * v_tile, :],
+                preferred_element_type=jnp.float32)
+        embx_scr[r0:r0 + rows2] = x_new
+
+    done_scr[0, 0] = (jnp.sum(alive_scr[:]) == 0).astype(jnp.int32)
+
 def _mega_att_kernel(feat_ref, att1_ref, emb_ref,
                      decw_ref, decb_ref, fullw_ref, fullb_ref,
                      fbw_ref, fbb_ref, ihw_ref, ihb_ref, icw_ref, icb_ref,
@@ -436,86 +520,208 @@ def _mega_att_kernel(feat_ref, att1_ref, emb_ref,
             h_news.append(h_new)
             c_news.append(c_new)
 
-        # --- vocab-tiled head + streaming top-k, interleaved across
-        # streams: tile j+1's matmul (MXU) issues before tile j's top-k
-        # (VPU), and the other stream's phases slot between them ---
-        def head_tile(s, j):
-            return (jnp.dot(h_news[s].astype(wdt),
-                            cw_ref[:, j * v_tile:(j + 1) * v_tile],
-                            preferred_element_type=jnp.float32)
-                    + cb_ref[0, j * v_tile:(j + 1) * v_tile])
+        _head_select_embed_phase(
+            h_news, c_news, t, is_first,
+            cw_ref, cb_ref, emb_ref, tok_ref, len_ref, score_ref,
+            h_scr, c_scr, embx_scr, seqs_scr, scores_scr, alive_scr,
+            done_scr, k=k, n2=n2, rows2=rows2, n_streams=n_streams,
+            n_vt=n_vt, v_tile=v_tile, e_dim=e_dim, h_dim=h_dim,
+            max_len=max_len, end_token=end_token, wdt=wdt,
+            topk_fn=topk_fn, profile=profile)
 
-        run_m = [jnp.full((rows2, 1), NEG, jnp.float32)] * n_streams
-        run_se = [jnp.zeros((rows2, 1), jnp.float32)] * n_streams
-        run_v = [jnp.full((rows2, k), NEG, jnp.float32)] * n_streams
-        run_i = [jnp.zeros((rows2, k), jnp.int32)] * n_streams
-        logits_next = [head_tile(s, 0) for s in range(n_streams)]
-        for j in range(n_vt):
+
+def _mega_att_kernel_streamed(
+        feat_ref, att1_ref, emb_ref, h0_ref, c0_ref,
+        decw_ref, decb_ref, fullw_ref, fullb_ref, fbw_ref, fbb_ref,
+        vw_ref, vb_ref, sw_ref, sb_ref, uw_ref, ub_ref, ww_ref, wb_ref,
+        cw_ref, cb_ref,
+        tok_ref, len_ref, score_ref,
+        h_scr, c_scr, embx_scr, seqs_scr, scores_scr, alive_scr, done_scr,
+        att2_scr, e_scr, ctx_scr,
+        *, kind: str, k: int, n_img: int, f_dim: int, h_dim: int,
+        e_dim: int, v_tile: int, vocab: int, max_len: int,
+        start_token: int, end_token: int, n_pix: int, p_tile: int,
+        n_streams: int = 1, topk_fold: bool = False):
+    """P-STREAMED attention mega kernel — grid ``(n_blocks, T+1, 2*n_pt)``.
+
+    The resident-feature kernel's VMEM wall (KERNELS.md §2: a 32-image
+    block's (32, 196, 2048) feature operand wants 147 MB of the 128 MB
+    physical VMEM) is an artifact of holding ALL P spatial positions
+    resident across steps.  Here the P dimension is tiled over the third
+    grid axis and the per-tile feature/att1 blocks stream from HBM every
+    step — trading ~1 MB/image/step of (prefetch-overlapped) HBM bandwidth
+    for block sizes of 64-128 images, which the head/top-k phase (the
+    dominant cost) amortizes far better.  Two passes per step keep the
+    softmax EXACT (no online rescaling):
+
+    - q in [0, n_pt):       per-slot attention scores for att1 tile q into
+                            ``e_scr`` (rows, P) — elementwise-equal to the
+                            resident kernel's scores (the A-dim chunking is
+                            identical; P tiling does not cross elements),
+    - q == n_pt:            one full-width softmax over ``e_scr`` in place
+                            (bit-identical to the resident kernel's),
+    - q in [n_pt, 2*n_pt):  context partial ``alpha_tile @ feat_tile``
+                            accumulated into ``ctx_scr`` (f32; only the P
+                            contraction ORDER differs from the resident
+                            kernel's single dot),
+    - q == 2*n_pt - 1:      gate, cell, then the shared head/top-k/beam
+                            select/embedding tail (``_head_select_embed_
+                            phase``), stream-interleaved.
+
+    h/c init from the mean spatial feature is hoisted to XLA (``h0_ref`` /
+    ``c0_ref`` per-image operands) since no single tile sees all of P.
+    """
+    t = pl.program_id(1)
+    q = pl.program_id(2)
+    n_pt = n_pix // p_tile
+    rows = n_img * k
+    n2 = n_img // n_streams
+    rows2 = n2 * k
+    n_vt = vocab // v_tile
+    wdt = cw_ref.dtype
+    use_fold = topk_fold and v_tile > 128 and (v_tile & (v_tile - 1)) == 0
+    topk_fn = _row_topk_fold if use_fold else _row_topk
+    a_dim = att1_ref.shape[-1]
+    a_tile = 128 if a_dim % 128 == 0 else a_dim
+
+    @pl.when((t == 0) & (q == 0))
+    def _init():
+        col_l = jax.lax.broadcasted_iota(jnp.int32, (rows, max_len), 1)
+        seqs_scr[:] = jnp.where(col_l == 0, start_token, end_token)
+        h0 = h0_ref[:]
+        c0 = c0_ref[:]
+        # stream-major rows: stream s's slot p of local image j at row
+        # s*rows2 + p*n2 + j (matches the resident kernel's layout)
+        h_scr[:] = jnp.concatenate(
+            [h0[s * n2:(s + 1) * n2] for s in range(n_streams)
+             for _ in range(k)], axis=0)
+        c_scr[:] = jnp.concatenate(
+            [c0[s * n2:(s + 1) * n2] for s in range(n_streams)
+             for _ in range(k)], axis=0)
+        embx_scr[:] = jnp.broadcast_to(
+            emb_ref[start_token, :].astype(jnp.float32), (rows, e_dim))
+        scores_scr[:] = jnp.zeros_like(scores_scr)
+        alive_scr[:] = jnp.ones_like(alive_scr)
+        tok_ref[:] = jnp.full_like(tok_ref, end_token)
+        len_ref[:] = jnp.ones_like(len_ref)
+        score_ref[:] = jnp.full_like(score_ref, NEG)
+        done_scr[0, 0] = 0
+
+    @pl.when(done_scr[0, 0] == 0)
+    def _step():
+        is_first = t == 0
+
+        @pl.when(q == 0)
+        def _att2():
+            h32 = h_scr[:]
+            att2_scr[:] = (jnp.dot(h32.astype(wdt), decw_ref[:],
+                                   preferred_element_type=jnp.float32)
+                           + decb_ref[0, :])
+
+        @pl.when(q < n_pt)
+        def _scores():
+            # attention scores for THIS att1 tile, all streams/slots; the
+            # per-element math mirrors _attend_block exactly (A chunked at
+            # a_tile, f32 accumulation, bias added after).  e_scr is
+            # (n_pt, rows, p_tile): the tile index is a LEADING dim so the
+            # grid-dynamic q only indexes an untiled dimension.
+            fullw_b = jnp.broadcast_to(fullw_ref[:][None],
+                                       (n2,) + fullw_ref.shape)
             for s in range(n_streams):
-                logits = logits_next[s]
-                if j + 1 < n_vt:
-                    logits_next[s] = head_tile(s, j + 1)
-                if profile == "no_topk":
-                    run_v[s] = run_v[s] + jnp.sum(logits, axis=1,
-                                                  keepdims=True) * 1e-30
-                    continue
-                tile_max = jnp.max(logits, axis=1, keepdims=True)
-                m_new = jnp.maximum(run_m[s], tile_max)
-                run_se[s] = run_se[s] * jnp.exp(run_m[s] - m_new) + jnp.sum(
-                    jnp.exp(logits - m_new), axis=1, keepdims=True)
-                run_m[s] = m_new
-                tv, ti = topk_fn(logits, j * v_tile, k,
-                                 tile_max=tile_max)
-                run_v[s], run_i[s] = _merge_topk(run_v[s], run_i[s], tv, ti,
-                                                 k)
+                att1_v = att1_ref[s * n2:(s + 1) * n2]     # (n2, Pt, A)
+                for p in range(k):
+                    r = s * rows2 + p * n2
+                    a2p = att2_scr[r:r + n2].astype(att1_v.dtype)
+                    e = jnp.zeros((n2, p_tile, 1), jnp.float32)
+                    for a0 in range(0, a_dim, a_tile):
+                        a2p_t = a2p[:, a0:a0 + a_tile]
+                        r3_t = jnp.maximum(
+                            att1_v[:, :, a0:a0 + a_tile]
+                            + a2p_t[:, None, :], 0.0)
+                        e = e + jax.lax.dot_general(
+                            r3_t.astype(wdt), fullw_b[:, a0:a0 + a_tile, :],
+                            dimension_numbers=(((2,), (1,)), ((0,), (0,))),
+                            preferred_element_type=jnp.float32)
+                    e2 = e[:, :, 0] + fullb_ref[0, 0]       # (n2, Pt)
+                    e_scr[pl.dslice(q, 1), pl.dslice(r, n2), :] = e2[None]
 
-        # --- beam select + next-input embedding, interleaved per stream ---
-        rank = jax.lax.broadcasted_iota(jnp.int32, (n2, k), 1)
-        for s in range(n_streams):
-            r0 = s * rows2
-            if profile == "no_topk":
-                logp_top = run_v[s]
-                run_i[s] = (jax.lax.broadcasted_iota(
-                    jnp.int32, (rows2, k), 1) + 3
-                    + (run_v[s] * 1e-30).astype(jnp.int32))
-            else:
-                logp_top = run_v[s] - (run_m[s] + jnp.log(run_se[s]))
-            words = _beam_select(
-                t, is_first, logp_top, run_i[s], h_news[s], c_news[s],
-                tok_ref, len_ref, score_ref,
-                h_scr, c_scr, seqs_scr, scores_scr, alive_scr,
-                k=k, n_img=n2, h_dim=h_dim, max_len=max_len,
-                end_token=end_token, wdt=wdt, rank=rank,
-                row0=r0, img0=s * n2)
+        @pl.when(q >= n_pt)
+        def _ctx():
+            pt = q - n_pt
 
-            if profile == "no_embed":
-                embx_scr[r0:r0 + rows2] = (
-                    embx_scr[r0:r0 + rows2] * 1.0
-                    + jnp.sum(words.astype(jnp.float32)) * 1e-30)
-                continue
-            # next word embedding: one-hot matmul over vocab tiles (exact)
-            flat_w = jnp.concatenate(
-                [jnp.sum(jnp.where(rank == q, words, 0), axis=1,
-                         keepdims=True)
-                 for q in range(k)], axis=0)                # (rows2, 1)
-            x_new = jnp.zeros((rows2, e_dim), jnp.float32)
-            for j in range(n_vt):
-                col_v = j * v_tile + jax.lax.broadcasted_iota(
-                    jnp.int32, (rows2, v_tile), 1)
-                onehot = (col_v == flat_w).astype(wdt)
-                x_new = x_new + jnp.dot(
-                    onehot, emb_ref[j * v_tile:(j + 1) * v_tile, :],
-                    preferred_element_type=jnp.float32)
-            embx_scr[r0:r0 + rows2] = x_new
+            @pl.when(q == n_pt)
+            def _softmax():
+                # full-width exact softmax, per row — identical math to the
+                # resident kernel's jax.nn.softmax over the P axis (static
+                # tile reads, lane-concat to (rows, P), per-tile writeback)
+                full = jnp.concatenate([e_scr[j] for j in range(n_pt)],
+                                       axis=1)              # (rows, P)
+                alpha = jax.nn.softmax(full, axis=1)
+                for j in range(n_pt):
+                    e_scr[j] = alpha[:, j * p_tile:(j + 1) * p_tile]
+                ctx_scr[:] = jnp.zeros_like(ctx_scr)
 
-        done_scr[0, 0] = (jnp.sum(alive_scr[:]) == 0).astype(jnp.int32)
+            alpha_full = e_scr[pl.dslice(pt, 1), :, :][0]
+            for s in range(n_streams):
+                feat_v = feat_ref[s * n2:(s + 1) * n2]      # (n2, Pt, FS)
+                for p in range(k):
+                    r = s * rows2 + p * n2
+                    alpha_t = alpha_full[r:r + n2]
+                    part = jax.lax.dot_general(
+                        alpha_t[:, None, :].astype(wdt), feat_v,
+                        dimension_numbers=(((2,), (1,)), ((0,), (0,))),
+                        preferred_element_type=jnp.float32)[:, 0, :]
+                    ctx_scr[r:r + n2] = ctx_scr[r:r + n2] + part
+
+        @pl.when(q == 2 * n_pt - 1)
+        def _tail():
+            h_news, c_news = [], []
+            for s in range(n_streams):
+                r0 = s * rows2
+                h32 = h_scr[r0:r0 + rows2]
+                xs = []
+                for p in range(k):
+                    sl = slice(p * n2, (p + 1) * n2)
+                    gate = jax.nn.sigmoid(
+                        jnp.dot(h32[sl].astype(wdt), fbw_ref[:],
+                                preferred_element_type=jnp.float32)
+                        + fbb_ref[0, :])
+                    gctx = gate * ctx_scr[r0 + p * n2:r0 + (p + 1) * n2]
+                    xs.append(jnp.concatenate(
+                        [embx_scr[r0 + p * n2:r0 + (p + 1) * n2], gctx],
+                        axis=1))
+                x_full = jnp.concatenate(xs, axis=0)        # (rows2, E+FS)
+                c_prev = c_scr[r0:r0 + rows2]
+                h_prev_b = h32.astype(wdt)
+                if kind == "factored":
+                    h_new, c_new = _factored_cell_block(
+                        x_full, c_prev, h_prev_b,
+                        (vw_ref, vb_ref, sw_ref, sb_ref, uw_ref, ub_ref,
+                         ww_ref, wb_ref), f_dim=f_dim, h_dim=h_dim, wdt=wdt)
+                else:
+                    h_new, c_new = _lstm_cell_block(
+                        x_full, c_prev, h_prev_b,
+                        (vw_ref, ww_ref, vb_ref, wb_ref), h_dim=h_dim,
+                        wdt=wdt)
+                h_news.append(h_new)
+                c_news.append(c_new)
+
+            _head_select_embed_phase(
+                h_news, c_news, t, is_first,
+                cw_ref, cb_ref, emb_ref, tok_ref, len_ref, score_ref,
+                h_scr, c_scr, embx_scr, seqs_scr, scores_scr, alive_scr,
+                done_scr, k=k, n2=n2, rows2=rows2, n_streams=n_streams,
+                n_vt=n_vt, v_tile=v_tile, e_dim=e_dim, h_dim=h_dim,
+                max_len=max_len, end_token=end_token, wdt=wdt,
+                topk_fn=topk_fn, profile="full")
 
 
 @functools.partial(
     jax.jit,
     static_argnames=("batch", "start_token", "end_token", "k",
                      "max_seq_length", "n_img_block", "v_tile", "kind",
-                     "n_streams", "topk_fold", "interpret", "_profile"))
+                     "n_streams", "topk_fold", "interpret", "_profile",
+                     "p_stream", "p_tile"))
 def mega_att_beam_decode(
     params: dict,            # full attention-decoder params
     features: jax.Array,     # (B, P, FS) per-image spatial features
@@ -532,6 +738,8 @@ def mega_att_beam_decode(
     topk_fold: bool = False,
     interpret: bool = False,
     _profile: str = "full",
+    p_stream: bool = False,
+    p_tile: int = 0,
 ):
     """Whole attention-beam-search-in-one-kernel decode.
 
@@ -540,6 +748,15 @@ def mega_att_beam_decode(
     Token-identical to ``beam_search_batched`` over
     ``factored_att_decode_step`` / ``rnn_att_decode_step`` (research
     semantics: step 1 embeds ``<start>``); returns :class:`BeamResult`.
+
+    ``p_stream=True`` selects the P-STREAMED kernel
+    (:func:`_mega_att_kernel_streamed`): features/att1 stream from HBM in
+    P tiles instead of staying VMEM-resident, unlocking 64-128-image
+    blocks past the resident kernel's 24-image VMEM wall.  ``p_tile``
+    must divide P (0 = largest divisor <= 32; for P=196 that is 28).
+    The only numerical difference vs the resident kernel is the P
+    contraction ORDER of the context dot (scores and softmax are
+    bit-identical); tested token-exact on the parity suite sizes.
     """
     from icee_tpu.decode.beam import BeamResult
     from icee_tpu.models.attention import _select_attention
@@ -623,6 +840,100 @@ def mega_att_beam_decode(
                        (h_dim, 4 * h_dim), (1, 4 * h_dim)]
     att1 = (feats @ att["enc_w"] + att["enc_b"]).astype(wdt)
     a_dim = att1.shape[2]
+
+    if p_stream:
+        if p_tile <= 0:
+            p_tile = max(d for d in range(1, min(32, n_pix) + 1)
+                         if n_pix % d == 0)
+        if n_pix % p_tile:
+            raise ValueError(f"p_tile {p_tile} must divide P {n_pix}")
+        n_pt = n_pix // p_tile
+
+        # h/c init hoisted to XLA (same op sequence as the resident
+        # kernel's in-kernel _init: f32 mean of the wdt features, wdt
+        # matmul with f32 accumulation, rounded back through wdt)
+        mean = jnp.mean(feats.astype(jnp.float32), axis=1).astype(wdt)
+        ih_w, ih_b = params["init_h_w"], params["init_h_b"]
+        ic_w, ic_b = params["init_c_w"], params["init_c_b"]
+        h0 = (jnp.dot(mean, ih_w, preferred_element_type=jnp.float32)
+              + ih_b).astype(wdt).astype(jnp.float32)
+        c0 = (jnp.dot(mean, ic_w, preferred_element_type=jnp.float32)
+              + ic_b).astype(wdt).astype(jnp.float32)
+
+        vmem = pltpu.VMEM
+        fullq = lambda *shape: pl.BlockSpec(  # noqa: E731
+            shape, lambda i, t, q: tuple([0] * len(shape)),
+            memory_space=vmem)
+        imgq = lambda w: pl.BlockSpec(  # noqa: E731
+            (n_img_block, w), lambda i, t, q: (i, 0), memory_space=vmem)
+        feat_spec = pl.BlockSpec(
+            (n_img_block, p_tile, fs),
+            lambda i, t, q: (i, jnp.maximum(q - n_pt, 0), 0),
+            memory_space=vmem)
+        att1_spec = pl.BlockSpec(
+            (n_img_block, p_tile, a_dim),
+            lambda i, t, q: (i, jnp.minimum(q, n_pt - 1), 0),
+            memory_space=vmem)
+
+        kernel = functools.partial(
+            _mega_att_kernel_streamed, kind=kind, k=k, n_img=n_img_block,
+            f_dim=f_dim, h_dim=h_dim, e_dim=e_dim, v_tile=v_tile, vocab=vp,
+            max_len=max_len, start_token=start_token, end_token=end_token,
+            n_pix=n_pix, p_tile=p_tile, n_streams=n_streams,
+            topk_fold=topk_fold)
+        out_shape = (
+            jax.ShapeDtypeStruct((bp, max_len), jnp.int32),
+            jax.ShapeDtypeStruct((bp, 1), jnp.int32),
+            jax.ShapeDtypeStruct((bp, 1), jnp.float32),
+        )
+        call = pl.pallas_call(
+            kernel,
+            grid=(n_blocks, max_seq_length + 1, 2 * n_pt),
+            in_specs=[
+                feat_spec, att1_spec,
+                fullq(vp, e_dim),
+                imgq(h_dim), imgq(h_dim),             # h0, c0
+                fullq(h_dim, a_dim), fullq(1, a_dim),
+                fullq(a_dim, 1), fullq(1, 1),
+                fullq(h_dim, fs), fullq(1, fs),
+            ] + [fullq(*sh) for sh in cell_shapes] + [
+                fullq(h_dim, vp), fullq(1, vp),
+            ],
+            out_specs=(
+                pl.BlockSpec((n_img_block, max_len),
+                             lambda i, t, q: (i, 0), memory_space=vmem),
+                pl.BlockSpec((n_img_block, 1), lambda i, t, q: (i, 0),
+                             memory_space=vmem),
+                pl.BlockSpec((n_img_block, 1), lambda i, t, q: (i, 0),
+                             memory_space=vmem),
+            ),
+            scratch_shapes=[
+                pltpu.VMEM((rows_blk, h_dim), jnp.float32),   # h
+                pltpu.VMEM((rows_blk, h_dim), jnp.float32),   # c
+                pltpu.VMEM((rows_blk, e_dim), jnp.float32),   # embx
+                pltpu.VMEM((rows_blk, max_len), jnp.int32),   # seqs
+                pltpu.VMEM((n_img_block, k), jnp.float32),    # beam scores
+                pltpu.VMEM((n_img_block, k), jnp.int32),      # alive
+                pltpu.SMEM((1, 1), jnp.int32),                # done
+                pltpu.VMEM((rows_blk, a_dim), jnp.float32),   # att2
+                pltpu.VMEM((n_pt, rows_blk, p_tile), jnp.float32),  # e/alpha
+                pltpu.VMEM((rows_blk, fs), jnp.float32),      # ctx
+            ],
+            out_shape=out_shape,
+            compiler_params=pltpu.CompilerParams(
+                vmem_limit_bytes=110 * 1024 * 1024),
+            interpret=interpret,
+        )
+        tokens, lengths, scores = call(
+            feats, att1, emb, h0, c0,
+            att["dec_w"], att["dec_b"].reshape(1, -1),
+            att["full_w"].reshape(-1, 1),
+            att["full_b"].reshape(1, 1).astype(jnp.float32),
+            params["f_beta_w"], params["f_beta_b"].reshape(1, -1),
+            *cell_ws, cw, cb)
+        return BeamResult(tokens=tokens[:batch],
+                          length=lengths[:batch, 0],
+                          score=scores[:batch, 0])
 
     vmem = pltpu.VMEM
     full = lambda *shape: pl.BlockSpec(  # noqa: E731

@@ -213,7 +213,7 @@ def bench_backbone(jax, jnp):
     return BB_BATCH / float(np.median(times))
 
 
-def bench_train(jax, jnp, fused_scan):
+def bench_train(jax, jnp, fused_scan, batch=TRAIN_B):
     import optax
 
     from icee_tpu.core.config import DecoderConfig, EncoderConfig, TrainConfig
@@ -232,10 +232,10 @@ def bench_train(jax, jnp, fused_scan):
         jax.random.PRNGKey(1), EncoderConfig(embed_size=E))
     opt_state = opt.init((dec, head))
     rng = np.random.default_rng(0)
-    pooled = jnp.asarray(rng.standard_normal((TRAIN_B, 2048)), jnp.float32)
-    captions = jnp.asarray(rng.integers(4, V, (TRAIN_B, TRAIN_T)), jnp.int32)
-    lengths = jnp.full((TRAIN_B,), TRAIN_T, jnp.int32)
-    mask = jnp.ones((TRAIN_B,), bool)
+    pooled = jnp.asarray(rng.standard_normal((batch, 2048)), jnp.float32)
+    captions = jnp.asarray(rng.integers(4, V, (batch, TRAIN_T)), jnp.int32)
+    lengths = jnp.full((batch,), TRAIN_T, jnp.int32)
+    mask = jnp.ones((batch,), bool)
     key = jax.random.PRNGKey(0)
 
     n_inner = 16
@@ -258,6 +258,76 @@ def bench_train(jax, jnp, fused_scan):
         np.asarray(many(dec, head, opt_state))
         times.append((time.perf_counter() - t0) / n_inner)
     return float(np.median(times))
+
+
+EPOCH_N, EPOCH_B = 4096, 512
+
+
+def bench_train_epoch(jax, jnp):
+    """End-to-end EPOCH throughput (VERDICT r2 #6): the real host loader
+    (threaded prefetch, C++ ragged batcher) feeding the jitted factual step
+    at large batch, feature-cached.  Returns captions/sec through
+    loader->step for a 4096-caption epoch.  NOTE: per-batch dispatches pay
+    the relay's ~27 ms floor (8 batches/epoch at B=512), which a
+    direct-attached TPU would not; the in-jit ``train_step_ms_b512`` figure
+    isolates pure device throughput."""
+    import optax
+
+    from icee_tpu.core.config import DecoderConfig, EncoderConfig, TrainConfig
+    from icee_tpu.data.captions import CaptionExample
+    from icee_tpu.data.pipeline import caption_dataset_loader
+    from icee_tpu.models import encoder as enc_mod
+    from icee_tpu.models import factored_lstm as fl
+    from icee_tpu.train.steps import make_caption_steps
+
+    cfg = DecoderConfig(vocab_size=V, embed_size=E, hidden_size=H,
+                        factored_size=F, dropout=0.0)
+    tcfg = TrainConfig(teacher_forcing_ratio=1.0)
+    opt = optax.adam(2e-4)
+    fac_step, _, _ = make_caption_steps(cfg, tcfg, opt, opt, factored=True)
+
+    rng = np.random.default_rng(0)
+    examples = []
+    feats = {}
+    for i in range(EPOCH_N):
+        ln = int(rng.integers(8, TRAIN_T))
+        ids = [1] + list(rng.integers(4, V, ln - 2)) + [2]
+        name = f"img{i % 1024}.jpg"   # 1024 unique images, cached features
+        examples.append(CaptionExample(image=name, caption_ids=ids,
+                                       all_caption_ids=[ids]))
+        if name not in feats:
+            feats[name] = rng.standard_normal((2048,)).astype(np.float32)
+
+    loader = caption_dataset_loader(
+        examples, batch_size=EPOCH_B, max_len=TRAIN_T,
+        image_provider=lambda n: feats[n], shuffle=True, seed=0, prefetch=4)
+
+    dec = fl.init_params(jax.random.PRNGKey(0), cfg)
+    head = enc_mod.init_head_params(
+        jax.random.PRNGKey(1), EncoderConfig(embed_size=E))
+    opt_state = opt.init((dec, head))
+    key = jax.random.PRNGKey(0)
+
+    def epoch():
+        nonlocal dec, head, opt_state, key
+        n = 0
+        for b in loader:
+            key, k = jax.random.split(key)
+            dec, head, opt_state, loss = fac_step(
+                dec, head, opt_state, jnp.asarray(b.images),
+                jnp.asarray(b.captions), jnp.asarray(b.lengths),
+                jnp.asarray(b.sample_mask), k)
+            n += int(b.sample_mask.sum())
+        jax.block_until_ready(loss)
+        return n
+
+    epoch()  # compile + warm
+    times = []
+    for _ in range(3):
+        t0 = time.perf_counter()
+        n = epoch()
+        times.append(time.perf_counter() - t0)
+    return n / float(np.median(times))
 
 
 SC_VOCAB, SC_BATCH = 8800, 128
@@ -309,6 +379,165 @@ def bench_senticap(jax, jnp):
         np.asarray(many(params, opt_state))
         times.append((time.perf_counter() - t0) / 16)
     return float(np.median(times))
+
+
+def bench_senticap_switched(jax, jnp):
+    """SWITCHED SentiCap train step (the actual SentiCap method,
+    ``mrnn_switched.py:780-890``) at the MTurk regime: double-LSTM
+    recurrence, switch gate, LAMBDA_N/LAMBDA_GAM loss, RMSProp over the
+    switch set — ms/step, 16 in-jit steps (VERDICT r2 weak #4)."""
+    from icee_tpu.senticap import switched as sw_model
+    from icee_tpu.senticap.config import senticap_conf
+    from icee_tpu.senticap.solver import make_solver
+    from icee_tpu.senticap.train import make_switched_step
+
+    conf = senticap_conf(emb_size=512, lstm_hidden_size=512)
+    t = conf["MAX_SENTENCE_LEN"] + 2
+    params = sw_model.init_params(jax.random.PRNGKey(0), SC_VOCAB, conf)
+    solver = make_solver(conf, sw_model.switch_param_mask(params))
+    opt_state = solver.init(params)
+    step = make_switched_step(conf, solver)
+
+    rng = np.random.default_rng(0)
+    n = SC_BATCH * 4
+    data = {
+        "X": jnp.asarray(rng.integers(2, SC_VOCAB, (n, t)), jnp.int32),
+        "Y": jnp.asarray(rng.integers(2, SC_VOCAB, (n, t)), jnp.int32),
+        "Xlen": jnp.asarray(
+            (np.arange(t)[None, :] < rng.integers(5, t, (n, 1))), jnp.float32),
+        "V": jnp.asarray(
+            rng.standard_normal((n, conf["visual_size"])), jnp.float32),
+        "SW": jnp.asarray(rng.integers(0, 2, (n, t)), jnp.float32),
+        "senti": jnp.ones((n,), jnp.float32),  # sentiment-pure batches
+    }
+    idx = jnp.asarray(rng.integers(0, n, (16, SC_BATCH)), jnp.int32)
+    key = jax.random.PRNGKey(0)
+
+    @jax.jit
+    def many(params, opt_state):
+        def body(carry, ib):
+            p, o = carry
+            p, o, loss = step(p, o, data, ib, key)
+            return (p, o), loss
+        (_, _), losses = jax.lax.scan(body, (params, opt_state), idx)
+        return losses[-1]
+
+    np.asarray(many(params, opt_state))  # compile + warmup
+    times = []
+    for _ in range(REPS):
+        t0 = time.perf_counter()
+        np.asarray(many(params, opt_state))
+        times.append((time.perf_counter() - t0) / 16)
+    return float(np.median(times))
+
+
+SC_DECODE_N = 64
+
+
+def bench_senticap_decode(jax, jnp):
+    """SentiCap test-path decode throughput: the whole-search device beam
+    (``senticap/beam.make_device_beam``) vmapped over SC_DECODE_N images in
+    ONE dispatch (beam 20, max len 20, base mRNN at the COCO regime) —
+    captions/sec.  The reference drives its compiled one_step per beam per
+    token from Python (``mrnn_algorithms.py:159-209``)."""
+    from icee_tpu.senticap import model as sc_model
+    from icee_tpu.senticap.beam import make_device_beam
+    from icee_tpu.senticap.config import senticap_conf
+    from icee_tpu.senticap.train import make_beam_step
+
+    conf = senticap_conf(emb_size=512, lstm_hidden_size=512)
+    params = sc_model.init_params(jax.random.PRNGKey(0), SC_VOCAB, conf)
+    make = make_beam_step(params, conf, switched=False)
+    dec = make_device_beam(make(-1.0), conf["lstm_hidden_size"],
+                           beam_size=20, max_len=conf["MAX_SENTENCE_LEN"])
+    rng = np.random.default_rng(0)
+    stack = jnp.asarray(
+        rng.standard_normal((4, SC_DECODE_N, conf["visual_size"])),
+        jnp.float32)
+
+    many = jax.jit(lambda vs: jax.lax.map(
+        lambda v: jax.vmap(dec.run)(v)[1], vs))
+    np.asarray(many(stack))  # compile + warmup
+    times = []
+    for _ in range(REPS):
+        t0 = time.perf_counter()
+        np.asarray(many(stack))
+        times.append((time.perf_counter() - t0) / 4)
+    return SC_DECODE_N / float(np.median(times))
+
+
+S2S_B = 64
+
+
+def bench_seq2seq(jax, jnp):
+    """Seq2Seq figures (VERDICT r2 weak #5): factual train step ms (B=64,
+    T=25, teacher-forced autoencode + Adam) and batched greedy decode
+    captions/sec (encoder rollout + emotion-decoder continuation, pure XLA
+    scan — the model has no beam; ``seq2seq/model.py:285-301``)."""
+    import optax
+
+    from icee_tpu.core.config import Seq2SeqConfig, TrainConfig, EncoderConfig
+    from icee_tpu.models import encoder as enc_mod
+    from icee_tpu.models import seq2seq as s2s
+    from icee_tpu.train.steps import make_seq2seq_steps
+
+    cfg = Seq2SeqConfig(vocab_size=V, embed_size=E, hidden_size=H,
+                        num_layers=1, dropout=0.0, max_seq_length=MAX_STEPS)
+    tcfg = TrainConfig(teacher_forcing_ratio=1.0)
+    opt = optax.adam(2e-4)
+    fac_step, _, _, _ = make_seq2seq_steps(cfg, tcfg, opt, opt)
+
+    params = s2s.init_params(jax.random.PRNGKey(0), cfg)
+    head = enc_mod.init_head_params(
+        jax.random.PRNGKey(1), EncoderConfig(embed_size=E))
+    opt_state = opt.init((params["encoder"], head))
+    rng = np.random.default_rng(0)
+    pooled = jnp.asarray(rng.standard_normal((S2S_B, 2048)), jnp.float32)
+    captions = jnp.asarray(rng.integers(4, V, (S2S_B, TRAIN_T)), jnp.int32)
+    lengths = jnp.full((S2S_B,), TRAIN_T, jnp.int32)
+    mask = jnp.ones((S2S_B,), bool)
+    key = jax.random.PRNGKey(0)
+
+    n_inner = 16
+
+    @jax.jit
+    def many(params, head, opt_state):
+        def body(carry, _):
+            p, h, o = carry
+            p, h, o, loss = fac_step(p, h, o, pooled, captions, lengths,
+                                     mask, key)
+            return (p, h, o), loss
+        (_, _, _), losses = jax.lax.scan(body, (params, head, opt_state),
+                                         None, length=n_inner)
+        return losses[-1]
+
+    np.asarray(many(params, head, opt_state))
+    times = []
+    for _ in range(REPS):
+        t0 = time.perf_counter()
+        np.asarray(many(params, head, opt_state))
+        times.append((time.perf_counter() - t0) / n_inner)
+    step_ms = float(np.median(times)) * 1e3
+
+    # batched greedy decode: 8 in-jit batches via lax.map
+    feats_emb, _ = enc_mod.encode_global_from_pooled(
+        head, pooled, train=False)
+    stack = jnp.broadcast_to(feats_emb, (8,) + feats_emb.shape)
+
+    @jax.jit
+    def decode_many(stack):
+        return jax.lax.map(
+            lambda f: s2s.greedy_sample(params, cfg, f, start_token=1,
+                                        emotion=jnp.asarray(1)), stack)
+
+    np.asarray(decode_many(stack))
+    times = []
+    for _ in range(REPS):
+        t0 = time.perf_counter()
+        np.asarray(decode_many(stack))
+        times.append((time.perf_counter() - t0) / 8)
+    dec_cps = S2S_B / float(np.median(times))
+    return step_ms, dec_cps
 
 
 def main():
@@ -379,12 +608,43 @@ def main():
             train_xla_ms = bench_train(jax, jnp, fused_scan=False) * 1e3
         except Exception as e:
             print(f"# xla train step failed ({type(e).__name__})")
+    train_b512_ms = None
+    if not over_budget("b512 train"):
+        try:
+            train_b512_ms = bench_train(jax, jnp, fused_scan=None,
+                                        batch=512) * 1e3
+        except Exception as e:
+            print(f"# b512 train step failed ({type(e).__name__})")
+    epoch_cps = None
+    if not over_budget("epoch train"):
+        try:
+            epoch_cps = bench_train_epoch(jax, jnp)
+        except Exception as e:
+            print(f"# epoch train failed ({type(e).__name__})")
     senticap_ms = None
     if not over_budget("senticap train"):
         try:
             senticap_ms = bench_senticap(jax, jnp) * 1e3
         except Exception as e:
             print(f"# senticap train step failed ({type(e).__name__})")
+    senticap_sw_ms = None
+    if not over_budget("senticap switched train"):
+        try:
+            senticap_sw_ms = bench_senticap_switched(jax, jnp) * 1e3
+        except Exception as e:
+            print(f"# senticap switched step failed ({type(e).__name__})")
+    senticap_dec_cps = None
+    if not over_budget("senticap decode"):
+        try:
+            senticap_dec_cps = bench_senticap_decode(jax, jnp)
+        except Exception as e:
+            print(f"# senticap decode failed ({type(e).__name__})")
+    s2s_step_ms = s2s_dec_cps = None
+    if not over_budget("seq2seq"):
+        try:
+            s2s_step_ms, s2s_dec_cps = bench_seq2seq(jax, jnp)
+        except Exception as e:
+            print(f"# seq2seq bench failed ({type(e).__name__})")
 
     print(json.dumps({
         "metric": "beam_decode_captions_per_sec",
@@ -410,8 +670,24 @@ def main():
                                 else round(train_fused_ms, 2)),
         "train_step_ms_xla": (None if train_xla_ms is None
                               else round(train_xla_ms, 2)),
+        "train_step_ms_b512": (None if train_b512_ms is None
+                               else round(train_b512_ms, 2)),
+        "train_captions_per_sec_b512": (
+            None if train_b512_ms is None
+            else round(512 / (train_b512_ms / 1e3), 1)),
+        "train_epoch_captions_per_sec": (None if epoch_cps is None
+                                         else round(epoch_cps, 1)),
         "senticap_train_step_ms": (None if senticap_ms is None
                                    else round(senticap_ms, 2)),
+        "senticap_switched_step_ms": (None if senticap_sw_ms is None
+                                      else round(senticap_sw_ms, 2)),
+        "senticap_decode_captions_per_sec": (
+            None if senticap_dec_cps is None
+            else round(senticap_dec_cps, 1)),
+        "seq2seq_train_step_ms": (None if s2s_step_ms is None
+                                  else round(s2s_step_ms, 2)),
+        "seq2seq_decode_captions_per_sec": (
+            None if s2s_dec_cps is None else round(s2s_dec_cps, 1)),
     }))
 
 

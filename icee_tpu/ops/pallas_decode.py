@@ -113,6 +113,57 @@ def _row_topk_fold(tile: jax.Array, base: jax.Array, ktop: int,
     return jnp.concatenate(vals, 1), jnp.concatenate(idxs, 1)
 
 
+def _row_topk_running(tile: jax.Array, base: jax.Array, ktop: int,
+                      tile_max=None, chunk: int = 128):
+    """ONE-tile-read exact top-k: stream the tile in ``chunk``-lane slices,
+    maintaining ``ktop`` elementwise-sorted running (val, idx) vectors via
+    compare/select bubble insertion (ties keep the earlier chunk = the
+    lower index); the exact row top-k is then extracted from the
+    (rows, ktop*chunk) remnant only.
+
+    Exactness: any value in the row's global top-k ranks within the top-k
+    of its own lane position across chunks (fewer than ktop values in the
+    whole row exceed it), so it survives into the remnant; the remnant
+    extraction uses the same min-global-index tie-break as lax.top_k.
+    Unlike :func:`_row_topk`'s ktop re-reads of the masked tile, the tile
+    is read ONCE; the trade is ktop compare/select stages (5 vreg ops
+    each) per chunk.  Measured head-to-head in ``scripts/probe_topk.py``.
+    """
+    del tile_max
+    r, w = tile.shape
+    r_vals = [jnp.full((r, chunk), NEG, jnp.float32) for _ in range(ktop)]
+    r_idx = [jnp.zeros((r, chunk), jnp.int32) for _ in range(ktop)]
+    col0 = jax.lax.broadcasted_iota(jnp.int32, (r, chunk), 1)
+    for c0 in range(0, w, chunk):
+        nv = tile[:, c0:c0 + chunk]
+        ni = col0 + c0
+        for j in range(ktop):
+            swap = nv > r_vals[j]          # strict: ties keep lower index
+            v_hi = jnp.where(swap, nv, r_vals[j])
+            i_hi = jnp.where(swap, ni, r_idx[j])
+            nv = jnp.where(swap, r_vals[j], nv)
+            ni = jnp.where(swap, r_idx[j], ni)
+            r_vals[j], r_idx[j] = v_hi, i_hi
+    rem_v = jnp.concatenate(r_vals, axis=1)           # (r, ktop*chunk)
+    rem_i = jnp.concatenate(r_idx, axis=1)
+    slot_col = jax.lax.broadcasted_iota(jnp.int32, rem_v.shape, 1)
+    vals, idxs = [], []
+    cur = rem_v
+    for it in range(ktop):
+        m = jnp.max(cur, axis=1, keepdims=True)
+        ismax = cur == m
+        pick = jnp.min(jnp.where(ismax, rem_i, jnp.int32(2**30)), axis=1,
+                       keepdims=True)
+        vals.append(m)
+        idxs.append(pick + base)
+        if it + 1 < ktop:
+            slot = jnp.min(jnp.where(ismax & (rem_i == pick), slot_col,
+                                     jnp.int32(2**30)), axis=1,
+                           keepdims=True)
+            cur = jnp.where(slot_col == slot, NEG, cur)
+    return jnp.concatenate(vals, 1), jnp.concatenate(idxs, 1)
+
+
 def _merge_topk(v1, i1, v2, i2, ktop: int):
     """Merge two (R, ktop) sorted-ish candidate sets -> exact top-k.
     Tie-break: lower global index first (both inputs carry global indices)."""

@@ -28,7 +28,8 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from icee_tpu.ops.pallas_decode import (NEG, _merge_topk, _row_topk,
-                                        _row_topk_fold)
+                                        _row_topk_fold,
+                                        _row_topk_running)
 
 
 def _row_topk_maskmax(tile, base, ktop, tile_max=None):
@@ -63,7 +64,11 @@ def _kernel(h_ref, cw_ref, cb_ref, out_v, out_i, *, variant):
     topk = {"reduce": _row_topk,
             "fold": _row_topk_fold,
             "fold512": functools.partial(_row_topk_fold, fold_to=512),
-            "maskmax": _row_topk_maskmax}[variant]
+            "maskmax": _row_topk_maskmax,
+            "running": _row_topk_running,
+            "running256": functools.partial(_row_topk_running, chunk=256),
+            "running512": functools.partial(_row_topk_running,
+                                            chunk=512)}[variant]
     run_m = jnp.full((ROWS, 1), NEG, jnp.float32)
     run_se = jnp.zeros((ROWS, 1), jnp.float32)
     run_v = jnp.full((ROWS, K), NEG, jnp.float32)

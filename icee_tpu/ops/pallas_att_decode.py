@@ -540,8 +540,8 @@ def _mega_att_kernel_streamed(
         att2_scr, e_scr, ctx_scr,
         *, kind: str, k: int, n_img: int, f_dim: int, h_dim: int,
         e_dim: int, v_tile: int, vocab: int, max_len: int,
-        start_token: int, end_token: int, n_pix: int, p_tile: int,
-        n_streams: int = 1, topk_fold: bool = False):
+        start_token: int, end_token: int, n_pix: int, n_pix_pad: int,
+        p_tile: int, n_streams: int = 1, topk_fold: bool = False):
     """P-STREAMED attention mega kernel — grid ``(n_blocks, T+1, 2*n_pt)``.
 
     The resident-feature kernel's VMEM wall (KERNELS.md §2: a 32-image
@@ -573,7 +573,7 @@ def _mega_att_kernel_streamed(
     """
     t = pl.program_id(1)
     q = pl.program_id(2)
-    n_pt = n_pix // p_tile
+    n_pt = n_pix_pad // p_tile
     rows = n_img * k
     n2 = n_img // n_streams
     rows2 = n2 * k
@@ -643,6 +643,14 @@ def _mega_att_kernel_streamed(
                             dimension_numbers=(((2,), (1,)), ((0,), (0,))),
                             preferred_element_type=jnp.float32)
                     e2 = e[:, :, 0] + fullb_ref[0, 0]       # (n2, Pt)
+                    if n_pix_pad != n_pix:
+                        # padded spatial positions (P padded to a sublane
+                        # multiple for the tiled block shape) score NEG:
+                        # exp(NEG - max) == 0.0 exactly, so the softmax
+                        # over real positions is bit-identical to unpadded
+                        gpix = q * p_tile + jax.lax.broadcasted_iota(
+                            jnp.int32, (n2, p_tile), 1)
+                        e2 = jnp.where(gpix < n_pix, e2, NEG)
                     e_scr[pl.dslice(q, 1), pl.dslice(r, n2), :] = e2[None]
 
         @pl.when(q >= n_pt)
@@ -753,10 +761,11 @@ def mega_att_beam_decode(
     (:func:`_mega_att_kernel_streamed`): features/att1 stream from HBM in
     P tiles instead of staying VMEM-resident, unlocking 64-128-image
     blocks past the resident kernel's 24-image VMEM wall.  ``p_tile``
-    must divide P (0 = largest divisor <= 32; for P=196 that is 28).
-    The only numerical difference vs the resident kernel is the P
-    contraction ORDER of the context dot (scores and softmax are
-    bit-identical); tested token-exact on the parity suite sizes.
+    (0 = 32) must be sublane-divisible on hardware; P pads to a p_tile
+    multiple with exact NEG masking (P=196 -> 224, 7 tiles).  The only
+    numerical difference vs the resident kernel is the P contraction
+    ORDER of the context dot (scores and softmax are bit-identical);
+    tested token-exact on the parity suite sizes.
     """
     from icee_tpu.decode.beam import BeamResult
     from icee_tpu.models.attention import _select_attention
@@ -842,16 +851,19 @@ def mega_att_beam_decode(
     a_dim = att1.shape[2]
 
     if p_stream:
+        # Mosaic requires tiled block dims divisible by the (8, 128)
+        # sublane/lane tile, so the P axis pads to a p_tile multiple and
+        # padded positions are NEG-masked in-kernel (exact: exp(NEG-max)
+        # is 0.0).  Default 32 => P=196 pads to 224, 7 tiles.
         if p_tile <= 0:
-            p_tile = max(d for d in range(1, min(32, n_pix) + 1)
-                         if n_pix % d == 0)
-        if n_pix % p_tile:
-            raise ValueError(f"p_tile {p_tile} must divide P {n_pix}")
-        n_pt = n_pix // p_tile
+            p_tile = min(32, -(-n_pix // 8) * 8)
+        n_pt = -(-n_pix // p_tile)
+        n_pix_pad = n_pt * p_tile
 
         # h/c init hoisted to XLA (same op sequence as the resident
         # kernel's in-kernel _init: f32 mean of the wdt features, wdt
-        # matmul with f32 accumulation, rounded back through wdt)
+        # matmul with f32 accumulation, rounded back through wdt) — from
+        # the UNPADDED features
         mean = jnp.mean(feats.astype(jnp.float32), axis=1).astype(wdt)
         ih_w, ih_b = params["init_h_w"], params["init_h_b"]
         ic_w, ic_b = params["init_c_w"], params["init_c_b"]
@@ -859,6 +871,12 @@ def mega_att_beam_decode(
               + ih_b).astype(wdt).astype(jnp.float32)
         c0 = (jnp.dot(mean, ic_w, preferred_element_type=jnp.float32)
               + ic_b).astype(wdt).astype(jnp.float32)
+
+        feats_p, att1_p = feats, att1
+        if n_pix_pad != n_pix:
+            feats_p = jnp.pad(feats, ((0, 0), (0, n_pix_pad - n_pix),
+                                      (0, 0)))
+            att1_p = jnp.pad(att1, ((0, 0), (0, n_pix_pad - n_pix), (0, 0)))
 
         vmem = pltpu.VMEM
         fullq = lambda *shape: pl.BlockSpec(  # noqa: E731
@@ -879,8 +897,8 @@ def mega_att_beam_decode(
             _mega_att_kernel_streamed, kind=kind, k=k, n_img=n_img_block,
             f_dim=f_dim, h_dim=h_dim, e_dim=e_dim, v_tile=v_tile, vocab=vp,
             max_len=max_len, start_token=start_token, end_token=end_token,
-            n_pix=n_pix, p_tile=p_tile, n_streams=n_streams,
-            topk_fold=topk_fold)
+            n_pix=n_pix, n_pix_pad=n_pix_pad, p_tile=p_tile,
+            n_streams=n_streams, topk_fold=topk_fold)
         out_shape = (
             jax.ShapeDtypeStruct((bp, max_len), jnp.int32),
             jax.ShapeDtypeStruct((bp, 1), jnp.int32),
@@ -925,7 +943,7 @@ def mega_att_beam_decode(
             interpret=interpret,
         )
         tokens, lengths, scores = call(
-            feats, att1, emb, h0, c0,
+            feats_p, att1_p, emb, h0, c0,
             att["dec_w"], att["dec_b"].reshape(1, -1),
             att["full_w"].reshape(-1, 1),
             att["full_b"].reshape(1, 1).astype(jnp.float32),

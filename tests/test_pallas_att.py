@@ -234,7 +234,9 @@ def test_mega_att_nic_lstm_matches_xla_beam(rng):
 @pytest.mark.filterwarnings("ignore:mega_att_beam_decode")
 @pytest.mark.parametrize("kind,nib,p_tile,ns",
                          [("factored", 3, 3, 1), ("factored", 2, 3, 2),
-                          ("lstm", 2, 3, 1), ("factored", 5, 9, 1)])
+                          ("lstm", 2, 3, 1), ("factored", 5, 9, 1),
+                          ("factored", 3, 4, 1),   # P=9 pads to 12 (mask)
+                          ("lstm", 2, 8, 1)])      # P=9 pads to 16 (mask)
 def test_mega_att_streamed_matches_xla_beam(rng, kind, nib, p_tile, ns):
     """The P-STREAMED attention mega kernel (VERDICT r2 #2: features/att1
     streamed from HBM in P tiles, two-pass exact softmax, hoisted h0/c0)

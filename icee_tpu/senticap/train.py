@@ -267,10 +267,13 @@ def decode_split(params, conf, dataset: sio.SentiDataset, i2w: Dict[int, str],
     image decode the styled (senti=+1) and descriptive (senti=-1) sentence
     with attention traces.
 
-    ``device=True`` runs each search as ONE jitted device program
-    (:func:`icee_tpu.senticap.beam.make_device_beam`, compiled once and
-    reused across images); ``device=False`` keeps the host-driven oracle
-    loop (the reference's per-token compiled-function protocol)."""
+    ``device=True`` runs the WHOLE split's searches as vmapped jitted
+    device programs (:func:`icee_tpu.senticap.beam.make_device_beam`'s raw
+    runner over the feature batch — one dispatch per sentiment instead of
+    one per caption); ``device=False`` keeps the host-driven oracle loop
+    (the reference's per-token compiled-function protocol)."""
+    import jax
+
     from icee_tpu.senticap.beam import beam_decode, make_device_beam
 
     out = []
@@ -283,6 +286,13 @@ def decode_split(params, conf, dataset: sio.SentiDataset, i2w: Dict[int, str],
         dec_att = make_device_beam(make(1.0), width, beam_size, max_len,
                                    with_attention=switched)
         dec_des = make_device_beam(make(-1.0), width, beam_size, max_len)
+        v_all = jnp.asarray(dataset.V)
+        d_sc, d_seq, d_len, _ = jax.jit(jax.vmap(dec_des.run))(v_all)
+        d_seq, d_len = np.asarray(d_seq), np.asarray(d_len)
+        if switched:
+            _, p_seq, p_len, p_att = jax.jit(jax.vmap(dec_att.run))(v_all)
+            p_seq, p_len, p_att = (np.asarray(p_seq), np.asarray(p_len),
+                                   np.asarray(p_att))
 
     for i in range(dataset.V.shape[0]):
         v_row = jnp.asarray(dataset.V[i])
@@ -301,8 +311,10 @@ def decode_split(params, conf, dataset: sio.SentiDataset, i2w: Dict[int, str],
 
         if switched:
             if device:
-                _, pos_ids, att = dec_att(v_row)
-                _, des_ids = dec_des(v_row)
+                n = int(p_len[i])
+                pos_ids = [int(w) for w in p_seq[i, :n]]
+                att = [float(a) for a in p_att[i, :n]]
+                des_ids = [int(w) for w in d_seq[i, :int(d_len[i])]]
             else:
                 _, pos_ids, att = beam_decode(host_step(1.0), dataset.V[i],
                                               beam_size, max_len,
@@ -317,7 +329,7 @@ def decode_split(params, conf, dataset: sio.SentiDataset, i2w: Dict[int, str],
             })
         else:
             if device:
-                _, ids = dec_des(v_row)
+                ids = [int(w) for w in d_seq[i, :int(d_len[i])]]
             else:
                 _, ids = beam_decode(host_step(-1.0), dataset.V[i],
                                      beam_size, max_len)

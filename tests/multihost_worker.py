@@ -82,8 +82,29 @@ def main():
     jax.block_until_ready(loss)
     # replicated-param checksum: must agree across processes
     cksum = float(jnp.sum(jnp.abs(dec["W_w"])))
+
+    # --- the USER-FACING trainer path over the same mesh (round 3): each
+    # process feeds loaders holding only its local batch rows; the trainer's
+    # _to_device assembles global arrays via make_array_from_process_local_data
+    from icee_tpu.data.pipeline import CaptionBatch
+    from icee_tpu.train.loops import MultitaskTrainer
+
+    tcfg2 = TrainConfig(mode="happy", teacher_forcing_ratio=1.0,
+                        log_step=10_000)
+    local_batch = CaptionBatch(
+        images=all_pooled[idx], captions=all_caps[idx],
+        lengths=all_lens[idx], sample_mask=np.ones((len(idx),), bool))
+    trainer = MultitaskTrainer(
+        cfg, tcfg2, None,
+        fl.init_params(jax.random.PRNGKey(0), cfg),
+        enc_mod.init_head_params(jax.random.PRNGKey(1), ecfg),
+        sample_fn=lambda *a: [], mesh=mesh)
+    stats = None
+    for _ in range(2):
+        stats = trainer._run_train([local_batch], 0, 10_000, "FAC")
     print(json.dumps({"pid": pid, "process_count": jax.process_count(),
-                      "loss": float(loss), "cksum": cksum}))
+                      "loss": float(loss), "cksum": cksum,
+                      "trainer_loss": float(stats.loss)}))
 
 
 if __name__ == "__main__":

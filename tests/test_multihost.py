@@ -52,3 +52,6 @@ def test_two_process_distributed_train_step():
     assert abs(outs[0]["loss"] - outs[1]["loss"]) < 1e-5
     assert abs(outs[0]["cksum"] - outs[1]["cksum"]) < 1e-4
     assert outs[0]["loss"] > 0
+    # the user-facing MultitaskTrainer epoch over the same mesh agrees too
+    assert abs(outs[0]["trainer_loss"] - outs[1]["trainer_loss"]) < 1e-5
+    assert outs[0]["trainer_loss"] > 0

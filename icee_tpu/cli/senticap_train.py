@@ -47,6 +47,18 @@ def main(args) -> None:
         r.setdefault("sentiment", default_senti)
     features = sio.load_features(args.features) if args.features else None
 
+    mesh = None
+    if args.data_parallel:
+        import jax
+
+        from icee_tpu.parallel.mesh import make_mesh
+
+        if len(jax.devices()) > 1:
+            mesh = make_mesh()   # minibatches shard over the data axis
+        else:
+            print("WARNING: --data_parallel needs >1 device; "
+                  "training single-device")
+
     if args.command == "base":
         conf = senticap_conf(
             emb_size=args.emb_size, lstm_hidden_size=args.hidden_size,
@@ -61,7 +73,7 @@ def main(args) -> None:
         unigram = counts / max(counts.sum(), 1)
         params, _ = T.train_base(ds, len(w2i), conf,
                                  num_epochs=args.num_epochs,
-                                 unigram=unigram, seed=args.seed)
+                                 unigram=unigram, seed=args.seed, mesh=mesh)
         sio.save_model(args.model_out, params, conf, vocab=w2i)
         print(f"saved base model to {args.model_out}")
         print("val perplexity:", T.validation_perplexity(params, conf, ds))
@@ -103,7 +115,7 @@ def main(args) -> None:
         print(f"vocab {len(w2i)}, split {ds.X.shape}")
         params, _ = T.train_switched(
             ds, base_params, len(w2i), conf, num_epochs=args.num_epochs,
-            seed=args.seed, init_params_override=sw_params)
+            seed=args.seed, init_params_override=sw_params, mesh=mesh)
         sio.save_model(args.model_out, params, conf, vocab=w2i)
         print(f"saved switched model to {args.model_out}")
 
@@ -172,4 +184,7 @@ if __name__ == "__main__":
     parser.add_argument("--base_only", action="store_true")
     parser.add_argument("--print_n", type=int, default=5)
     parser.add_argument("--seed", type=int, default=0)
+    parser.add_argument("--data_parallel", action="store_true",
+                        help="shard minibatches over all devices "
+                             "(params replicated, gradient psum over ICI)")
     main(parser.parse_args())

@@ -57,8 +57,24 @@ def _epoch_indices_by_sentiment(senti: np.ndarray, batch: int,
     return [batches[i] for i in order]
 
 
-def make_base_step(conf: dict, solver):
-    """Jitted base-model step over device-resident data."""
+def _shard_batch(arrs, mesh):
+    """Constrain gathered minibatch tensors to the mesh's data axis so the
+    forward/backward runs data-parallel (params replicated, gradient psum
+    over ICI — SURVEY §2.5 applied to the device-resident senticap
+    regime)."""
+    if mesh is None:
+        return arrs
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from icee_tpu.parallel.mesh import DATA_AXIS
+
+    s = NamedSharding(mesh, P(DATA_AXIS))
+    return tuple(jax.lax.with_sharding_constraint(a, s) for a in arrs)
+
+
+def make_base_step(conf: dict, solver, mesh=None):
+    """Jitted base-model step over device-resident data; ``mesh`` shards
+    the gathered minibatch over the data axis (DP)."""
 
     @jax.jit
     def step(params, opt_state, data, idx, key):
@@ -66,6 +82,7 @@ def make_base_step(conf: dict, solver):
         y = data["Y"][idx]
         mask = data["Xlen"][idx]
         v = data["V"][idx]
+        x, y, mask, v = _shard_batch((x, y, mask, v), mesh)
         kx, ky, k_forced = jax.random.split(key, 3)
         b, t = x.shape
         x_drop = jax.random.bernoulli(
@@ -107,7 +124,7 @@ def make_base_step(conf: dict, solver):
     return step
 
 
-def make_switched_step(conf: dict, solver):
+def make_switched_step(conf: dict, solver, mesh=None):
     @jax.jit
     def step(params, opt_state, data, idx, key):
         x = data["X"][idx]
@@ -115,6 +132,7 @@ def make_switched_step(conf: dict, solver):
         mask = data["Xlen"][idx]
         v = data["V"][idx]
         sw = data["SW"][idx]
+        x, y, mask, v, sw = _shard_batch((x, y, mask, v, sw), mesh)
         senti0 = data["senti"][idx][0]
         kx, ky = jax.random.split(key)
         b, t = x.shape
@@ -152,14 +170,20 @@ def train_base(
     unigram: Optional[np.ndarray] = None,
     callbacks: Optional[list] = None,
     seed: int = 0,
+    mesh=None,
 ):
-    """Base-model training loop (``train_complete``, ``mrnn.py:727-770``)."""
+    """Base-model training loop (``train_complete``, ``mrnn.py:727-770``);
+    pass a ``("data","model")`` mesh to run minibatches data-parallel."""
     conf = conf or senticap_conf()
     params = base_model.init_params(jax.random.PRNGKey(seed), vocab_size,
                                     conf, unigram)
     solver = make_solver(conf)
+    if mesh is not None:
+        from icee_tpu.parallel.train import place_replicated
+
+        params = place_replicated(params, mesh)
     opt_state = solver.init(params)
-    step = make_base_step(conf, solver)
+    step = make_base_step(conf, solver, mesh)
     data = sio.device_dataset(dataset)
     rng = np.random.default_rng(seed)
     key = jax.random.PRNGKey(seed)
@@ -188,12 +212,14 @@ def train_switched(
     callbacks: Optional[list] = None,
     seed: int = 0,
     init_params_override: Optional[dict] = None,
+    mesh=None,
 ):
     """Switch training (``run_train_gap_filler``, ``train_joint.py:322-451``):
     seed both paths from the base model, train only the switch set.
 
     ``init_params_override``: a pre-built switched parameter set (e.g. after
-    vocab surgery) used instead of re-initializing from ``base_params``."""
+    vocab surgery) used instead of re-initializing from ``base_params``.
+    ``mesh``: run minibatches data-parallel over the mesh's data axis."""
     conf = conf or senticap_conf()
     if init_params_override is not None:
         params = init_params_override
@@ -201,8 +227,12 @@ def train_switched(
         params = sw_model.init_params(jax.random.PRNGKey(seed), vocab_size,
                                       conf, base=base_params)
     solver = make_solver(conf, sw_model.switch_param_mask(params))
+    if mesh is not None:
+        from icee_tpu.parallel.train import place_replicated
+
+        params = place_replicated(params, mesh)
     opt_state = solver.init(params)
-    step = make_switched_step(conf, solver)
+    step = make_switched_step(conf, solver, mesh)
     data = sio.device_dataset(dataset)
     rng = np.random.default_rng(seed)
     key = jax.random.PRNGKey(seed)

@@ -139,6 +139,39 @@ def test_mesh_trainer_batch_shards_over_data_axis(tmp_path):
     assert len(trainer.dec["C_w"].sharding.device_set) == 8
 
 
+def test_senticap_train_dp_matches_single(rng):
+    """SentiCap base + switched training with a mesh (minibatches sharded
+    over the data axis inside the jitted step) == single-device losses."""
+    from icee_tpu.senticap import io as sio
+    from icee_tpu.senticap import train as T
+    from icee_tpu.senticap.config import senticap_conf
+
+    conf = senticap_conf(emb_size=16, lstm_hidden_size=16, visual_size=8,
+                         batch_size_val=8, MAX_SENTENCE_LEN=6)
+    n, t, v = 16, 8, 40
+    ds = sio.SentiDataset(
+        X=rng.integers(2, v, (n, t)).astype(np.int32),
+        Y=rng.integers(2, v, (n, t)).astype(np.int32),
+        Xlen=(np.arange(t)[None, :] < rng.integers(3, t, (n, 1))
+              ).astype(np.float32),
+        V=rng.standard_normal((n, 8)).astype(np.float32),
+        SW=rng.integers(0, 2, (n, t)).astype(np.float32),
+        senti=np.concatenate([np.ones(8), -np.ones(8)]).astype(np.float32),
+        ids=list(range(n)))
+
+    def run(mesh):
+        params, _ = T.train_base(ds, v, conf, num_epochs=2, seed=0,
+                                 mesh=mesh)
+        sw, _ = T.train_switched(ds, params, v, conf, num_epochs=1, seed=0,
+                                 mesh=mesh)
+        return (float(jnp.sum(jnp.abs(params["w_lstm"]))),
+                float(jnp.sum(jnp.abs(sw["att_w"]))))
+
+    got = run(make_mesh((8, 1)))
+    want = run(None)
+    np.testing.assert_allclose(got, want, rtol=2e-4)
+
+
 def test_seq2seq_trainer_runs_on_mesh(tmp_path):
     """Seq2SeqTrainer(mesh=...): one epoch DP == single-device losses."""
     from icee_tpu.core.config import Seq2SeqConfig

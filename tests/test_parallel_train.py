@@ -139,6 +139,55 @@ def test_mesh_trainer_batch_shards_over_data_axis(tmp_path):
     assert len(trainer.dec["C_w"].sharding.device_set) == 8
 
 
+def test_transfer_and_paper_trainers_on_mesh(tmp_path):
+    """TransferTrainer (masked style optimizer) and PaperRegimeTrainer
+    (per-emotion S-slice optimizers, text-only batches) run their epochs on
+    the mesh with losses matching single-device."""
+    from icee_tpu.data import load_styled_caption_dataset
+    from icee_tpu.data.pipeline import styled_caption_loader
+    from icee_tpu.train.loops import PaperRegimeTrainer, TransferTrainer
+
+    vocab, fac, emo, feats = _data(tmp_path)
+    cfg = DecoderConfig(vocab_size=len(vocab), embed_size=16, hidden_size=24,
+                        factored_size=24, dropout=0.0, max_seq_length=10)
+    tcfg = TrainConfig(mode="happy", lr_caption=5e-3, lr_language=5e-3,
+                       teacher_forcing_ratio=1.0, log_step=10_000,
+                       log_step_emotion=10_000)
+
+    def mk(cls, mesh, tag):
+        return cls(
+            cfg, tcfg, vocab,
+            fl.init_params(jax.random.PRNGKey(0), cfg),
+            enc_mod.init_head_params(
+                jax.random.PRNGKey(1),
+                EncoderConfig(embed_size=16, feature_size=FEAT)),
+            model_dir=str(tmp_path / tag), data_name="dp", mesh=mesh)
+
+    def run_transfer(mesh):
+        tr = mk(TransferTrainer, mesh, f"tr_{mesh is not None}")
+        out = tr.train_transfer(_loader(emo, feats), _loader(emo, feats, 1),
+                                num_epochs=1)
+        return out["best_bleu4"]["emotion"]
+
+    def run_paper(mesh):
+        tr = mk(PaperRegimeTrainer, mesh, f"pp_{mesh is not None}")
+        (tmp_path / "style.txt").write_text(
+            "\n".join(line.split("\t")[1]
+                      for line in EMO_CORPUS.splitlines()) + "\n")
+        ids = load_styled_caption_dataset(str(tmp_path / "style.txt"), vocab)
+        tr.train(_loader(fac, feats),
+                 {"happy": styled_caption_loader(ids, batch_size=B,
+                                                 max_len=12, seed=0,
+                                                 prefetch=0)},
+                 num_epochs=1)
+        return float(jnp.sum(jnp.abs(tr.dec["S_w"])))
+
+    np.testing.assert_allclose(run_transfer(make_mesh((4, 2))),
+                               run_transfer(None), rtol=2e-3, atol=1e-6)
+    np.testing.assert_allclose(run_paper(make_mesh((8, 1))),
+                               run_paper(None), rtol=2e-4)
+
+
 def test_senticap_train_dp_matches_single(rng):
     """SentiCap base + switched training with a mesh (minibatches sharded
     over the data axis inside the jitted step) == single-device losses."""

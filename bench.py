@@ -549,7 +549,7 @@ def main():
     # ~15 min on the remote-compile service; once past the budget, the
     # remaining (secondary) metrics are skipped so the headline decode
     # number always reaches the final JSON line before any driver timeout
-    budget_s = float(os.getenv("ICEE_BENCH_BUDGET_S", "2400"))
+    budget_s = float(os.getenv("ICEE_BENCH_BUDGET_S", "3000"))
     t_start = time.time()
 
     def over_budget(label):
@@ -581,21 +581,9 @@ def main():
         print(f"# calibration matmul failed ({type(e).__name__})")
         calib_tflops = None
 
-    att_cps = None
-    if not over_budget("attention decode"):
-        try:
-            att_med = bench_att_decode(jax, jnp)
-            att_cps = ATT_BATCH / att_med
-        except Exception as e:
-            print(f"# attention mega decode unavailable ({type(e).__name__})")
-
-    backbone_ips = None
-    if not over_budget("backbone"):
-        try:
-            backbone_ips = bench_backbone(jax, jnp)
-        except Exception as e:
-            print(f"# backbone bench failed ({type(e).__name__})")
-
+    # cheap (seconds-compile) metrics run BEFORE the attention mega kernel,
+    # whose compile time varies 1-20 min on the remote-compile service —
+    # under a tight driver timeout only the most expensive figure is lost
     train_fused_ms = None
     if not over_budget("fused train"):
         try:
@@ -645,6 +633,21 @@ def main():
             s2s_step_ms, s2s_dec_cps = bench_seq2seq(jax, jnp)
         except Exception as e:
             print(f"# seq2seq bench failed ({type(e).__name__})")
+
+    backbone_ips = None
+    if not over_budget("backbone"):
+        try:
+            backbone_ips = bench_backbone(jax, jnp)
+        except Exception as e:
+            print(f"# backbone bench failed ({type(e).__name__})")
+
+    att_cps = None
+    if not over_budget("attention decode"):
+        try:
+            att_med = bench_att_decode(jax, jnp)
+            att_cps = ATT_BATCH / att_med
+        except Exception as e:
+            print(f"# attention mega decode unavailable ({type(e).__name__})")
 
     print(json.dumps({
         "metric": "beam_decode_captions_per_sec",

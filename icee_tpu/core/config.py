@@ -140,3 +140,10 @@ class TrainConfig:
     # 3.5 ms/step vs the XLA scan, interleaved A/B), off elsewhere (the
     # kernel would run in slow interpret mode on CPU).
     fused_scan: Optional[bool] = None
+    # Compute the training CE in time chunks directly from the decoder's
+    # hidden states (ops/chunked_loss.py) — the (B, T, V) logits never
+    # materialize in HBM.  Numerically equal to the materialized loss
+    # (grads to <=2e-7); None (default) = auto: on for the TPU backend
+    # (measured 10.5 vs 47.3 ms fwd+bwd at B=512/T=25/V=8192), off
+    # elsewhere to keep CPU test baselines bitwise-stable.
+    chunked_ce: Optional[bool] = None

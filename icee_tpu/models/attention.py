@@ -202,6 +202,68 @@ def factored_att_forward(
     return jnp.swapaxes(logits, 0, 1), jnp.swapaxes(alphas, 0, 1)
 
 
+def factored_att_forward_hiddens(
+    params: dict,
+    cfg: AttentionDecoderConfig,
+    captions: jax.Array,
+    features: jax.Array,
+    style: jax.Array | int,
+    teacher_forcing_ratio: float = 0.8,
+    rng: Optional[jax.Array] = None,
+    train: bool = True,
+) -> Tuple[jax.Array, jax.Array]:
+    """Training forward -> (hiddens (B,T,H), alphas (B,T,P)); the vocab head
+    is left to the caller (chunked loss, ``ops/chunked_loss.py``).  On the
+    scheduled-sampling path the head runs per step only to pick the argmax
+    feedback token (no gradient; never stacked)."""
+    from icee_tpu.models.factored_lstm import embed, output_logits
+
+    b, t = captions.shape
+    if rng is None:
+        rng = jax.random.PRNGKey(0)
+    k_drop, k_tf = jax.random.split(rng)
+
+    emb_seq = embed(params, captions)
+    if train and cfg.dropout > 0.0:
+        keep = jax.random.bernoulli(k_drop, 1.0 - cfg.dropout, emb_seq.shape)
+        emb_seq = jnp.where(keep, emb_seq / (1.0 - cfg.dropout), 0.0)
+
+    style = jnp.asarray(style)
+    att = _select_attention(params["attention"], style)
+    att1 = features @ att["enc_w"] + att["enc_b"]
+    h0, c0 = init_hidden_state(params, features)
+
+    if (isinstance(teacher_forcing_ratio, float)
+            and teacher_forcing_ratio >= 1.0):
+        def tf_body(carry, emb_teacher):
+            h, c = carry
+            context, alpha = _gated_context_pre(params, att, att1, features, h)
+            x = jnp.concatenate([emb_teacher, context], axis=-1)
+            h, c = factored_lstm_cell(params, x, h, c, style)
+            return (h, c), (h, alpha)
+
+        _, (hiddens, alphas) = jax.lax.scan(
+            tf_body, (h0, c0), jnp.swapaxes(emb_seq, 0, 1))
+        return jnp.swapaxes(hiddens, 0, 1), jnp.swapaxes(alphas, 0, 1)
+
+    coins = jax.random.bernoulli(k_tf, teacher_forcing_ratio, (t,))
+
+    def body(carry, xs):
+        h, c, prev = carry
+        emb_teacher, coin = xs
+        context, alpha = _gated_context_pre(params, att, att1, features, h)
+        e = jnp.where(coin, emb_teacher, embed(params, prev))
+        x = jnp.concatenate([e, context], axis=-1)
+        h, c = factored_lstm_cell(params, x, h, c, style)
+        logits = output_logits(params, jax.lax.stop_gradient(h))
+        return (h, c, jnp.argmax(logits, axis=-1)), (h, alpha)
+
+    _, (hiddens, alphas) = jax.lax.scan(
+        body, (h0, c0, captions[:, 0]), (jnp.swapaxes(emb_seq, 0, 1), coins)
+    )
+    return jnp.swapaxes(hiddens, 0, 1), jnp.swapaxes(alphas, 0, 1)
+
+
 # --- NIC attention decoder ----------------------------------------------
 
 def init_rnn_att_params(
@@ -283,3 +345,60 @@ def rnn_att_forward(
         body, (h0, c0, captions[:, 0]), (jnp.swapaxes(emb_seq, 0, 1), coins)
     )
     return jnp.swapaxes(logits, 0, 1), jnp.swapaxes(alphas, 0, 1)
+
+
+def rnn_att_forward_hiddens(
+    params: dict,
+    cfg: AttentionDecoderConfig,
+    captions: jax.Array,
+    features: jax.Array,
+    teacher_forcing_ratio: float = 0.8,
+    rng: Optional[jax.Array] = None,
+    train: bool = True,
+) -> Tuple[jax.Array, jax.Array]:
+    """NIC+Att training forward -> (hiddens, alphas); head left to the
+    caller (see :func:`factored_att_forward_hiddens`)."""
+    b, t = captions.shape
+    if rng is None:
+        rng = jax.random.PRNGKey(0)
+    k_drop, k_tf = jax.random.split(rng)
+
+    emb_seq = jnp.take(params["embed"], captions, axis=0)
+    if train and cfg.dropout > 0.0:
+        keep = jax.random.bernoulli(k_drop, 1.0 - cfg.dropout, emb_seq.shape)
+        emb_seq = jnp.where(keep, emb_seq / (1.0 - cfg.dropout), 0.0)
+
+    att = params["attention"]
+    att1 = features @ att["enc_w"] + att["enc_b"]
+    h0, c0 = init_hidden_state(params, features)
+
+    if (isinstance(teacher_forcing_ratio, float)
+            and teacher_forcing_ratio >= 1.0):
+        def tf_body(carry, emb_teacher):
+            h, c = carry
+            context, alpha = _gated_context_pre(params, att, att1, features, h)
+            x = jnp.concatenate([emb_teacher, context], axis=-1)
+            h, c = lstm_cell(params["cell"], x, h, c)
+            return (h, c), (h, alpha)
+
+        _, (hiddens, alphas) = jax.lax.scan(
+            tf_body, (h0, c0), jnp.swapaxes(emb_seq, 0, 1))
+        return jnp.swapaxes(hiddens, 0, 1), jnp.swapaxes(alphas, 0, 1)
+
+    coins = jax.random.bernoulli(k_tf, teacher_forcing_ratio, (t,))
+
+    def body(carry, xs):
+        h, c, prev = carry
+        emb_teacher, coin = xs
+        context, alpha = _gated_context_pre(params, att, att1, features, h)
+        e = jnp.where(coin, emb_teacher, jnp.take(params["embed"], prev, axis=0))
+        x = jnp.concatenate([e, context], axis=-1)
+        h, c = lstm_cell(params["cell"], x, h, c)
+        logits = (jax.lax.stop_gradient(h) @ params["linear_w"]
+                  + params["linear_b"])
+        return (h, c, jnp.argmax(logits, axis=-1)), (h, alpha)
+
+    _, (hiddens, alphas) = jax.lax.scan(
+        body, (h0, c0, captions[:, 0]), (jnp.swapaxes(emb_seq, 0, 1), coins)
+    )
+    return jnp.swapaxes(hiddens, 0, 1), jnp.swapaxes(alphas, 0, 1)

@@ -122,6 +122,39 @@ def forward(
     prediction (``model.py:180-191``).  ``teacher_forcing_ratio=0`` gives the
     fully free-running validation path (``train_multitask.py:295-299``).
     """
+    if isinstance(teacher_forcing_ratio, float) and teacher_forcing_ratio >= 1.0:
+        hiddens = forward_hiddens(
+            params, cfg, captions, features, style, teacher_forcing_ratio,
+            rng, train, fused_scan)
+        # the vocab head runs ONCE over all timesteps — a (B*T, H) @ (H, V)
+        # MXU matmul instead of T small ones
+        return hiddens @ params["C_w"] + params["C_b"]
+
+    teacher_inputs, coins, style, (h0, c0) = _prep_forward(
+        params, cfg, captions, features, style, teacher_forcing_ratio, rng,
+        train)
+
+    def body(carry, xs):
+        (h, c, prev) = carry
+        x_teacher, coin = xs
+        x_free = embed(params, prev)
+        x = jnp.where(coin, x_teacher, x_free)
+        h, c = factored_lstm_cell(params, x, h, c, style)
+        logits = output_logits(params, h)
+        prev = jnp.argmax(logits, axis=-1)
+        return (h, c, prev), logits
+
+    prev0 = captions[:, 0]
+    _, logits = jax.lax.scan(
+        body, (h0, c0, prev0), (jnp.swapaxes(teacher_inputs, 0, 1), coins)
+    )
+    return jnp.swapaxes(logits, 0, 1)  # (B, T, V)
+
+
+def _prep_forward(params, cfg, captions, features, style,
+                  teacher_forcing_ratio, rng, train):
+    """Shared training-forward prologue: embedded (dropped-out) teacher
+    inputs with the feature prepended, per-step coins, initial state."""
     b, t = captions.shape
     if rng is None:
         rng = jax.random.PRNGKey(0)
@@ -139,14 +172,42 @@ def forward(
     else:
         teacher_inputs = emb
 
-    style = jnp.asarray(style)
-    h0, c0 = initial_state(b, cfg, emb.dtype)
+    if (isinstance(teacher_forcing_ratio, float)
+            and teacher_forcing_ratio >= 1.0):
+        coins = None
+    else:
+        coins = jax.random.bernoulli(k_tf, teacher_forcing_ratio, (t,))
+    return teacher_inputs, coins, jnp.asarray(style), initial_state(
+        b, cfg, emb.dtype)
 
-    if isinstance(teacher_forcing_ratio, float) and teacher_forcing_ratio >= 1.0:
+
+def forward_hiddens(
+    params: dict,
+    cfg: DecoderConfig,
+    captions: jax.Array,
+    features: Optional[jax.Array],
+    style: jax.Array | int,
+    teacher_forcing_ratio: float = 0.8,
+    rng: Optional[jax.Array] = None,
+    train: bool = True,
+    fused_scan: bool = False,
+) -> jax.Array:
+    """Training forward -> hidden states (B, T, H); same semantics as
+    :func:`forward` with the vocab head left to the caller.
+
+    The chunked training loss (``ops/chunked_loss.py``) consumes this so the
+    (B, T, V) logits never materialize in HBM.  On the scheduled-sampling
+    path the head still runs per step to pick the argmax feedback token, but
+    those transient logits carry no gradient (argmax is non-differentiable)
+    and are never stacked.
+    """
+    teacher_inputs, coins, style, (h0, c0) = _prep_forward(
+        params, cfg, captions, features, style, teacher_forcing_ratio, rng,
+        train)
+
+    if coins is None:
         # fully teacher-forced fast path (ratio 1.0 == the reference's
-        # always-true coin): no argmax feedback is consumed, so the scan
-        # carries only (h, c) and the vocab head runs ONCE over all
-        # timesteps — a (B*T, H) @ (H, V) MXU matmul instead of T small ones
+        # always-true coin): no argmax feedback, scan carries only (h, c)
         if fused_scan:
             # Pallas fused time scan: cell weights VMEM-resident across all
             # timesteps, custom_vjp backward (ops/pallas_lstm.py)
@@ -156,19 +217,16 @@ def forward(
                       ("V_w", "V_b", "U_w", "U_b", "W_w", "W_b")}
             sliced["S_w"] = jnp.take(params["S_w"], style, axis=0)
             sliced["S_b"] = jnp.take(params["S_b"], style, axis=0)
-            hiddens = fused_factored_scan(sliced, teacher_inputs)
-        else:
-            def cell_body(carry, x_t):
-                h, c = carry
-                h, c = factored_lstm_cell(params, x_t, h, c, style)
-                return (h, c), h
+            return fused_factored_scan(sliced, teacher_inputs)
 
-            _, hiddens = jax.lax.scan(
-                cell_body, (h0, c0), jnp.swapaxes(teacher_inputs, 0, 1))
-            hiddens = jnp.swapaxes(hiddens, 0, 1)  # (B, T, H)
-        return hiddens @ params["C_w"] + params["C_b"]
+        def cell_body(carry, x_t):
+            h, c = carry
+            h, c = factored_lstm_cell(params, x_t, h, c, style)
+            return (h, c), h
 
-    coins = jax.random.bernoulli(k_tf, teacher_forcing_ratio, (t,))
+        _, hiddens = jax.lax.scan(
+            cell_body, (h0, c0), jnp.swapaxes(teacher_inputs, 0, 1))
+        return jnp.swapaxes(hiddens, 0, 1)  # (B, T, H)
 
     def body(carry, xs):
         (h, c, prev) = carry
@@ -176,15 +234,15 @@ def forward(
         x_free = embed(params, prev)
         x = jnp.where(coin, x_teacher, x_free)
         h, c = factored_lstm_cell(params, x, h, c, style)
-        logits = output_logits(params, h)
+        logits = output_logits(params, jax.lax.stop_gradient(h))
         prev = jnp.argmax(logits, axis=-1)
-        return (h, c, prev), logits
+        return (h, c, prev), h
 
     prev0 = captions[:, 0]
-    _, logits = jax.lax.scan(
+    _, hiddens = jax.lax.scan(
         body, (h0, c0, prev0), (jnp.swapaxes(teacher_inputs, 0, 1), coins)
     )
-    return jnp.swapaxes(logits, 0, 1)  # (B, T, V)
+    return jnp.swapaxes(hiddens, 0, 1)  # (B, T, H)
 
 
 # --- parameter-group helpers (optimizer masking) -------------------------

@@ -102,6 +102,30 @@ def forward(
     """Training forward -> logits (B, T, V); semantics identical to the
     FactoredLSTM forward (feature prepended as step-0 input,
     ``nic/model.py:82-111``)."""
+    if isinstance(teacher_forcing_ratio, float) and teacher_forcing_ratio >= 1.0:
+        hiddens = forward_hiddens(params, cfg, captions, features,
+                                  teacher_forcing_ratio, rng, train)
+        return hiddens @ params["linear_w"] + params["linear_b"]
+
+    teacher_inputs, coins, (h0, c0) = _prep_forward(
+        params, cfg, captions, features, teacher_forcing_ratio, rng, train)
+
+    def body(carry, xs):
+        h, c, prev = carry
+        x_teacher, coin = xs
+        x = jnp.where(coin, x_teacher, embed(params, prev))
+        h, c = lstm_cell(params["cell"], x, h, c)
+        logits = output_logits(params, h)
+        return (h, c, jnp.argmax(logits, axis=-1)), logits
+
+    _, logits = jax.lax.scan(
+        body, (h0, c0, captions[:, 0]), (jnp.swapaxes(teacher_inputs, 0, 1), coins)
+    )
+    return jnp.swapaxes(logits, 0, 1)
+
+
+def _prep_forward(params, cfg, captions, features, teacher_forcing_ratio,
+                  rng, train):
     b, t = captions.shape
     if rng is None:
         rng = jax.random.PRNGKey(0)
@@ -119,21 +143,51 @@ def forward(
     else:
         teacher_inputs = emb
 
-    coins = jax.random.bernoulli(k_tf, teacher_forcing_ratio, (t,))
+    if (isinstance(teacher_forcing_ratio, float)
+            and teacher_forcing_ratio >= 1.0):
+        coins = None
+    else:
+        coins = jax.random.bernoulli(k_tf, teacher_forcing_ratio, (t,))
+    return teacher_inputs, coins, initial_state(b, cfg, emb.dtype)
+
+
+def forward_hiddens(
+    params: dict,
+    cfg: DecoderConfig,
+    captions: jax.Array,
+    features: Optional[jax.Array],
+    teacher_forcing_ratio: float = 0.8,
+    rng: Optional[jax.Array] = None,
+    train: bool = True,
+) -> jax.Array:
+    """Training forward -> hidden states (B, T, H); the vocab head is left
+    to the caller (see ``ops/chunked_loss.py`` and the FactoredLSTM
+    counterpart for semantics)."""
+    teacher_inputs, coins, (h0, c0) = _prep_forward(
+        params, cfg, captions, features, teacher_forcing_ratio, rng, train)
+
+    if coins is None:
+        def cell_body(carry, x_t):
+            h, c = carry
+            h, c = lstm_cell(params["cell"], x_t, h, c)
+            return (h, c), h
+
+        _, hiddens = jax.lax.scan(
+            cell_body, (h0, c0), jnp.swapaxes(teacher_inputs, 0, 1))
+        return jnp.swapaxes(hiddens, 0, 1)
 
     def body(carry, xs):
         h, c, prev = carry
         x_teacher, coin = xs
         x = jnp.where(coin, x_teacher, embed(params, prev))
         h, c = lstm_cell(params["cell"], x, h, c)
-        logits = output_logits(params, h)
-        return (h, c, jnp.argmax(logits, axis=-1)), logits
+        logits = output_logits(params, jax.lax.stop_gradient(h))
+        return (h, c, jnp.argmax(logits, axis=-1)), h
 
-    h0, c0 = initial_state(b, cfg, emb.dtype)
-    _, logits = jax.lax.scan(
+    _, hiddens = jax.lax.scan(
         body, (h0, c0, captions[:, 0]), (jnp.swapaxes(teacher_inputs, 0, 1), coins)
     )
-    return jnp.swapaxes(logits, 0, 1)
+    return jnp.swapaxes(hiddens, 0, 1)
 
 
 # --- multi-layer LSTM (seq2seq building block) ---------------------------

@@ -71,8 +71,14 @@ def _scheduled_rnn(
     teacher_forcing_ratio: float,
     rng: jax.Array,
     train: bool,
+    return_hiddens: bool = False,
 ) -> Tuple[jax.Array, State]:
-    """Shared teacher-forced loop (``seq2seq/model.py:68-98,162-191``)."""
+    """Shared teacher-forced loop (``seq2seq/model.py:68-98,162-191``).
+
+    With ``return_hiddens`` the scan emits the top-layer hidden states
+    (B, T, H) instead of logits, for the chunked training loss
+    (``ops/chunked_loss.py``); the head still runs per step to pick the
+    argmax feedback token (no gradient; never stacked)."""
     b, t = tokens.shape
     k_drop, k_tf = jax.random.split(rng)
     emb = jnp.take(half["embed"], tokens, axis=0)
@@ -99,14 +105,16 @@ def _scheduled_rnn(
         x_teacher, coin = xs
         x = jnp.where(coin, x_teacher, jnp.take(half["embed"], prev, axis=0))
         top, h, c = multilayer_lstm_cell(layers, x, h, c)
-        logits = top @ half["linear_w"] + half["linear_b"]
-        return (h, c, jnp.argmax(logits, axis=-1)), logits
+        head_in = jax.lax.stop_gradient(top) if return_hiddens else top
+        logits = head_in @ half["linear_w"] + half["linear_b"]
+        out = top if return_hiddens else logits
+        return (h, c, jnp.argmax(logits, axis=-1)), out
 
-    (h, c, _), logits = jax.lax.scan(
+    (h, c, _), outs = jax.lax.scan(
         body, (state[0], state[1], tokens[:, 0]),
         (jnp.swapaxes(teacher_inputs, 0, 1), coins),
     )
-    return jnp.swapaxes(logits, 0, 1), (h, c)
+    return jnp.swapaxes(outs, 0, 1), (h, c)
 
 
 def encode(

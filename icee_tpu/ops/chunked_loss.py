@@ -1,0 +1,147 @@
+"""Chunked cross-entropy from hidden states — (B, T, V) logits never in HBM.
+
+The reference training loss is ``CrossEntropyLoss()(logits, targets)`` over
+the packed token stream (``stylenet/train_multitask.py:300``) computed from
+fully materialized logits.  At production batch sizes that logits tensor
+dominates the training step: at B=512, T=25, V=8192 it is 420 MB written by
+the forward, re-read by the log-softmax, and re-read (plus its softmax
+residuals) by the backward.  The round-3 attribution probe
+(``scripts/probe_train_bwd.py``) measured the full fwd+bwd at 47.3 ms, of
+which only ~5 ms is the LSTM chain — the rest is this HBM traffic.
+
+This module computes the *identical* masked token-mean CE directly from the
+(B, T, H) hidden states in TIME chunks with a :func:`jax.custom_vjp`:
+
+- forward: for each chunk of ``t_chunk`` timesteps, compute the (B, tc, V)
+  logits on the MXU, reduce to the chunk's logsumexp and target-logit
+  contributions, discard the logits — only the (B, tc) logsumexp residuals
+  are kept for the backward;
+- backward: recompute each chunk's logits, form the softmax gradient in
+  place (``p - onehot``, fused by XLA into the consuming matmuls), and
+  accumulate dW/db/dx per chunk.
+
+Same-session TPU measurement (B=512/T=25/V=8192): 10.5 ms vs 47.3 ms full
+fwd+bwd, grads matching the materialized loss to <=2e-7 max|diff|.
+
+Chunking along TIME (not flat rows) keeps the batch dimension intact, so
+the data-parallel trainers shard it over the mesh's data axis with no
+resharding, and the head's vocab dimension stays free for tensor-parallel
+GSPMD propagation (the logsumexp's vocab reduction turns into the same
+model-axis collective the materialized log-softmax needs).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+
+def auto_t_chunk(batch: int, t: int, target_rows: int = 2048) -> int:
+    """Timesteps per chunk so that ``batch * t_chunk`` ~ ``target_rows``
+    (the probe's sweet spot; smaller chunks re-read the head more often,
+    larger ones re-grow the logits working set)."""
+    return max(1, min(t, -(-target_rows // max(batch, 1))))
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(5,))
+def _weighted_ce(hiddens, head_w, head_b, targets, weights, t_chunk):
+    loss, _ = _ce_forward(hiddens, head_w, head_b, targets, weights, t_chunk)
+    return loss
+
+
+def _to_chunks(x, t_chunk):
+    """(B, T, ...) -> (n_chunks, B, t_chunk, ...), zero-padding T."""
+    b, t = x.shape[:2]
+    pad = (-t) % t_chunk
+    if pad:
+        x = jnp.pad(x, ((0, 0), (0, pad)) + ((0, 0),) * (x.ndim - 2))
+    x = x.reshape((b, -1, t_chunk) + x.shape[2:])
+    return jnp.moveaxis(x, 1, 0)
+
+
+def _ce_forward(hiddens, head_w, head_b, targets, weights, t_chunk):
+    v = head_w.shape[-1]
+    xc = _to_chunks(hiddens, t_chunk)
+    tc = _to_chunks(targets, t_chunk)
+    wc = _to_chunks(weights, t_chunk)
+
+    def body(acc, xs):
+        x, tt, ww = xs
+        logits = (x @ head_w + head_b).astype(jnp.float32)  # (B, tc, V)
+        m = jnp.max(logits, axis=-1)
+        lse = m + jnp.log(jnp.sum(jnp.exp(logits - m[..., None]), axis=-1))
+        # padded timesteps carry zero weight, so their (token-0) target
+        # contribution vanishes
+        tgt = jnp.sum(
+            logits * jax.nn.one_hot(tt, v, dtype=logits.dtype), axis=-1)
+        return acc + jnp.sum(ww * (lse - tgt)), lse
+
+    loss, lses = jax.lax.scan(
+        body, jnp.asarray(0.0, jnp.float32), (xc, tc, wc))
+    return loss, lses
+
+
+def _ce_fwd(hiddens, head_w, head_b, targets, weights, t_chunk):
+    loss, lses = _ce_forward(hiddens, head_w, head_b, targets, weights,
+                             t_chunk)
+    return loss, (hiddens, head_w, head_b, targets, weights, lses)
+
+
+def _ce_bwd(t_chunk, res, g):
+    hiddens, head_w, head_b, targets, weights, lses = res
+    b, t = targets.shape
+    v = head_w.shape[-1]
+    xc = _to_chunks(hiddens, t_chunk)
+    tc = _to_chunks(targets, t_chunk)
+    wc = _to_chunks(weights, t_chunk)
+    w32 = head_w.astype(jnp.float32)
+
+    def body(carry, xs):
+        d_w, d_b = carry
+        x, tt, ww, lse = xs
+        logits = (x @ head_w + head_b).astype(jnp.float32)
+        p = jnp.exp(logits - lse[..., None])
+        dl = (p - jax.nn.one_hot(tt, v, dtype=jnp.float32))
+        dl = dl * (ww * g)[..., None]                        # (B, tc, V)
+        dx = jnp.einsum("btv,hv->bth", dl, w32).astype(x.dtype)
+        d_w = d_w + jnp.einsum("bth,btv->hv", x.astype(jnp.float32), dl)
+        d_b = d_b + jnp.sum(dl, axis=(0, 1))
+        return (d_w, d_b), dx
+
+    (d_w, d_b), dxc = jax.lax.scan(
+        body,
+        (jnp.zeros(head_w.shape, jnp.float32),
+         jnp.zeros(head_b.shape, jnp.float32)),
+        (xc, tc, wc, lses))
+    dx = jnp.moveaxis(dxc, 0, 1).reshape(b, -1, hiddens.shape[-1])[:, :t]
+    return (dx, d_w.astype(head_w.dtype), d_b.astype(head_b.dtype),
+            None, None)
+
+
+_weighted_ce.defvjp(_ce_fwd, _ce_bwd)
+
+
+def masked_ce_from_hiddens(
+    hiddens: jax.Array,            # (B, T, H)
+    head_w: jax.Array,             # (H, V)
+    head_b: jax.Array,             # (V,)
+    targets: jax.Array,            # (B, T) int
+    lengths: jax.Array,            # (B,)
+    sample_mask: Optional[jax.Array] = None,  # (B,) bool
+    t_chunk: Optional[int] = None,
+) -> jax.Array:
+    """Token-mean masked CE, numerically equal to
+    ``masked_cross_entropy(hiddens @ head_w + head_b, ...)``
+    (``evaluation/metrics.py``) without materializing the logits."""
+    b, t = targets.shape
+    mask = jnp.arange(t)[None, :] < lengths[:, None]
+    if sample_mask is not None:
+        mask = mask & sample_mask[:, None]
+    denom = jnp.maximum(jnp.sum(mask), 1)
+    weights = mask.astype(jnp.float32) / denom
+    if t_chunk is None:
+        t_chunk = auto_t_chunk(b, t)
+    return _weighted_ce(hiddens, head_w, head_b, targets, weights, t_chunk)

@@ -41,6 +41,7 @@ from icee_tpu.evaluation.metrics import (
 )
 from icee_tpu.models import attention as att_mod
 from icee_tpu.models import encoder as enc_mod
+from icee_tpu.ops.chunked_loss import masked_ce_from_hiddens
 from icee_tpu.models import factored_lstm as fl
 from icee_tpu.models import lstm as nic
 from icee_tpu.models import seq2seq as s2s
@@ -89,10 +90,20 @@ def make_caption_steps(
     use_fused = tcfg.fused_scan
     if use_fused is None:  # auto: the kernel wins ~5% on TPU, interpret-slow elsewhere
         use_fused = jax.default_backend() == "tpu"
+    use_chunked = tcfg.chunked_ce
+    if use_chunked is None:  # auto: 4.5x at large batch on TPU (chunked_loss.py)
+        use_chunked = jax.default_backend() == "tpu"
     fwd = (functools.partial(fl.forward, fused_scan=use_fused)
            if factored else
            lambda p, c, caps, feats, style, **kw: nic.forward(p, c, caps, feats, **kw)
     )
+    fwd_h = (functools.partial(fl.forward_hiddens, fused_scan=use_fused)
+             if factored else
+             lambda p, c, caps, feats, style, **kw: nic.forward_hiddens(
+                 p, c, caps, feats, **kw)
+    )
+    head_of = ((lambda d: (d["C_w"], d["C_b"])) if factored
+               else (lambda d: (d["linear_w"], d["linear_b"])))
 
     def _forward(dec, head, pooled, captions, style, rng, train, tf_ratio):
         feats, new_head = enc_mod.encode_global_from_pooled(
@@ -102,17 +113,31 @@ def make_caption_steps(
                      teacher_forcing_ratio=tf_ratio, rng=rng, train=train)
         return logits, new_head
 
+    def _train_loss(d, h, pooled, captions, lengths, sample_mask, style, rng):
+        """Masked token-mean CE of the training forward; with chunked_ce the
+        (B, T, V) logits never materialize (ops/chunked_loss.py)."""
+        if not use_chunked:
+            logits, new_head = _forward(
+                d, h, pooled, captions, style, rng, True,
+                tcfg.teacher_forcing_ratio)
+            return masked_cross_entropy(
+                logits, captions, lengths, sample_mask), new_head
+        feats, new_head = enc_mod.encode_global_from_pooled(
+            h, pooled, train=True)
+        hiddens = fwd_h(d, cfg, captions, feats, style=style,
+                        teacher_forcing_ratio=tcfg.teacher_forcing_ratio,
+                        rng=rng, train=True)
+        head_w, head_b = head_of(d)
+        return masked_ce_from_hiddens(
+            hiddens, head_w, head_b, captions, lengths, sample_mask), new_head
+
     @jax.jit
     def factual_train_step(dec, head, opt_state, pooled, captions, lengths,
                            sample_mask, rng):
         def loss_fn(trainable):
             d, h = trainable
-            logits, new_head = _forward(
-                d, h, pooled, captions, jnp.asarray(0), rng, True,
-                tcfg.teacher_forcing_ratio,
-            )
-            loss = masked_cross_entropy(logits, captions, lengths, sample_mask)
-            return loss, new_head
+            return _train_loss(d, h, pooled, captions, lengths, sample_mask,
+                               jnp.asarray(0), rng)
 
         (loss, new_head), grads = jax.value_and_grad(loss_fn, has_aux=True)(
             (dec, head)
@@ -126,12 +151,8 @@ def make_caption_steps(
     def emotion_train_step(dec, head, opt_state, pooled, captions, lengths,
                            sample_mask, style, rng):
         def loss_fn(d):
-            logits, new_head = _forward(
-                d, head, pooled, captions, style, rng, True,
-                tcfg.teacher_forcing_ratio,
-            )
-            loss = masked_cross_entropy(logits, captions, lengths, sample_mask)
-            return loss, new_head
+            return _train_loss(d, head, pooled, captions, lengths,
+                               sample_mask, style, rng)
 
         (loss, new_head), grads = jax.value_and_grad(loss_fn, has_aux=True)(dec)
         updates, opt_state = lang_optimizer.update(grads, opt_state, dec)
@@ -170,6 +191,9 @@ def make_attention_steps(
     Inputs/targets are shifted: model consumes ``captions[:, :-1]`` and
     predicts ``captions[:, 1:]`` with lengths-1.
     """
+    use_chunked = tcfg.chunked_ce
+    if use_chunked is None:  # auto: 4.5x at large batch on TPU (chunked_loss.py)
+        use_chunked = jax.default_backend() == "tpu"
 
     def _forward(dec, features, captions_in, style, rng, train, tf_ratio):
         if factored:
@@ -197,21 +221,54 @@ def make_attention_steps(
         )
         return ce + tcfg.alpha_c * att_reg, (logits, targets, tgt_len)
 
+    def _att_reg(alphas, tgt_len, sample_mask):
+        mask = length_mask(tgt_len, alphas.shape[1]) & sample_mask[:, None]
+        a = jnp.where(mask[..., None], alphas, 0.0)
+        n_valid_rows = jnp.maximum(jnp.sum(sample_mask), 1)
+        return jnp.sum(
+            (1.0 - jnp.sum(a, axis=1)) ** 2 * sample_mask[:, None]
+        ) / (n_valid_rows * alphas.shape[-1])
+
+    def _train_loss(dec, features, captions, lengths, sample_mask, style,
+                    rng):
+        """CE + doubly-stochastic regularizer; with chunked_ce the (B,T,V)
+        logits never materialize (ops/chunked_loss.py)."""
+        if not use_chunked:
+            return _loss(dec, features, captions, lengths, sample_mask,
+                         style, rng, True, tcfg.teacher_forcing_ratio)[0]
+        captions_in = captions[:, :-1]
+        targets = captions[:, 1:]
+        tgt_len = jnp.maximum(lengths - 1, 0)
+        if factored:
+            hiddens, alphas = att_mod.factored_att_forward_hiddens(
+                dec, cfg, captions_in, features, style,
+                teacher_forcing_ratio=tcfg.teacher_forcing_ratio, rng=rng,
+                train=True)
+            head_w, head_b = dec["C_w"], dec["C_b"]
+        else:
+            hiddens, alphas = att_mod.rnn_att_forward_hiddens(
+                dec, cfg, captions_in, features,
+                teacher_forcing_ratio=tcfg.teacher_forcing_ratio, rng=rng,
+                train=True)
+            head_w, head_b = dec["linear_w"], dec["linear_b"]
+        ce = masked_ce_from_hiddens(hiddens, head_w, head_b, targets,
+                                    tgt_len, sample_mask)
+        return ce + tcfg.alpha_c * _att_reg(alphas, tgt_len, sample_mask)
+
     @jax.jit
     def factual_train_step(dec, opt_state, features, captions, lengths,
                            sample_mask, rng):
-        (loss, _), grads = jax.value_and_grad(_loss, has_aux=True)(
-            dec, features, captions, lengths, sample_mask, jnp.asarray(0), rng,
-            True, tcfg.teacher_forcing_ratio)
+        loss, grads = jax.value_and_grad(_train_loss)(
+            dec, features, captions, lengths, sample_mask, jnp.asarray(0),
+            rng)
         updates, opt_state = optimizer.update(grads, opt_state, dec)
         return optax.apply_updates(dec, updates), opt_state, loss
 
     @jax.jit
     def emotion_train_step(dec, opt_state, features, captions, lengths,
                            sample_mask, style, rng):
-        (loss, _), grads = jax.value_and_grad(_loss, has_aux=True)(
-            dec, features, captions, lengths, sample_mask, style, rng,
-            True, tcfg.teacher_forcing_ratio)
+        loss, grads = jax.value_and_grad(_train_loss)(
+            dec, features, captions, lengths, sample_mask, style, rng)
         updates, opt_state = lang_optimizer.update(grads, opt_state, dec)
         return optax.apply_updates(dec, updates), opt_state, loss
 

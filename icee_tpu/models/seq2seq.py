@@ -125,6 +125,7 @@ def encode(
     teacher_forcing_ratio: float = 0.5,
     rng: Optional[jax.Array] = None,
     train: bool = True,
+    return_hiddens: bool = False,
 ) -> Tuple[jax.Array, State]:
     """EncoderRNN.forward: feature-prefixed autoencoding pass
     (``seq2seq/model.py:68-98``)."""
@@ -132,7 +133,7 @@ def encode(
         rng = jax.random.PRNGKey(0)
     return _scheduled_rnn(
         params["encoder"], cfg, src_tokens, features, None,
-        teacher_forcing_ratio, rng, train,
+        teacher_forcing_ratio, rng, train, return_hiddens,
     )
 
 
@@ -145,16 +146,18 @@ def decode_emotion(
     teacher_forcing_ratio: float = 0.5,
     rng: Optional[jax.Array] = None,
     train: bool = True,
+    return_hiddens: bool = False,
 ) -> jax.Array:
     """Per-emotion DecoderRNN.forward from the encoder's final state
     (``seq2seq/model.py:162-191``)."""
     if rng is None:
         rng = jax.random.PRNGKey(0)
     half = select_decoder(params, jnp.asarray(emotion))
-    logits, _ = _scheduled_rnn(
-        half, cfg, dst_tokens, None, state, teacher_forcing_ratio, rng, train
+    out, _ = _scheduled_rnn(
+        half, cfg, dst_tokens, None, state, teacher_forcing_ratio, rng, train,
+        return_hiddens,
     )
-    return logits
+    return out
 
 
 def forward(

@@ -298,6 +298,9 @@ def make_seq2seq_steps(
     ``emotion_optimizer`` covers the stacked emotion decoders with a
     per-emotion slice mask applied at call time (reference keeps one Adam per
     emotion decoder, ``seq2seq/train.py:141-158``)."""
+    use_chunked = tcfg.chunked_ce
+    if use_chunked is None:  # auto: 4.5x at large batch on TPU (chunked_loss.py)
+        use_chunked = jax.default_backend() == "tpu"
 
     @jax.jit
     def factual_train_step(params, head, opt_state, pooled, captions, lengths,
@@ -307,6 +310,13 @@ def make_seq2seq_steps(
             feats, new_head = enc_mod.encode_global_from_pooled(h, pooled, True)
             p = dict(params)
             p["encoder"] = enc_half
+            if use_chunked:
+                hiddens, _ = s2s.encode(p, cfg, feats, captions,
+                                        tcfg.teacher_forcing_ratio, rng, True,
+                                        return_hiddens=True)
+                return masked_ce_from_hiddens(
+                    hiddens, enc_half["linear_w"], enc_half["linear_b"],
+                    captions, lengths, sample_mask), new_head
             logits, _ = s2s.encode(p, cfg, feats, captions,
                                    tcfg.teacher_forcing_ratio, rng, True)
             return masked_cross_entropy(logits, captions, lengths,
@@ -331,6 +341,22 @@ def make_seq2seq_steps(
             p = dict(params)
             p["decoders"] = decoders
             feats, _ = enc_mod.encode_global_from_pooled(head, pooled, True)
+            if use_chunked:
+                # same rng split as s2s.forward; the encoder pass's logits
+                # also stay unmaterialized (only its state feeds the loss)
+                k_enc, k_dec = jax.random.split(rng)
+                _, state = s2s.encode(p, cfg, feats, captions_src,
+                                      tcfg.teacher_forcing_ratio, k_enc,
+                                      True, return_hiddens=True)
+                hiddens = s2s.decode_emotion(
+                    p, cfg, state, captions_dst[:, :-1], emotion,
+                    tcfg.teacher_forcing_ratio, k_dec, True,
+                    return_hiddens=True)
+                half = s2s.select_decoder(p, emotion)
+                return masked_ce_from_hiddens(
+                    hiddens, half["linear_w"], half["linear_b"],
+                    captions_dst[:, 1:], jnp.maximum(dst_lengths - 1, 0),
+                    sample_mask)
             logits = s2s.forward(
                 p, cfg, feats, (captions_src, src_lengths),
                 (captions_dst[:, :-1], dst_lengths - 1), emotion,

@@ -195,3 +195,45 @@ def test_attention_step_chunked_matches_materialized(rng, factored, ratio):
             lambda a, b: np.testing.assert_allclose(
                 np.asarray(a), np.asarray(b), rtol=0, atol=2e-4),
             ck[i], base[i])
+
+
+@pytest.mark.parametrize("ratio", [1.0, 0.7])
+def test_seq2seq_step_chunked_matches_materialized(rng, ratio):
+    from icee_tpu.core.config import Seq2SeqConfig
+    from icee_tpu.models import seq2seq as s2s
+    from icee_tpu.train.steps import make_seq2seq_steps
+
+    scfg = Seq2SeqConfig(vocab_size=33, embed_size=12, hidden_size=16,
+                         num_layers=2, dropout=0.0)
+    params = s2s.init_params(jax.random.PRNGKey(0), scfg)
+    head = enc_mod.init_head_params(jax.random.PRNGKey(1),
+                                    EncoderConfig(embed_size=12))
+    b, t = 5, 8
+    pooled = jnp.asarray(rng.standard_normal((b, 2048)), jnp.float32)
+    caps = jnp.asarray(rng.integers(0, 33, (b, t)), jnp.int32)
+    lens = jnp.asarray(rng.integers(2, t + 1, (b,)), jnp.int32)
+    smask = jnp.asarray([True, False, True, True, True])
+    opt = optax.adam(1e-3)
+    key = jax.random.PRNGKey(4)
+
+    outs = {}
+    for chunked in (False, True):
+        tcfg = TrainConfig(teacher_forcing_ratio=ratio, chunked_ce=chunked)
+        fac, emo, _, _ = make_seq2seq_steps(scfg, tcfg, opt, opt)
+        p1, h1, _, loss1 = fac(params, head, opt.init(
+            (params["encoder"], head)), pooled, caps, lens, smask, key)
+        p2, _, loss2 = emo(params, head, opt.init(params["decoders"]),
+                           pooled, caps, lens, caps, lens, smask,
+                           jnp.asarray(1), key)
+        outs[chunked] = (p1, h1, loss1, p2, loss2)
+
+    base, ck = outs[False], outs[True]
+    np.testing.assert_allclose(float(ck[2]), float(base[2]),
+                               rtol=1e-6, atol=1e-6)
+    np.testing.assert_allclose(float(ck[4]), float(base[4]),
+                               rtol=1e-6, atol=1e-6)
+    for i in (0, 1, 3):  # see the Adam-noise note above
+        jax.tree_util.tree_map(
+            lambda a, b: np.testing.assert_allclose(
+                np.asarray(a), np.asarray(b), rtol=0, atol=2e-4),
+            ck[i], base[i])

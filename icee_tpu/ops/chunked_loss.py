@@ -46,9 +46,15 @@ def auto_t_chunk(batch: int, t: int, target_rows: int = 2048) -> int:
     return max(1, min(t, -(-target_rows // max(batch, 1))))
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(5,))
-def _weighted_ce(hiddens, head_w, head_b, targets, weights, t_chunk):
-    loss, _ = _ce_forward(hiddens, head_w, head_b, targets, weights, t_chunk)
+@functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6))
+def _weighted_ce(hiddens, head_w, head_b, targets, weights, t_chunk,
+                 clamp=None):
+    """sum(weights * nll) with nll = lse - tgt_logit, optionally clamped to
+    ``min(nll, clamp)`` — the SentiCap ``-log(max(p, 1e-37))`` quirk
+    (``senticap/mrnn/mrnn.py:560-567``); clamped positions get zero
+    gradient, exactly like the materialized ``max``."""
+    loss, _ = _ce_forward(hiddens, head_w, head_b, targets, weights, t_chunk,
+                          clamp)
     return loss
 
 
@@ -62,7 +68,8 @@ def _to_chunks(x, t_chunk):
     return jnp.moveaxis(x, 1, 0)
 
 
-def _ce_forward(hiddens, head_w, head_b, targets, weights, t_chunk):
+def _ce_forward(hiddens, head_w, head_b, targets, weights, t_chunk,
+                clamp=None):
     v = head_w.shape[-1]
     xc = _to_chunks(hiddens, t_chunk)
     tc = _to_chunks(targets, t_chunk)
@@ -77,20 +84,23 @@ def _ce_forward(hiddens, head_w, head_b, targets, weights, t_chunk):
         # contribution vanishes
         tgt = jnp.sum(
             logits * jax.nn.one_hot(tt, v, dtype=logits.dtype), axis=-1)
-        return acc + jnp.sum(ww * (lse - tgt)), lse
+        nll = lse - tgt
+        if clamp is not None:
+            nll = jnp.minimum(nll, jnp.float32(clamp))
+        return acc + jnp.sum(ww * nll), lse
 
     loss, lses = jax.lax.scan(
         body, jnp.asarray(0.0, jnp.float32), (xc, tc, wc))
     return loss, lses
 
 
-def _ce_fwd(hiddens, head_w, head_b, targets, weights, t_chunk):
+def _ce_fwd(hiddens, head_w, head_b, targets, weights, t_chunk, clamp=None):
     loss, lses = _ce_forward(hiddens, head_w, head_b, targets, weights,
-                             t_chunk)
+                             t_chunk, clamp)
     return loss, (hiddens, head_w, head_b, targets, weights, lses)
 
 
-def _ce_bwd(t_chunk, res, g):
+def _ce_bwd(t_chunk, clamp, res, g):
     hiddens, head_w, head_b, targets, weights, lses = res
     b, t = targets.shape
     v = head_w.shape[-1]
@@ -105,7 +115,12 @@ def _ce_bwd(t_chunk, res, g):
         logits = (x @ head_w + head_b).astype(jnp.float32)
         p = jnp.exp(logits - lse[..., None])
         dl = (p - jax.nn.one_hot(tt, v, dtype=jnp.float32))
-        dl = dl * (ww * g)[..., None]                        # (B, tc, V)
+        scale = ww * g
+        if clamp is not None:
+            tgt = jnp.sum(
+                logits * jax.nn.one_hot(tt, v, dtype=logits.dtype), axis=-1)
+            scale = scale * (lse - tgt < jnp.float32(clamp))
+        dl = dl * scale[..., None]                           # (B, tc, V)
         dx = jnp.einsum("btv,hv->bth", dl, w32).astype(x.dtype)
         d_w = d_w + jnp.einsum("bth,btv->hv", x.astype(jnp.float32), dl)
         d_b = d_b + jnp.sum(dl, axis=(0, 1))
@@ -145,3 +160,23 @@ def masked_ce_from_hiddens(
     if t_chunk is None:
         t_chunk = auto_t_chunk(b, t)
     return _weighted_ce(hiddens, head_w, head_b, targets, weights, t_chunk)
+
+
+def masked_sum_ce_from_hiddens(
+    hiddens: jax.Array,      # (B, T, H)
+    head_w: jax.Array,       # (H, V)
+    head_b: jax.Array,       # (V,)
+    targets: jax.Array,      # (B, T) int
+    mask: jax.Array,         # (B, T) float/bool weights
+    clamp: Optional[float] = None,
+    t_chunk: Optional[int] = None,
+) -> jax.Array:
+    """Masked token-SUM CE (the SentiCap convention, ``mrnn.py:560-567``):
+    ``sum(mask * -log(max(softmax(hh @ W + b)[y], exp(-clamp))))`` without
+    materializing the probabilities."""
+    b, t = targets.shape
+    weights = mask.astype(jnp.float32)
+    if t_chunk is None:
+        t_chunk = auto_t_chunk(b, t)
+    return _weighted_ce(hiddens, head_w, head_b, targets, weights, t_chunk,
+                        clamp)

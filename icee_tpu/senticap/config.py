@@ -47,6 +47,10 @@ def senticap_conf(**overrides: Any) -> Dict[str, Any]:
         "FIXED_ALPHA": 0.5,
         "SIMILAR_PARAM_REG": 1e-3,
         "MIN_WORD_FREQ": 5,
+        # icee_tpu extension (no reference counterpart): chunked training
+        # loss — the (B, T, V) distributions never materialize
+        # (ops/chunked_loss.py).  None = auto: on for the TPU backend.
+        "CHUNKED_CE": None,
     }
     conf.update(overrides)
     return conf

@@ -163,12 +163,20 @@ def forward(
     use_visual: bool = True,
     x_drop: Optional[jax.Array] = None,   # (B, T, E) input dropout masks
     y_drop: Optional[jax.Array] = None,   # (B, T, H) output dropout masks
+    return_hiddens: bool = False,
 ) -> jax.Array:
     """Teacher-forced scan -> word distributions (B, T, V).
 
     Step 0 consumes the visual pseudo-word when ``use_visual`` (the
     ``use_visual_info`` sequence, ``mrnn.py:478-494``); step t>=1 consumes
     ``words[:, t]`` (already arranged by the data layer: START, w1, ...).
+
+    With ``return_hiddens`` the scan emits the (post-output-dropout) hidden
+    states (B, T, H) instead; the chunked loss
+    (:func:`icee_tpu.ops.chunked_loss.masked_sum_ce_from_hiddens` via
+    :func:`loss_fn_from_hiddens`) applies the head so the (B, T, V)
+    distributions never materialize.  Requires ``SOFTMAX_OUT`` (the caller
+    guards).
     """
     _check_conf(conf)
     b, t = words.shape
@@ -192,6 +200,8 @@ def forward(
             x_t = x_t * xd
         h, c = cell(params, x_t, h, c, gclip, bn)
         hh = h * yd if conf["DROP_OUTPUT"] else h
+        if return_hiddens:
+            return (h, c), hh
         s_t = output_probs(params, hh, conf.get("SOFTMAX_OUT", True))
         return (h, c), s_t
 
@@ -212,6 +222,7 @@ def forward_semi_forced(
     forced: jax.Array,         # (B, T) 1 = feed ground truth, 0 = feed own argmax
     x_drop: Optional[jax.Array] = None,
     y_drop: Optional[jax.Array] = None,
+    return_hiddens: bool = False,
 ) -> jax.Array:
     """Semi-forced scan (``recurrance_partial_word_feedback``,
     ``mrnn.py:442-476,496-503``): per-(sample, step) the input is either the
@@ -239,6 +250,12 @@ def forward_semi_forced(
             x_t = x_t * xd
         h, c = cell(params, x_t, h, c, gclip, bn)
         hh = h * yd if conf["DROP_OUTPUT"] else h
+        if return_hiddens:
+            # argmax feedback from transient logits (same argmax as the
+            # softmax probs; no gradient, never stacked)
+            logits = (jax.lax.stop_gradient(hh) @ params["w"] + params["b"])
+            prev = jnp.argmax(logits, axis=-1).astype(jnp.int32)
+            return (h, c, prev), hh
         s_t = output_probs(params, hh, conf.get("SOFTMAX_OUT", True))
         prev = jnp.argmax(s_t, axis=-1).astype(jnp.int32)
         return (h, c, prev), s_t
@@ -257,6 +274,24 @@ def loss_fn(s: jax.Array, y: jax.Array, mask: jax.Array) -> jax.Array:
     p = jnp.take_along_axis(s, y[..., None], axis=-1)[..., 0]
     nll = -jnp.log(jnp.maximum(p, 1e-37))
     return jnp.sum(nll * mask)
+
+
+# -log of the reference's probability floor (mrnn.py:563): the chunked loss
+# realizes ``-log(max(p, 1e-37))`` as ``min(lse - tgt_logit, CLAMP)`` with
+# zero gradient where clamped, exactly like the materialized ``max``.
+PROB_FLOOR_CLAMP = 85.19956545910916  # == -log(1e-37)
+
+
+def loss_fn_from_hiddens(params: dict, hh: jax.Array, y: jax.Array,
+                         mask: jax.Array) -> jax.Array:
+    """Same loss as :func:`loss_fn` computed from the (post-dropout) hidden
+    states in time chunks — the (B, T, V) distributions never materialize
+    (``icee_tpu.ops.chunked_loss``).  Only valid for ``SOFTMAX_OUT`` models
+    (the joined model's sigmoid outputs are gates, not a distribution)."""
+    from icee_tpu.ops.chunked_loss import masked_sum_ce_from_hiddens
+
+    return masked_sum_ce_from_hiddens(hh, params["w"], params["b"], y, mask,
+                                      clamp=PROB_FLOOR_CLAMP)
 
 
 def perplexity(s: jax.Array, y: jax.Array, mask: jax.Array) -> jax.Array:

@@ -74,7 +74,16 @@ def _shard_batch(arrs, mesh):
 
 def make_base_step(conf: dict, solver, mesh=None):
     """Jitted base-model step over device-resident data; ``mesh`` shards
-    the gathered minibatch over the data axis (DP)."""
+    the gathered minibatch over the data axis (DP).
+
+    ``conf["CHUNKED_CE"]`` (default None = auto: on for the TPU backend)
+    computes the loss from hidden states in time chunks so the (B, T, V)
+    distributions never materialize (``ops/chunked_loss.py``); only applies
+    to ``SOFTMAX_OUT`` models."""
+    use_chunked = conf.get("CHUNKED_CE")
+    if use_chunked is None:
+        use_chunked = jax.default_backend() == "tpu"
+    use_chunked = use_chunked and conf.get("SOFTMAX_OUT", True)
 
     @jax.jit
     def step(params, opt_state, data, idx, key):
@@ -106,11 +115,16 @@ def make_base_step(conf: dict, solver, mesh=None):
 
         def cost_fn(p):
             if semi < 1.0:
-                s = base_model.forward_semi_forced(p, conf, x, v, forced,
-                                                   x_drop, y_drop)
+                out = base_model.forward_semi_forced(
+                    p, conf, x, v, forced, x_drop, y_drop,
+                    return_hiddens=use_chunked)
             else:
-                s = base_model.forward(p, conf, x, v, True, x_drop, y_drop)
-            loss = base_model.loss_fn(s, y, mask)
+                out = base_model.forward(p, conf, x, v, True, x_drop, y_drop,
+                                         return_hiddens=use_chunked)
+            if use_chunked:
+                loss = base_model.loss_fn_from_hiddens(p, out, y, mask)
+            else:
+                loss = base_model.loss_fn(out, y, mask)
             l2 = sum(jnp.sum(q ** 2) for q in jax.tree_util.tree_leaves(p))
             return loss + conf["L2_REG_CONST"] * l2, loss
 

@@ -237,3 +237,89 @@ def test_seq2seq_step_chunked_matches_materialized(rng, ratio):
             lambda a, b: np.testing.assert_allclose(
                 np.asarray(a), np.asarray(b), rtol=0, atol=2e-4),
             ck[i], base[i])
+
+
+@pytest.mark.parametrize("semi", [1.0, 0.6])
+def test_senticap_base_step_chunked_matches_materialized(rng, semi):
+    """SentiCap base step (masked-SUM loss with the 1e-37 prob floor) with
+    CHUNKED_CE on vs off: same loss, numerically same updated params."""
+    from icee_tpu.senticap import io as sio
+    from icee_tpu.senticap import model as base_model
+    from icee_tpu.senticap import train as T
+    from icee_tpu.senticap.config import senticap_conf
+    from icee_tpu.senticap.solver import make_solver
+
+    records = []
+    for i in range(8):
+        records.append({"image": f"img{i % 4}",
+                        "tokens": ["a", "dog", "runs", "fast"][: 2 + i % 3],
+                        "sentiment": 1.0, "switch": [0, 1, 0, 0]})
+    caps = [r["tokens"] for r in records]
+    w2i, i2w = sio.build_vocab(caps, min_freq=1)
+    feats = {f"img{j}": rng.standard_normal((12,)).astype(np.float32)
+             for j in range(4)}
+    ds = sio.make_split(records, feats, w2i, max_len=6, visual_size=12)
+    data = sio.device_dataset(ds)
+    idx = jnp.arange(8)
+    key = jax.random.PRNGKey(3)
+
+    outs = {}
+    for chunked in (False, True):
+        conf = senticap_conf(emb_size=16, lstm_hidden_size=20,
+                             visual_size=12, SEMI_FORCED=semi,
+                             CHUNKED_CE=chunked)
+        params = base_model.init_params(jax.random.PRNGKey(0), len(w2i), conf)
+        solver = make_solver(conf)
+        step = T.make_base_step(conf, solver)
+        p, _, loss = step(params, solver.init(params), data, idx, key)
+        outs[chunked] = (p, loss)
+
+    np.testing.assert_allclose(float(outs[True][1]), float(outs[False][1]),
+                               rtol=1e-5, atol=1e-5)
+    # RMSProp normalizes like Adam — see the Adam-noise note above
+    jax.tree_util.tree_map(
+        lambda a, b: np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=0, atol=2e-4),
+        outs[True][0], outs[False][0])
+
+
+def test_clamped_chunked_matches_prob_floor_loss(rng):
+    """Direct check of the clamp semantics: tiny-probability targets hit the
+    1e-37 floor in the materialized loss and the clamp in the chunked one,
+    with zero gradient either way."""
+    from icee_tpu.ops.chunked_loss import masked_sum_ce_from_hiddens
+    from icee_tpu.senticap.model import PROB_FLOOR_CLAMP
+
+    b, t, h, v = 3, 4, 8, 11
+    hh = jnp.asarray(rng.standard_normal((b, t, h)), jnp.float32)
+    # a head with huge spread drives some target probs below 1e-37
+    w = jnp.asarray(rng.standard_normal((h, v)) * 40.0, jnp.float32)
+    bias = jnp.zeros((v,), jnp.float32)
+    y = jnp.asarray(rng.integers(0, v, (b, t)), jnp.int32)
+    mask = jnp.asarray(rng.random((b, t)) > 0.3, jnp.float32)
+
+    def materialized(args):
+        hh_, w_ = args
+        s = jax.nn.softmax(hh_ @ w_ + bias, axis=-1)
+        p = jnp.take_along_axis(s, y[..., None], axis=-1)[..., 0]
+        return jnp.sum(-jnp.log(jnp.maximum(p, 1e-37)) * mask)
+
+    def chunked(args):
+        hh_, w_ = args
+        return masked_sum_ce_from_hiddens(hh_, w_, bias, y, mask,
+                                          clamp=PROB_FLOOR_CLAMP, t_chunk=2)
+
+    lm, gm = jax.value_and_grad(materialized)((hh, w))
+    lc, gc = jax.value_and_grad(chunked)((hh, w))
+    # some positions actually clamp (loss includes the floor constant)
+    nll = (hh @ w + bias)
+    lse = jax.nn.logsumexp(nll, axis=-1)
+    tgt = jnp.take_along_axis(nll, y[..., None], axis=-1)[..., 0]
+    assert bool(jnp.any((lse - tgt > PROB_FLOOR_CLAMP) & (mask > 0)))
+    # positions within fp-rounding of the floor can clamp differently
+    # between the exp-then-max and the direct lse-tgt threshold; each such
+    # position contributes at most ~eps*|lse| to a SUM-scale loss
+    np.testing.assert_allclose(float(lc), float(lm), rtol=1e-4)
+    for a, bb in zip(gc, gm):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(bb),
+                                   rtol=1e-4, atol=1e-5)

@@ -211,11 +211,17 @@ def factored_att_forward_hiddens(
     teacher_forcing_ratio: float = 0.8,
     rng: Optional[jax.Array] = None,
     train: bool = True,
+    fused_scan: bool = False,
 ) -> Tuple[jax.Array, jax.Array]:
     """Training forward -> (hiddens (B,T,H), alphas (B,T,P)); the vocab head
     is left to the caller (chunked loss, ``ops/chunked_loss.py``).  On the
     scheduled-sampling path the head runs per step only to pick the argmax
-    feedback token (no gradient; never stacked)."""
+    feedback token (no gradient; never stacked).
+
+    ``fused_scan=True`` routes the fully teacher-forced branch through the
+    Pallas whole-scan kernel (``ops/pallas_att_train.py``) that keeps the
+    (B, P, ·) feature/projection tiles VMEM-resident across the time loop
+    (requires batch divisible by 8; falls back to the XLA scan otherwise)."""
     from icee_tpu.models.factored_lstm import embed, output_logits
 
     b, t = captions.shape
@@ -235,6 +241,22 @@ def factored_att_forward_hiddens(
 
     if (isinstance(teacher_forcing_ratio, float)
             and teacher_forcing_ratio >= 1.0):
+        if fused_scan and b % 8 == 0:
+            from icee_tpu.ops.pallas_att_train import fused_att_scan
+
+            e = cfg.embed_size
+            cell = {"V_we": params["V_w"][:e], "V_wc": params["V_w"][e:],
+                    "V_b": params["V_b"],
+                    "S_w": jnp.take(params["S_w"], style, axis=0),
+                    "S_b": jnp.take(params["S_b"], style, axis=0),
+                    "U_w": params["U_w"], "U_b": params["U_b"],
+                    "W_w": params["W_w"], "W_b": params["W_b"]}
+            katt = {"dec_w": att["dec_w"], "dec_b": att["dec_b"],
+                    "full_w": att["full_w"], "full_b": att["full_b"],
+                    "fb_w": params["f_beta_w"], "fb_b": params["f_beta_b"]}
+            return fused_att_scan(cell, katt, emb_seq, att1, features,
+                                  h0, c0, "factored")
+
         def tf_body(carry, emb_teacher):
             h, c = carry
             context, alpha = _gated_context_pre(params, att, att1, features, h)
@@ -355,6 +377,7 @@ def rnn_att_forward_hiddens(
     teacher_forcing_ratio: float = 0.8,
     rng: Optional[jax.Array] = None,
     train: bool = True,
+    fused_scan: bool = False,
 ) -> Tuple[jax.Array, jax.Array]:
     """NIC+Att training forward -> (hiddens, alphas); head left to the
     caller (see :func:`factored_att_forward_hiddens`)."""
@@ -374,6 +397,21 @@ def rnn_att_forward_hiddens(
 
     if (isinstance(teacher_forcing_ratio, float)
             and teacher_forcing_ratio >= 1.0):
+        if fused_scan and b % 8 == 0:
+            from icee_tpu.ops.pallas_att_train import fused_att_scan
+
+            e = cfg.embed_size
+            cell = {"W_ihe": params["cell"]["W_ih"][:e],
+                    "W_ihc": params["cell"]["W_ih"][e:],
+                    "W_hh": params["cell"]["W_hh"],
+                    "b_ih": params["cell"]["b_ih"],
+                    "b_hh": params["cell"]["b_hh"]}
+            katt = {"dec_w": att["dec_w"], "dec_b": att["dec_b"],
+                    "full_w": att["full_w"], "full_b": att["full_b"],
+                    "fb_w": params["f_beta_w"], "fb_b": params["f_beta_b"]}
+            return fused_att_scan(cell, katt, emb_seq, att1, features,
+                                  h0, c0, "lstm")
+
         def tf_body(carry, emb_teacher):
             h, c = carry
             context, alpha = _gated_context_pre(params, att, att1, features, h)

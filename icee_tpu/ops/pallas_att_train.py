@@ -1,0 +1,637 @@
+"""Pallas TPU kernels: fused teacher-forced ATTENTION training scan.
+
+The attention training step (``stylenet/model_att.py:238-305``, rebuilt as
+the ``lax.scan`` in ``models/attention.py:factored_att_forward_hiddens`` /
+``rnn_att_forward_hiddens``) re-attends over the (B, P=196, 2048) spatial
+features every timestep.  Measured attribution (``scripts/probe_att_train.py``,
+B=128/T=25 on TPU): ~73% of the 29.3 ms fwd+bwd step is per-step HBM traffic
+on the hoisted encoder projection ``att1`` (51 MB) and ``features`` (200 MB)
+— XLA re-reads both from HBM every scan iteration in both directions, and
+``jax.checkpoint`` on the attention makes it WORSE (32.2 ms) because remat
+re-reads without removing the dominant reads.
+
+These kernels restructure the loop so the big per-image tensors are read
+from HBM ONCE per sequence:
+
+- grid ``(B/tile_b, T)`` with ``t`` innermost: the ``features`` and ``att1``
+  blocks are indexed by the batch tile only, so Pallas keeps them
+  VMEM-resident across the whole time scan of that tile (they are re-fetched
+  only when the batch tile advances — 200 MB total instead of 5 GB at
+  B=128/T=25),
+- ``_fwd_kernel``: carries (h, c) in VMEM scratch, computes the Bahdanau
+  score pass + softmax + gated context + recurrent cell per step, and writes
+  the hidden/cell-state/alpha sequences (the residuals),
+- ``_bwd_kernel``: REVERSED time index maps; recomputes the attention pass
+  and gate activations from the saved (h_prev, c_prev, alpha) blocks
+  (rematerialisation inside VMEM, where the re-reads are free), chains
+  (dh, dc) through scratch, accumulates ALL weight gradients and the
+  per-tile ``d_att1`` / per-step ``d_emb`` in VMEM, and emits them when
+  their blocks retire.
+
+``fused_att_scan`` wraps both in a ``jax.custom_vjp``.  The ``features``
+cotangent is intentionally ZERO: the attention trainers never differentiate
+through the spatial features (the ResNet spatial encoder has no trainable
+parameters, ``train_multitask_att.py:165-166``); gradients w.r.t. the
+encoder projection weights flow through ``att1`` (computed outside the
+kernel), which DOES receive its full cotangent.
+
+Numerics match the XLA scan (f32 accumulation, ``jax.nn.relu`` derivative
+``(x > 0)``, factored ``h = o*c`` quirk / standard ``h = o*tanh(c)``);
+values and gradients are tested in interpret mode against ``jax.grad`` of
+the XLA path (``tests/test_pallas_att_train.py``).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+_FACTORED_KEYS = ("V_we", "V_wc", "V_b", "S_w", "S_b", "U_w", "U_b",
+                  "W_w", "W_b")
+_LSTM_KEYS = ("W_ihe", "W_ihc", "W_hh", "b_ih", "b_hh")
+
+
+def _resolve_interpret(interpret):
+    if interpret is None:  # auto: compile on TPU, interpret elsewhere
+        return jax.default_backend() != "tpu"
+    return interpret
+
+
+# --------------------------------------------------------------------------
+# shared per-step math (forward recompute used by both kernels)
+# --------------------------------------------------------------------------
+
+def _attend_step(h_prev, att1, feat, decw_ref, decb_ref, fullw_ref,
+                 fullb_ref, fbw_ref, fbb_ref, wdt):
+    """One Bahdanau step on a resident (n, P, A)/(n, P, FS) tile ->
+    (pre, r, alpha, ctx, gate).  Mirrors ``attend_precomputed`` +
+    ``f_beta`` gate (``models/attention.py:59-72,119-131``)."""
+    n = h_prev.shape[0]
+    att2 = jnp.dot(h_prev.astype(wdt), decw_ref[:],
+                   preferred_element_type=jnp.float32) + decb_ref[0, :]
+    pre = att1 + att2[:, None, :].astype(jnp.float32)        # (n, P, A)
+    r = jnp.maximum(pre, 0.0)
+    fwb = jnp.broadcast_to(fullw_ref[:][None],
+                           (n,) + fullw_ref.shape)           # (n, A, 1)
+    e = jax.lax.dot_general(
+        r.astype(wdt), fwb,
+        dimension_numbers=(((2,), (1,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32)[:, :, 0] + fullb_ref[0, 0]
+    alpha = jax.nn.softmax(e, axis=1)                        # (n, P)
+    ctx = jax.lax.dot_general(
+        alpha[:, None, :].astype(wdt), feat,
+        dimension_numbers=(((2,), (1,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32)[:, 0, :]         # (n, FS)
+    gate = jax.nn.sigmoid(
+        jnp.dot(h_prev.astype(wdt), fbw_ref[:],
+                preferred_element_type=jnp.float32) + fbb_ref[0, :])
+    return pre, r, alpha, ctx, gate
+
+
+def _factored_acts(emb, gctx, h_prev, cell, f_dim, h_dim, wdt):
+    """Factored cell pre-activations -> (v_gs, s_gs, w_all, acts)."""
+    vwe, vwc, vb, sw, sb, uw, ub, ww, wb = cell
+    v_all = (jnp.dot(emb.astype(wdt), vwe[:],
+                     preferred_element_type=jnp.float32)
+             + jnp.dot(gctx.astype(wdt), vwc[:],
+                       preferred_element_type=jnp.float32))
+    w_all = jnp.dot(h_prev.astype(wdt), ww[:],
+                    preferred_element_type=jnp.float32)
+    v_gs, s_gs, zs = [], [], []
+    for g in range(4):
+        v_g = v_all[:, g * f_dim:(g + 1) * f_dim] + vb[g, :]
+        s_g = jnp.dot(v_g.astype(wdt), sw[g],
+                      preferred_element_type=jnp.float32) + sb[g, :]
+        u_g = jnp.dot(s_g.astype(wdt), uw[g],
+                      preferred_element_type=jnp.float32) + ub[g, :]
+        v_gs.append(v_g)
+        s_gs.append(s_g)
+        zs.append(u_g + w_all[:, g * h_dim:(g + 1) * h_dim] + wb[g, :])
+    acts = (jax.nn.sigmoid(zs[0]), jax.nn.sigmoid(zs[1]),
+            jax.nn.sigmoid(zs[2]), jnp.tanh(zs[3]))
+    return v_gs, s_gs, acts
+
+
+def _lstm_acts(emb, gctx, h_prev, cell, h_dim, wdt):
+    wihe, wihc, whh, bih, bhh = cell
+    z = (jnp.dot(emb.astype(wdt), wihe[:],
+                 preferred_element_type=jnp.float32)
+         + jnp.dot(gctx.astype(wdt), wihc[:],
+                   preferred_element_type=jnp.float32)
+         + bih[0, :]
+         + jnp.dot(h_prev.astype(wdt), whh[:],
+                   preferred_element_type=jnp.float32)
+         + bhh[0, :])
+    # torch LSTMCell gate order [i, f, g, o] (models/lstm.py)
+    return (jax.nn.sigmoid(z[:, 0 * h_dim:1 * h_dim]),
+            jax.nn.sigmoid(z[:, 1 * h_dim:2 * h_dim]),
+            jnp.tanh(z[:, 2 * h_dim:3 * h_dim]),
+            jax.nn.sigmoid(z[:, 3 * h_dim:4 * h_dim]))
+
+
+# --------------------------------------------------------------------------
+# forward kernel
+# --------------------------------------------------------------------------
+
+def _fwd_kernel(emb_ref, att1_ref, feat_ref, h0_ref, c0_ref,
+                decw_ref, decb_ref, fullw_ref, fullb_ref, fbw_ref, fbb_ref,
+                *refs, kind, f_dim, h_dim):
+    n_cell = 9 if kind == "factored" else 5
+    cell = refs[:n_cell]
+    h_out_ref, c_out_ref, alpha_out_ref = refs[n_cell:n_cell + 3]
+    h_scr, c_scr = refs[n_cell + 3:]
+    t = pl.program_id(1)
+    wdt = decw_ref.dtype
+
+    @pl.when(t == 0)
+    def _init():
+        h_scr[:] = h0_ref[:].astype(jnp.float32)
+        c_scr[:] = c0_ref[:].astype(jnp.float32)
+
+    h_prev = h_scr[:]
+    c_prev = c_scr[:]
+    _, _, alpha, ctx, gate = _attend_step(
+        h_prev, att1_ref[:].astype(jnp.float32), feat_ref[:],
+        decw_ref, decb_ref, fullw_ref, fullb_ref, fbw_ref, fbb_ref, wdt)
+    gctx = gate * ctx
+    emb = emb_ref[0].astype(jnp.float32)
+    if kind == "factored":
+        _, _, (i_t, f_t, o_t, g_t) = _factored_acts(
+            emb, gctx, h_prev, cell, f_dim, h_dim, wdt)
+        c_new = f_t * c_prev + i_t * g_t
+        h_new = o_t * c_new                  # reference quirk: no tanh
+    else:
+        i_t, f_t, g_t, o_t = _lstm_acts(emb, gctx, h_prev, cell, h_dim, wdt)
+        c_new = f_t * c_prev + i_t * g_t
+        h_new = o_t * jnp.tanh(c_new)
+    h_out_ref[0] = h_new.astype(h_out_ref.dtype)
+    c_out_ref[0] = c_new.astype(c_out_ref.dtype)
+    alpha_out_ref[0] = alpha.astype(alpha_out_ref.dtype)
+    h_scr[:] = h_new
+    c_scr[:] = c_new
+
+
+# --------------------------------------------------------------------------
+# backward kernel
+# --------------------------------------------------------------------------
+
+def _bwd_kernel(emb_ref, hp_ref, cp_ref, c_ref, alpha_ref, dh_ref,
+                dalpha_ref, att1_ref, feat_ref, h0_ref, c0_ref,
+                decw_ref, decb_ref, fullw_ref, fwrow_ref, fullb_ref,
+                fbw_ref, fbb_ref, *refs, kind, f_dim, h_dim, seq_len):
+    n_cell = 9 if kind == "factored" else 5
+    cell = refs[:n_cell]
+    (demb_ref, datt1_ref, dh0_ref, dc0_ref,
+     ddecw_ref, ddecb_ref, dfullw_ref, dfullb_ref, dfbw_ref, dfbb_ref
+     ) = refs[n_cell:n_cell + 10]
+    dcell = refs[n_cell + 10:2 * n_cell + 10]
+    dh_scr, dc_scr = refs[2 * n_cell + 10:]
+    bt = pl.program_id(0)
+    g_idx = pl.program_id(1)
+    s = seq_len - 1 - g_idx
+    wdt = decw_ref.dtype
+    n = dh_scr.shape[0]
+
+    @pl.when((bt == 0) & (g_idx == 0))
+    def _init_wgrads():
+        for ref in (ddecw_ref, ddecb_ref, dfullw_ref, dfullb_ref,
+                    dfbw_ref, dfbb_ref) + tuple(dcell):
+            ref[:] = jnp.zeros_like(ref)
+
+    @pl.when(g_idx == 0)
+    def _init_tile():
+        dh_scr[:] = jnp.zeros_like(dh_scr)
+        dc_scr[:] = jnp.zeros_like(dc_scr)
+        datt1_ref[:] = jnp.zeros_like(datt1_ref)
+
+    first = s == 0
+    h_prev = jnp.where(first, h0_ref[:].astype(jnp.float32),
+                       hp_ref[0].astype(jnp.float32))
+    c_prev = jnp.where(first, c0_ref[:].astype(jnp.float32),
+                       cp_ref[0].astype(jnp.float32))
+    c_new = c_ref[0].astype(jnp.float32)
+    emb = emb_ref[0].astype(jnp.float32)
+    att1 = att1_ref[:].astype(jnp.float32)
+    feat = feat_ref[:]
+
+    # ---- recompute the forward step (VMEM-resident; HBM-free) ----
+    pre, r, _, ctx, gate = _attend_step(
+        h_prev, att1, feat, decw_ref, decb_ref, fullw_ref, fullb_ref,
+        fbw_ref, fbb_ref, wdt)
+    alpha = alpha_ref[0].astype(jnp.float32)  # saved (bitwise forward value)
+    # ctx must be recomputed from the SAVED alpha, not the recomputed
+    # softmax, so the backward sees exactly the forward's values
+    ctx = jax.lax.dot_general(
+        alpha[:, None, :].astype(wdt), feat,
+        dimension_numbers=(((2,), (1,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32)[:, 0, :]
+    gctx = gate * ctx
+    if kind == "factored":
+        v_gs, s_gs, (i_t, f_t, o_t, g_t) = _factored_acts(
+            emb, gctx, h_prev, cell, f_dim, h_dim, wdt)
+    else:
+        i_t, f_t, g_t, o_t = _lstm_acts(emb, gctx, h_prev, cell, h_dim, wdt)
+
+    # ---- cell backward ----
+    dh_total = dh_ref[0].astype(jnp.float32) + dh_scr[:]
+    dc_in = dc_scr[:]
+    if kind == "factored":
+        d_o = dh_total * c_new               # h = o*c quirk
+        dc_tot = dh_total * o_t + dc_in
+    else:
+        tc = jnp.tanh(c_new)
+        d_o = dh_total * tc
+        dc_tot = dh_total * o_t * (1.0 - tc * tc) + dc_in
+    d_f = dc_tot * c_prev
+    d_i = dc_tot * g_t
+    d_g = dc_tot * i_t
+    dc_scr[:] = dc_tot * f_t
+
+    hp_w = h_prev.astype(wdt)
+    if kind == "factored":
+        vwe, vwc, vb, sw, sb, uw, ub, ww, wb = cell
+        (dvwe_ref, dvwc_ref, dvb_ref, dsw_ref, dsb_ref, duw_ref, dub_ref,
+         dww_ref, dwb_ref) = dcell
+        dz = [d_i * i_t * (1.0 - i_t),
+              d_f * f_t * (1.0 - f_t),
+              d_o * o_t * (1.0 - o_t),
+              d_g * (1.0 - g_t * g_t)]
+        dh_prev = jnp.zeros_like(dh_total)
+        d_emb = jnp.zeros((n, emb.shape[1]), jnp.float32)
+        d_gctx = jnp.zeros((n, gctx.shape[1]), jnp.float32)
+        for g in range(4):
+            dz_b = dz[g].astype(wdt)
+            duw_ref[g] += jnp.dot(s_gs[g].astype(wdt).T, dz_b,
+                                  preferred_element_type=jnp.float32)
+            dub_ref[g:g + 1, :] = (dub_ref[g:g + 1, :]
+                                   + jnp.sum(dz[g], axis=0, keepdims=True))
+            ds = jnp.dot(dz_b, uw[g].T, preferred_element_type=jnp.float32)
+            ds_b = ds.astype(wdt)
+            dsw_ref[g] += jnp.dot(v_gs[g].astype(wdt).T, ds_b,
+                                  preferred_element_type=jnp.float32)
+            dsb_ref[g:g + 1, :] = (dsb_ref[g:g + 1, :]
+                                   + jnp.sum(ds, axis=0, keepdims=True))
+            dv = jnp.dot(ds_b, sw[g].T, preferred_element_type=jnp.float32)
+            dv_b = dv.astype(wdt)
+            sl = slice(g * f_dim, (g + 1) * f_dim)
+            dvwe_ref[:, sl] += jnp.dot(emb.astype(wdt).T, dv_b,
+                                       preferred_element_type=jnp.float32)
+            dvwc_ref[:, sl] += jnp.dot(gctx.astype(wdt).T, dv_b,
+                                       preferred_element_type=jnp.float32)
+            dvb_ref[g:g + 1, :] = (dvb_ref[g:g + 1, :]
+                                   + jnp.sum(dv, axis=0, keepdims=True))
+            d_emb += jnp.dot(dv_b, vwe[:, sl].T,
+                             preferred_element_type=jnp.float32)
+            d_gctx += jnp.dot(dv_b, vwc[:, sl].T,
+                              preferred_element_type=jnp.float32)
+            slh = slice(g * h_dim, (g + 1) * h_dim)
+            dww_ref[:, slh] += jnp.dot(hp_w.T, dz_b,
+                                       preferred_element_type=jnp.float32)
+            dwb_ref[g:g + 1, :] = (dwb_ref[g:g + 1, :]
+                                   + jnp.sum(dz[g], axis=0, keepdims=True))
+            dh_prev += jnp.dot(dz_b, ww[:, slh].T,
+                               preferred_element_type=jnp.float32)
+    else:
+        wihe, wihc, whh, bih, bhh = cell
+        dwihe_ref, dwihc_ref, dwhh_ref, dbih_ref, dbhh_ref = dcell
+        dz = jnp.concatenate(
+            [d_i * i_t * (1.0 - i_t),
+             d_f * f_t * (1.0 - f_t),
+             d_g * (1.0 - g_t * g_t),
+             d_o * o_t * (1.0 - o_t)], axis=1)               # (n, 4H)
+        dz_b = dz.astype(wdt)
+        dwihe_ref[:] += jnp.dot(emb.astype(wdt).T, dz_b,
+                                preferred_element_type=jnp.float32)
+        dwihc_ref[:] += jnp.dot(gctx.astype(wdt).T, dz_b,
+                                preferred_element_type=jnp.float32)
+        dwhh_ref[:] += jnp.dot(hp_w.T, dz_b,
+                               preferred_element_type=jnp.float32)
+        dbih_ref[:] = dbih_ref[:] + jnp.sum(dz, axis=0, keepdims=True)
+        dbhh_ref[:] = dbhh_ref[:] + jnp.sum(dz, axis=0, keepdims=True)
+        d_emb = jnp.dot(dz_b, wihe[:].T, preferred_element_type=jnp.float32)
+        d_gctx = jnp.dot(dz_b, wihc[:].T, preferred_element_type=jnp.float32)
+        dh_prev = jnp.dot(dz_b, whh[:].T, preferred_element_type=jnp.float32)
+
+    # ---- attention backward ----
+    d_gate = d_gctx * ctx
+    d_ctx = d_gctx * gate
+    dpre_fb = d_gate * gate * (1.0 - gate)
+    dfbw_ref[:] += jnp.dot(hp_w.T, dpre_fb.astype(wdt),
+                           preferred_element_type=jnp.float32)
+    dfbb_ref[:] = dfbb_ref[:] + jnp.sum(dpre_fb, axis=0, keepdims=True)
+    dh_prev += jnp.dot(dpre_fb.astype(wdt), fbw_ref[:].T,
+                       preferred_element_type=jnp.float32)
+
+    # ctx = alpha @ features (features cotangent intentionally dropped)
+    d_alpha = jax.lax.dot_general(
+        d_ctx[:, None, :].astype(wdt), feat,
+        dimension_numbers=(((2,), (2,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32)[:, 0, :]         # (n, P)
+    d_alpha = d_alpha + dalpha_ref[0].astype(jnp.float32)
+    # softmax backward
+    d_e = alpha * (d_alpha
+                   - jnp.sum(d_alpha * alpha, axis=1, keepdims=True))
+    # (1,1)-block store: Mosaic cannot store scalars to VMEM; keepdims
+    # reductions keep every intermediate 2-D (1-D lane vectors trip a
+    # Mosaic relayout bug at 8-row tiles)
+    dfullb_ref[:] = dfullb_ref[:] + jnp.sum(d_e, axis=(0, 1), keepdims=True)
+    # d_full_w: sum_{n,P} r * d_e  (batched contraction over P, then n)
+    dfw = jax.lax.dot_general(
+        d_e[:, None, :].astype(wdt), r.astype(wdt),
+        dimension_numbers=(((2,), (1,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32)[:, 0, :]         # (n, A)
+    dfullw_ref[:] = dfullw_ref[:] + jnp.sum(dfw, axis=0, keepdims=True)
+    # d_r = relu'(pre) * (d_e x full_w_row) — both factors materialized to
+    # full (n, P, A) before the multiply (avoids a double-broadcast
+    # (n,P,1)*(n,1,A) product, an untested Mosaic layout path)
+    p_dim, a_dim = pre.shape[1], pre.shape[2]
+    fwr = jnp.broadcast_to(fwrow_ref[:][None], (n, p_dim, a_dim))
+    d_e3 = jnp.broadcast_to(d_e[:, :, None], (n, p_dim, a_dim))
+    # relu' as an arithmetic {0,1} mask (sign of relu(pre)): identical to
+    # (pre > 0) incl. the 0-at-0 convention, no i1-vector select needed
+    d_r = jnp.sign(r) * (d_e3 * fwr.astype(jnp.float32))
+    datt1_ref[:] += d_r.astype(datt1_ref.dtype)
+    # sum over P as a batched contraction (middle-axis reduce_sum of a 3-D
+    # vector is another Mosaic relayout trap)
+    ones_p = jnp.ones((n, 1, p_dim), wdt)
+    d_att2 = jax.lax.dot_general(
+        ones_p, d_r.astype(wdt),
+        dimension_numbers=(((2,), (1,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32)[:, 0, :]         # (n, A)
+    ddecw_ref[:] += jnp.dot(hp_w.T, d_att2.astype(wdt),
+                            preferred_element_type=jnp.float32)
+    ddecb_ref[:] = ddecb_ref[:] + jnp.sum(d_att2, axis=0, keepdims=True)
+    dh_prev += jnp.dot(d_att2.astype(wdt), decw_ref[:].T,
+                       preferred_element_type=jnp.float32)
+
+    demb_ref[0] = d_emb.astype(demb_ref.dtype)
+    dh_scr[:] = dh_prev
+
+    @pl.when(first)
+    def _emit_state_grads():
+        dh0_ref[:] = dh_prev.astype(dh0_ref.dtype)
+        dc0_ref[:] = dc_scr[:].astype(dc0_ref.dtype)
+
+
+# --------------------------------------------------------------------------
+# custom_vjp wrapper
+# --------------------------------------------------------------------------
+
+def _cell_tuple(cell, kind):
+    """Kernel-facing cell tensors; 1-D biases go in as (1, n) rows."""
+    keys = _FACTORED_KEYS if kind == "factored" else _LSTM_KEYS
+    return tuple(cell[k].reshape(1, -1) if cell[k].ndim == 1 else cell[k]
+                 for k in keys)
+
+
+def _dims(cell, kind):
+    if kind == "factored":
+        return cell["U_w"].shape[1], cell["W_w"].shape[0]
+    return 0, cell["W_hh"].shape[0]
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(7, 8, 9))
+def fused_att_scan(cell, att, emb_seq, att1, features, h0, c0,
+                   kind="factored", tile_b=8, interpret=None):
+    """Teacher-forced attention-decoder chain -> (h_seq, alphas).
+
+    ``cell``: factored {V_we (E,4F), V_wc (FS,4F), V_b, S_w (4,F,F) style
+    slice, S_b, U_w, U_b, W_w, W_b} or lstm {W_ihe (E,4H), W_ihc (FS,4H),
+    W_hh, b_ih, b_hh} — the input matrix pre-split at the embed/context
+    boundary (the split/concat lives OUTSIDE this vjp so XLA autodiff glues
+    the gradients back).  ``att``: {dec_w, dec_b, full_w (A,1), full_b (1,),
+    fb_w, fb_b}.  ``emb_seq`` (B, T, E) teacher embeddings, ``att1``
+    (B, P, A) hoisted encoder projection for the style, ``features``
+    (B, P, FS), ``h0``/``c0`` (B, H).
+
+    Returns ``h_seq`` (B, T, H) and ``alphas`` (B, T, P), matching the
+    ``teacher_forcing_ratio >= 1.0`` branch of
+    :func:`icee_tpu.models.attention.factored_att_forward_hiddens`.
+
+    The ``features`` cotangent is ZERO by construction (frozen spatial
+    encoder); every other input receives its exact gradient.
+    """
+    h_seq, alphas, _ = _fwd_impl(cell, att, emb_seq, att1, features, h0, c0,
+                                 kind, tile_b, interpret)
+    return h_seq, alphas
+
+
+def _fwd_impl(cell, att, emb_seq, att1, features, h0, c0, kind, tile_b,
+              interpret):
+    interpret = _resolve_interpret(interpret)
+    b, seq_len, e_dim = emb_seq.shape
+    p_dim, a_dim = att1.shape[1], att1.shape[2]
+    fs = features.shape[2]
+    f_dim, h_dim = _dims(cell, kind)
+    if b % tile_b != 0:
+        raise ValueError(f"batch {b} not divisible by tile_b {tile_b}")
+    n_bt = b // tile_b
+
+    emb_t = jnp.swapaxes(emb_seq, 0, 1)                      # (T, B, E)
+    fw_col = att["full_w"]                                   # (A, 1)
+    vmem = pltpu.VMEM
+    step = lambda w: pl.BlockSpec((1, tile_b, w),            # noqa: E731
+                                  lambda bt, t: (t, bt, 0), memory_space=vmem)
+    tile3 = lambda d1, d2: pl.BlockSpec((tile_b, d1, d2),    # noqa: E731
+                                        lambda bt, t: (bt, 0, 0),
+                                        memory_space=vmem)
+    tile2 = lambda w: pl.BlockSpec((tile_b, w),              # noqa: E731
+                                   lambda bt, t: (bt, 0), memory_space=vmem)
+    full = lambda *shape: pl.BlockSpec(                      # noqa: E731
+        shape, lambda bt, t: tuple([0] * len(shape)), memory_space=vmem)
+
+    cell_t = _cell_tuple(cell, kind)
+    in_specs = ([step(e_dim), tile3(p_dim, a_dim), tile3(p_dim, fs),
+                 tile2(h_dim), tile2(h_dim),
+                 full(h_dim, a_dim), full(1, a_dim), full(a_dim, 1),
+                 full(1, 1), full(h_dim, fs), full(1, fs)]
+                + [full(*w.shape) for w in cell_t])
+    out_specs = (step(h_dim), step(h_dim), step(p_dim))
+    kernel = functools.partial(_fwd_kernel, kind=kind, f_dim=f_dim,
+                               h_dim=h_dim)
+    h_t, c_t, alpha_t = pl.pallas_call(
+        kernel,
+        grid=(n_bt, seq_len),
+        in_specs=in_specs,
+        out_specs=out_specs,
+        out_shape=(
+            jax.ShapeDtypeStruct((seq_len, b, h_dim), jnp.float32),
+            jax.ShapeDtypeStruct((seq_len, b, h_dim), jnp.float32),
+            jax.ShapeDtypeStruct((seq_len, b, p_dim), jnp.float32),
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((tile_b, h_dim), jnp.float32),
+            pltpu.VMEM((tile_b, h_dim), jnp.float32),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=110 * 1024 * 1024),
+        interpret=interpret,
+    )(emb_t, att1, features, h0, c0,
+      att["dec_w"], att["dec_b"].reshape(1, -1), fw_col,
+      att["full_b"].reshape(1, 1), att["fb_w"], att["fb_b"].reshape(1, -1),
+      *cell_t)
+    return (jnp.swapaxes(h_t, 0, 1), jnp.swapaxes(alpha_t, 0, 1),
+            (h_t, c_t, alpha_t))
+
+
+def _vjp_fwd(cell, att, emb_seq, att1, features, h0, c0, kind, tile_b,
+             interpret):
+    h_seq, alphas, (h_t, c_t, alpha_t) = _fwd_impl(
+        cell, att, emb_seq, att1, features, h0, c0, kind, tile_b, interpret)
+    return (h_seq, alphas), (cell, att, emb_seq, att1, features, h0, c0,
+                             h_t, c_t, alpha_t)
+
+
+def _vjp_bwd(kind, tile_b, interpret, residuals, cots):
+    interpret = _resolve_interpret(interpret)
+    (cell, att, emb_seq, att1, features, h0, c0, h_t, c_t, alpha_t
+     ) = residuals
+    dh_seq, dalpha_seq = cots
+    b, seq_len, e_dim = emb_seq.shape
+    p_dim, a_dim = att1.shape[1], att1.shape[2]
+    fs = features.shape[2]
+    f_dim, h_dim = _dims(cell, kind)
+    n_bt = b // tile_b
+
+    emb_t = jnp.swapaxes(emb_seq, 0, 1)
+    dh_t = jnp.swapaxes(dh_seq, 0, 1).astype(jnp.float32)
+    dalpha_t = jnp.swapaxes(dalpha_seq, 0, 1).astype(jnp.float32)
+    fw_col = att["full_w"]
+    fw_row = jnp.swapaxes(fw_col, 0, 1)                      # (1, A)
+
+    vmem = pltpu.VMEM
+    rev = lambda bt, t: (seq_len - 1 - t, bt, 0)             # noqa: E731
+
+    def rev_prev(bt, t):
+        i = seq_len - 1 - t
+        return (jnp.maximum(i - 1, 0), bt, 0)
+
+    step = lambda w, idx: pl.BlockSpec((1, tile_b, w), idx,  # noqa: E731
+                                       memory_space=vmem)
+    tile3 = lambda d1, d2: pl.BlockSpec((tile_b, d1, d2),    # noqa: E731
+                                        lambda bt, t: (bt, 0, 0),
+                                        memory_space=vmem)
+    tile2 = lambda w: pl.BlockSpec((tile_b, w),              # noqa: E731
+                                   lambda bt, t: (bt, 0), memory_space=vmem)
+    full = lambda *shape: pl.BlockSpec(                      # noqa: E731
+        shape, lambda bt, t: tuple([0] * len(shape)), memory_space=vmem)
+
+    cell_t = _cell_tuple(cell, kind)
+    in_specs = ([step(e_dim, rev), step(h_dim, rev_prev),
+                 step(h_dim, rev_prev), step(h_dim, rev),
+                 step(p_dim, rev), step(h_dim, rev), step(p_dim, rev),
+                 tile3(p_dim, a_dim), tile3(p_dim, fs),
+                 tile2(h_dim), tile2(h_dim),
+                 full(h_dim, a_dim), full(1, a_dim), full(a_dim, 1),
+                 full(1, a_dim), full(1, 1), full(h_dim, fs), full(1, fs)]
+                + [full(*w.shape) for w in cell_t])
+    out_specs = ((step(e_dim, rev), tile3(p_dim, a_dim),
+                  tile2(h_dim), tile2(h_dim),
+                  full(h_dim, a_dim), full(1, a_dim), full(1, a_dim),
+                  full(1, 1), full(h_dim, fs), full(1, fs))
+                 + tuple(full(*w.shape) for w in cell_t))
+    out_shape = ((jax.ShapeDtypeStruct((seq_len, b, e_dim), jnp.float32),
+                  jax.ShapeDtypeStruct((b, p_dim, a_dim), jnp.float32),
+                  jax.ShapeDtypeStruct((b, h_dim), jnp.float32),
+                  jax.ShapeDtypeStruct((b, h_dim), jnp.float32),
+                  jax.ShapeDtypeStruct((h_dim, a_dim), jnp.float32),
+                  jax.ShapeDtypeStruct((1, a_dim), jnp.float32),
+                  jax.ShapeDtypeStruct((1, a_dim), jnp.float32),
+                  jax.ShapeDtypeStruct((1, 1), jnp.float32),
+                  jax.ShapeDtypeStruct((h_dim, fs), jnp.float32),
+                  jax.ShapeDtypeStruct((1, fs), jnp.float32))
+                 + tuple(jax.ShapeDtypeStruct(w.shape, jnp.float32)
+                         for w in cell_t))
+    kernel = functools.partial(_bwd_kernel, kind=kind, f_dim=f_dim,
+                               h_dim=h_dim, seq_len=seq_len)
+    outs = pl.pallas_call(
+        kernel,
+        grid=(n_bt, seq_len),
+        in_specs=in_specs,
+        out_specs=out_specs,
+        out_shape=out_shape,
+        scratch_shapes=[
+            pltpu.VMEM((tile_b, h_dim), jnp.float32),
+            pltpu.VMEM((tile_b, h_dim), jnp.float32),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=120 * 1024 * 1024),
+        interpret=interpret,
+    )(emb_t, h_t, c_t, c_t, alpha_t, dh_t, dalpha_t, att1, features, h0, c0,
+      att["dec_w"], att["dec_b"].reshape(1, -1), fw_col, fw_row,
+      att["full_b"].reshape(1, 1), att["fb_w"], att["fb_b"].reshape(1, -1),
+      *cell_t)
+    (demb_t, datt1, dh0, dc0, ddecw, ddecb, dfullw, dfullb, dfbw, dfbb
+     ) = outs[:10]
+    dcell_t = outs[10:]
+    keys = _FACTORED_KEYS if kind == "factored" else _LSTM_KEYS
+    dcell = {k: g.reshape(cell[k].shape).astype(cell[k].dtype)
+             for k, g in zip(keys, dcell_t)}
+    datt = {
+        "dec_w": ddecw.astype(att["dec_w"].dtype),
+        "dec_b": ddecb.reshape(att["dec_b"].shape).astype(att["dec_b"].dtype),
+        "full_w": jnp.swapaxes(dfullw, 0, 1).astype(att["full_w"].dtype),
+        "full_b": dfullb.reshape(att["full_b"].shape).astype(
+            att["full_b"].dtype),
+        "fb_w": dfbw.astype(att["fb_w"].dtype),
+        "fb_b": dfbb.reshape(att["fb_b"].shape).astype(att["fb_b"].dtype),
+    }
+    demb = jnp.swapaxes(demb_t, 0, 1).astype(emb_seq.dtype)
+    return (dcell, datt, demb, datt1.astype(att1.dtype),
+            jnp.zeros_like(features), dh0.astype(h0.dtype),
+            dc0.astype(c0.dtype))
+
+
+fused_att_scan.defvjp(_vjp_fwd, _vjp_bwd)
+
+
+# --------------------------------------------------------------------------
+# XLA oracle (tests)
+# --------------------------------------------------------------------------
+
+def reference_att_scan(cell, att, emb_seq, att1, features, h0, c0,
+                       kind="factored"):
+    """Pure-XLA scan with identical math, on the kernel's param format."""
+    f_dim, h_dim = _dims(cell, kind)
+
+    def body(carry, emb_x):
+        h, c = carry
+        att2 = h @ att["dec_w"] + att["dec_b"]
+        e = jax.nn.relu(att1 + att2[:, None, :]) @ att["full_w"]
+        e = e[..., 0] + att["full_b"]
+        alpha = jax.nn.softmax(e, axis=1)
+        ctx = jnp.sum(features * alpha[..., None], axis=1)
+        gate = jax.nn.sigmoid(h @ att["fb_w"] + att["fb_b"])
+        gctx = gate * ctx
+        if kind == "factored":
+            v_all = emb_x @ cell["V_we"] + gctx @ cell["V_wc"]
+            zs = []
+            for g in range(4):
+                v_g = v_all[:, g * f_dim:(g + 1) * f_dim] + cell["V_b"][g]
+                s_g = v_g @ cell["S_w"][g] + cell["S_b"][g]
+                u_g = s_g @ cell["U_w"][g] + cell["U_b"][g]
+                zs.append(u_g
+                          + (h @ cell["W_w"])[:, g * h_dim:(g + 1) * h_dim]
+                          + cell["W_b"][g])
+            i_t, f_t = jax.nn.sigmoid(zs[0]), jax.nn.sigmoid(zs[1])
+            o_t, g_t = jax.nn.sigmoid(zs[2]), jnp.tanh(zs[3])
+            c = f_t * c + i_t * g_t
+            h = o_t * c
+        else:
+            z = (emb_x @ cell["W_ihe"] + gctx @ cell["W_ihc"]
+                 + cell["b_ih"] + h @ cell["W_hh"] + cell["b_hh"])
+            i_t = jax.nn.sigmoid(z[:, 0 * h_dim:1 * h_dim])
+            f_t = jax.nn.sigmoid(z[:, 1 * h_dim:2 * h_dim])
+            g_t = jnp.tanh(z[:, 2 * h_dim:3 * h_dim])
+            o_t = jax.nn.sigmoid(z[:, 3 * h_dim:4 * h_dim])
+            c = f_t * c + i_t * g_t
+            h = o_t * jnp.tanh(c)
+        return (h, c), (h, alpha)
+
+    _, (h_t, alpha_t) = jax.lax.scan(body, (h0, c0),
+                                     jnp.swapaxes(emb_seq, 0, 1))
+    return jnp.swapaxes(h_t, 0, 1), jnp.swapaxes(alpha_t, 0, 1)

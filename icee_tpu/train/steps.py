@@ -194,6 +194,9 @@ def make_attention_steps(
     use_chunked = tcfg.chunked_ce
     if use_chunked is None:  # auto: 4.5x at large batch on TPU (chunked_loss.py)
         use_chunked = jax.default_backend() == "tpu"
+    use_fused = tcfg.fused_scan
+    if use_fused is None:  # auto: whole-scan kernel on TPU (pallas_att_train)
+        use_fused = jax.default_backend() == "tpu"
 
     def _forward(dec, features, captions_in, style, rng, train, tf_ratio):
         if factored:
@@ -243,13 +246,13 @@ def make_attention_steps(
             hiddens, alphas = att_mod.factored_att_forward_hiddens(
                 dec, cfg, captions_in, features, style,
                 teacher_forcing_ratio=tcfg.teacher_forcing_ratio, rng=rng,
-                train=True)
+                train=True, fused_scan=use_fused)
             head_w, head_b = dec["C_w"], dec["C_b"]
         else:
             hiddens, alphas = att_mod.rnn_att_forward_hiddens(
                 dec, cfg, captions_in, features,
                 teacher_forcing_ratio=tcfg.teacher_forcing_ratio, rng=rng,
-                train=True)
+                train=True, fused_scan=use_fused)
             head_w, head_b = dec["linear_w"], dec["linear_b"]
         ce = masked_ce_from_hiddens(hiddens, head_w, head_b, targets,
                                     tgt_len, sample_mask)

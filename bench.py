@@ -179,6 +179,60 @@ def bench_att_decode(jax, jnp):
     return med
 
 
+ATT_TRAIN_B = 128
+
+
+def bench_att_train(jax, jnp):
+    """Attention captioner train step at the reference's production regime
+    (B=128, 25 consumed steps, teacher_forcing_ratio=0.8 —
+    ``model_att.py:242``): fwd+bwd+Adam through ``make_attention_steps``
+    with the chunked CE and the fused whole-scan Pallas kernel auto-on
+    (``ops/pallas_att_train.py``; tf<1 runs the scheduled-sampling variant
+    with the head/argmax feedback in-kernel).  Returns seconds/step."""
+    import optax
+
+    from icee_tpu.core.config import AttentionDecoderConfig, TrainConfig
+    from icee_tpu.models import attention as att_mod
+    from icee_tpu.train.steps import make_attention_steps
+
+    cfg = AttentionDecoderConfig(
+        vocab_size=V, embed_size=E, hidden_size=H, factored_size=F,
+        attention_size=512, feature_size=2048, dropout=0.0)
+    tcfg = TrainConfig()  # teacher_forcing_ratio=0.8 (reference default)
+    opt = optax.adam(2e-4)
+    fac_step, _, _ = make_attention_steps(cfg, tcfg, opt, opt, factored=True)
+
+    dec = att_mod.init_factored_att_params(jax.random.PRNGKey(0), cfg)
+    opt_state = opt.init(dec)
+    rng = np.random.default_rng(0)
+    feats = jnp.asarray(
+        rng.standard_normal((ATT_TRAIN_B, ATT_PIX, 2048)) * 0.1, jnp.float32)
+    captions = jnp.asarray(
+        rng.integers(4, V, (ATT_TRAIN_B, TRAIN_T + 1)), jnp.int32)
+    lengths = jnp.full((ATT_TRAIN_B,), TRAIN_T + 1, jnp.int32)
+    mask = jnp.ones((ATT_TRAIN_B,), bool)
+    key = jax.random.PRNGKey(0)
+    n_inner = 8
+
+    @jax.jit
+    def many(dec, opt_state):
+        def body(carry, _):
+            d, o = carry
+            d, o, loss = fac_step(d, o, feats, captions, lengths, mask, key)
+            return (d, o), loss
+        _, losses = jax.lax.scan(body, (dec, opt_state), None,
+                                 length=n_inner)
+        return losses[-1]
+
+    np.asarray(many(dec, opt_state))  # compile + warmup
+    times = []
+    for _ in range(REPS):
+        t0 = time.perf_counter()
+        np.asarray(many(dec, opt_state))
+        times.append((time.perf_counter() - t0) / n_inner)
+    return float(np.median(times))
+
+
 BB_BATCH, BB_SIZE = 64, 224
 
 
@@ -609,6 +663,12 @@ def main():
             epoch_cps = bench_train_epoch(jax, jnp)
         except Exception as e:
             print(f"# epoch train failed ({type(e).__name__})")
+    att_train_ms = None
+    if not over_budget("attention train"):
+        try:
+            att_train_ms = bench_att_train(jax, jnp) * 1e3
+        except Exception as e:
+            print(f"# attention train step failed ({type(e).__name__})")
     senticap_ms = None
     if not over_budget("senticap train"):
         try:
@@ -680,6 +740,11 @@ def main():
             else round(512 / (train_b512_ms / 1e3), 1)),
         "train_epoch_captions_per_sec": (None if epoch_cps is None
                                          else round(epoch_cps, 1)),
+        "att_train_step_ms": (None if att_train_ms is None
+                              else round(att_train_ms, 2)),
+        "att_train_captions_per_sec": (
+            None if att_train_ms is None
+            else round(ATT_TRAIN_B / (att_train_ms / 1e3), 1)),
         "senticap_train_step_ms": (None if senticap_ms is None
                                    else round(senticap_ms, 2)),
         "senticap_switched_step_ms": (None if senticap_sw_ms is None

@@ -254,8 +254,9 @@ def factored_att_forward_hiddens(
             katt = {"dec_w": att["dec_w"], "dec_b": att["dec_b"],
                     "full_w": att["full_w"], "full_b": att["full_b"],
                     "fb_w": params["f_beta_w"], "fb_b": params["f_beta_b"]}
+            tiles = (16 if b % 16 == 0 else 8, 8)
             return fused_att_scan(cell, katt, emb_seq, att1, features,
-                                  h0, c0, "factored")
+                                  h0, c0, "factored", tiles)
 
         def tf_body(carry, emb_teacher):
             h, c = carry
@@ -269,6 +270,26 @@ def factored_att_forward_hiddens(
         return jnp.swapaxes(hiddens, 0, 1), jnp.swapaxes(alphas, 0, 1)
 
     coins = jax.random.bernoulli(k_tf, teacher_forcing_ratio, (t,))
+
+    if fused_scan and b % 8 == 0:
+        from icee_tpu.ops.pallas_att_train import fused_att_scan_sampled
+
+        e = cfg.embed_size
+        cell = {"V_we": params["V_w"][:e], "V_wc": params["V_w"][e:],
+                "V_b": params["V_b"],
+                "S_w": jnp.take(params["S_w"], style, axis=0),
+                "S_b": jnp.take(params["S_b"], style, axis=0),
+                "U_w": params["U_w"], "U_b": params["U_b"],
+                "W_w": params["W_w"], "W_b": params["W_b"]}
+        katt = {"dec_w": att["dec_w"], "dec_b": att["dec_b"],
+                "full_w": att["full_w"], "full_b": att["full_b"],
+                "fb_w": params["f_beta_w"], "fb_b": params["f_beta_b"]}
+        head = {"C_w": params["C_w"], "C_b": params["C_b"],
+                "B": params["B"]}
+        tiles = (16 if b % 16 == 0 else 8, 8)
+        return fused_att_scan_sampled(
+            cell, katt, head, emb_seq, embed(params, captions), att1,
+            features, h0, c0, coins.astype(jnp.float32), "factored", tiles)
 
     def body(carry, xs):
         h, c, prev = carry
@@ -409,8 +430,9 @@ def rnn_att_forward_hiddens(
             katt = {"dec_w": att["dec_w"], "dec_b": att["dec_b"],
                     "full_w": att["full_w"], "full_b": att["full_b"],
                     "fb_w": params["f_beta_w"], "fb_b": params["f_beta_b"]}
+            tiles = (16 if b % 16 == 0 else 8, 8)
             return fused_att_scan(cell, katt, emb_seq, att1, features,
-                                  h0, c0, "lstm")
+                                  h0, c0, "lstm", tiles)
 
         def tf_body(carry, emb_teacher):
             h, c = carry
@@ -424,6 +446,26 @@ def rnn_att_forward_hiddens(
         return jnp.swapaxes(hiddens, 0, 1), jnp.swapaxes(alphas, 0, 1)
 
     coins = jax.random.bernoulli(k_tf, teacher_forcing_ratio, (t,))
+
+    if fused_scan and b % 8 == 0:
+        from icee_tpu.ops.pallas_att_train import fused_att_scan_sampled
+
+        e = cfg.embed_size
+        cell = {"W_ihe": params["cell"]["W_ih"][:e],
+                "W_ihc": params["cell"]["W_ih"][e:],
+                "W_hh": params["cell"]["W_hh"],
+                "b_ih": params["cell"]["b_ih"],
+                "b_hh": params["cell"]["b_hh"]}
+        katt = {"dec_w": att["dec_w"], "dec_b": att["dec_b"],
+                "full_w": att["full_w"], "full_b": att["full_b"],
+                "fb_w": params["f_beta_w"], "fb_b": params["f_beta_b"]}
+        head = {"C_w": params["linear_w"], "C_b": params["linear_b"],
+                "B": params["embed"]}
+        tiles = (16 if b % 16 == 0 else 8, 8)
+        return fused_att_scan_sampled(
+            cell, katt, head, emb_seq,
+            jnp.take(params["embed"], captions, axis=0), att1,
+            features, h0, c0, coins.astype(jnp.float32), "lstm", tiles)
 
     def body(carry, xs):
         h, c, prev = carry

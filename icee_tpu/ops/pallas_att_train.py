@@ -65,22 +65,37 @@ def _resolve_interpret(interpret):
 # shared per-step math (forward recompute used by both kernels)
 # --------------------------------------------------------------------------
 
+def _a_tile_of(a_dim):
+    # A-tiled score/mask passes keep the live (n, P, a_tile) temporaries
+    # small — the unrolled full-A form spills to scoped VMEM and caps the
+    # batch tile (same wall `pallas_att_decode._attend_block` documents)
+    return 128 if a_dim % 128 == 0 else a_dim
+
+
 def _attend_step(h_prev, att1, feat, decw_ref, decb_ref, fullw_ref,
                  fullb_ref, fbw_ref, fbb_ref, wdt):
     """One Bahdanau step on a resident (n, P, A)/(n, P, FS) tile ->
-    (pre, r, alpha, ctx, gate).  Mirrors ``attend_precomputed`` +
-    ``f_beta`` gate (``models/attention.py:59-72,119-131``)."""
-    n = h_prev.shape[0]
+    (att2, alpha, ctx, gate).  Mirrors ``attend_precomputed`` +
+    ``f_beta`` gate (``models/attention.py:59-72,119-131``); the relu
+    score pass is A-tiled (elementwise relu -> tiling is exact, only the
+    contraction order differs)."""
+    n, p_dim = h_prev.shape[0], att1.shape[1]
+    a_dim = att1.shape[2]
+    a_tile = _a_tile_of(a_dim)
     att2 = jnp.dot(h_prev.astype(wdt), decw_ref[:],
                    preferred_element_type=jnp.float32) + decb_ref[0, :]
-    pre = att1 + att2[:, None, :].astype(jnp.float32)        # (n, P, A)
-    r = jnp.maximum(pre, 0.0)
     fwb = jnp.broadcast_to(fullw_ref[:][None],
                            (n,) + fullw_ref.shape)           # (n, A, 1)
-    e = jax.lax.dot_general(
-        r.astype(wdt), fwb,
-        dimension_numbers=(((2,), (1,)), ((0,), (0,))),
-        preferred_element_type=jnp.float32)[:, :, 0] + fullb_ref[0, 0]
+    e = jnp.zeros((n, p_dim, 1), jnp.float32)
+    for a0 in range(0, a_dim, a_tile):
+        a2_t = att2[:, a0:a0 + a_tile]
+        r_t = jnp.maximum(att1[:, :, a0:a0 + a_tile]
+                          + a2_t[:, None, :].astype(jnp.float32), 0.0)
+        e = e + jax.lax.dot_general(
+            r_t.astype(wdt), fwb[:, a0:a0 + a_tile, :],
+            dimension_numbers=(((2,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32)
+    e = e[:, :, 0] + fullb_ref[0, 0]
     alpha = jax.nn.softmax(e, axis=1)                        # (n, P)
     ctx = jax.lax.dot_general(
         alpha[:, None, :].astype(wdt), feat,
@@ -89,7 +104,7 @@ def _attend_step(h_prev, att1, feat, decw_ref, decb_ref, fullw_ref,
     gate = jax.nn.sigmoid(
         jnp.dot(h_prev.astype(wdt), fbw_ref[:],
                 preferred_element_type=jnp.float32) + fbb_ref[0, :])
-    return pre, r, alpha, ctx, gate
+    return att2, alpha, ctx, gate
 
 
 def _factored_acts(emb, gctx, h_prev, cell, f_dim, h_dim, wdt):
@@ -137,13 +152,23 @@ def _lstm_acts(emb, gctx, h_prev, cell, h_dim, wdt):
 # forward kernel
 # --------------------------------------------------------------------------
 
-def _fwd_kernel(emb_ref, att1_ref, feat_ref, h0_ref, c0_ref,
-                decw_ref, decb_ref, fullw_ref, fullb_ref, fbw_ref, fbb_ref,
-                *refs, kind, f_dim, h_dim):
+def _fwd_kernel(*refs, kind, f_dim, h_dim, sampled):
+    emb_ref, att1_ref, feat_ref, h0_ref, c0_ref = refs[:5]
+    k = 5
+    if sampled:
+        embr_ref, coin_ref, cw_ref, cb_ref, bemb_ref = refs[5:10]
+        k = 10
+    (decw_ref, decb_ref, fullw_ref, fullb_ref, fbw_ref, fbb_ref
+     ) = refs[k:k + 6]
     n_cell = 9 if kind == "factored" else 5
-    cell = refs[:n_cell]
-    h_out_ref, c_out_ref, alpha_out_ref = refs[n_cell:n_cell + 3]
-    h_scr, c_scr = refs[n_cell + 3:]
+    cell = refs[k + 6:k + 6 + n_cell]
+    outs = refs[k + 6 + n_cell:]
+    if sampled:
+        h_out_ref, c_out_ref, alpha_out_ref, pidx_ref = outs[:4]
+        h_scr, c_scr, pemb_scr = outs[4:]
+    else:
+        h_out_ref, c_out_ref, alpha_out_ref = outs[:3]
+        h_scr, c_scr = outs[3:]
     t = pl.program_id(1)
     wdt = decw_ref.dtype
 
@@ -151,14 +176,24 @@ def _fwd_kernel(emb_ref, att1_ref, feat_ref, h0_ref, c0_ref,
     def _init():
         h_scr[:] = h0_ref[:].astype(jnp.float32)
         c_scr[:] = c0_ref[:].astype(jnp.float32)
+        if sampled:
+            # prev = captions[:, 0] at t=0 -> its RAW (dropout-free)
+            # embedding (models/attention.py scheduled body)
+            pemb_scr[:] = embr_ref[0].astype(jnp.float32)
 
     h_prev = h_scr[:]
     c_prev = c_scr[:]
-    _, _, alpha, ctx, gate = _attend_step(
+    _, alpha, ctx, gate = _attend_step(
         h_prev, att1_ref[:].astype(jnp.float32), feat_ref[:],
         decw_ref, decb_ref, fullw_ref, fullb_ref, fbw_ref, fbb_ref, wdt)
     gctx = gate * ctx
-    emb = emb_ref[0].astype(jnp.float32)
+    if sampled:
+        # coin in {0.0, 1.0}: arithmetic blend is exact (a*1+b*0 == a)
+        coin = coin_ref[0, 0]
+        emb = (coin * emb_ref[0].astype(jnp.float32)
+               + (1.0 - coin) * pemb_scr[:])
+    else:
+        emb = emb_ref[0].astype(jnp.float32)
     if kind == "factored":
         _, _, (i_t, f_t, o_t, g_t) = _factored_acts(
             emb, gctx, h_prev, cell, f_dim, h_dim, wdt)
@@ -173,23 +208,46 @@ def _fwd_kernel(emb_ref, att1_ref, feat_ref, h0_ref, c0_ref,
     alpha_out_ref[0] = alpha.astype(alpha_out_ref.dtype)
     h_scr[:] = h_new
     c_scr[:] = c_new
+    if sampled:
+        # feedback token for step t+1: argmax of the head on h_new
+        # (stop-gradient semantics — no backward through this path);
+        # ties -> lowest index, matching jnp.argmax
+        logits = jnp.dot(h_new.astype(wdt), cw_ref[:],
+                         preferred_element_type=jnp.float32) + cb_ref[0, :]
+        m = jnp.max(logits, axis=1, keepdims=True)
+        col = jax.lax.broadcasted_iota(jnp.int32, logits.shape, 1)
+        idx = jnp.min(jnp.where(logits == m, col, jnp.int32(2 ** 30)),
+                      axis=1, keepdims=True)                 # (n, 1)
+        pidx_ref[0] = idx
+        onehot = (col == idx).astype(wdt)
+        pemb_scr[:] = jnp.dot(onehot, bemb_ref[:],
+                              preferred_element_type=jnp.float32)
 
 
 # --------------------------------------------------------------------------
 # backward kernel
 # --------------------------------------------------------------------------
 
-def _bwd_kernel(emb_ref, hp_ref, cp_ref, c_ref, alpha_ref, dh_ref,
-                dalpha_ref, att1_ref, feat_ref, h0_ref, c0_ref,
-                decw_ref, decb_ref, fullw_ref, fwrow_ref, fullb_ref,
-                fbw_ref, fbb_ref, *refs, kind, f_dim, h_dim, seq_len):
+def _bwd_kernel(*refs, kind, f_dim, h_dim, seq_len, sampled):
+    (emb_ref, hp_ref, cp_ref, c_ref, alpha_ref, dh_ref, dalpha_ref,
+     att1_ref, feat_ref, h0_ref, c0_ref) = refs[:11]
+    k = 11
+    if sampled:
+        coin_ref, pemb_ref = refs[11:13]
+        k = 13
+    (decw_ref, decb_ref, fullw_ref, fwrow_ref, fullb_ref,
+     fbw_ref, fbb_ref) = refs[k:k + 7]
+    k += 7
     n_cell = 9 if kind == "factored" else 5
-    cell = refs[:n_cell]
+    cell = refs[k:k + n_cell]
+    refs = refs[k + n_cell:]
+    n_extra = 1 if sampled else 0
     (demb_ref, datt1_ref, dh0_ref, dc0_ref,
      ddecw_ref, ddecb_ref, dfullw_ref, dfullb_ref, dfbw_ref, dfbb_ref
-     ) = refs[n_cell:n_cell + 10]
-    dcell = refs[n_cell + 10:2 * n_cell + 10]
-    dh_scr, dc_scr = refs[2 * n_cell + 10:]
+     ) = refs[:10]
+    dsamp_ref = refs[10] if sampled else None
+    dcell = refs[10 + n_extra:10 + n_extra + n_cell]
+    dh_scr, dc_scr, datt2_scr = refs[10 + n_extra + n_cell:]
     bt = pl.program_id(0)
     g_idx = pl.program_id(1)
     s = seq_len - 1 - g_idx
@@ -214,17 +272,27 @@ def _bwd_kernel(emb_ref, hp_ref, cp_ref, c_ref, alpha_ref, dh_ref,
     c_prev = jnp.where(first, c0_ref[:].astype(jnp.float32),
                        cp_ref[0].astype(jnp.float32))
     c_new = c_ref[0].astype(jnp.float32)
-    emb = emb_ref[0].astype(jnp.float32)
+    if sampled:
+        # recompute the blended step input; pemb_ref streams the embedding
+        # of the token actually used (argmax feedback / captions[:,0]),
+        # reconstructed OUTSIDE the kernel from the saved pidx trace
+        coin = coin_ref[0, 0]
+        emb = (coin * emb_ref[0].astype(jnp.float32)
+               + (1.0 - coin) * pemb_ref[0].astype(jnp.float32))
+    else:
+        emb = emb_ref[0].astype(jnp.float32)
     att1 = att1_ref[:].astype(jnp.float32)
     feat = feat_ref[:]
 
     # ---- recompute the forward step (VMEM-resident; HBM-free) ----
-    pre, r, _, ctx, gate = _attend_step(
-        h_prev, att1, feat, decw_ref, decb_ref, fullw_ref, fullb_ref,
-        fbw_ref, fbb_ref, wdt)
+    att2 = jnp.dot(h_prev.astype(wdt), decw_ref[:],
+                   preferred_element_type=jnp.float32) + decb_ref[0, :]
+    gate = jax.nn.sigmoid(
+        jnp.dot(h_prev.astype(wdt), fbw_ref[:],
+                preferred_element_type=jnp.float32) + fbb_ref[0, :])
     alpha = alpha_ref[0].astype(jnp.float32)  # saved (bitwise forward value)
-    # ctx must be recomputed from the SAVED alpha, not the recomputed
-    # softmax, so the backward sees exactly the forward's values
+    # ctx is recomputed from the SAVED alpha so the backward sees exactly
+    # the forward's values
     ctx = jax.lax.dot_general(
         alpha[:, None, :].astype(wdt), feat,
         dimension_numbers=(((2,), (1,)), ((0,), (0,))),
@@ -339,36 +407,55 @@ def _bwd_kernel(emb_ref, hp_ref, cp_ref, c_ref, alpha_ref, dh_ref,
     # reductions keep every intermediate 2-D (1-D lane vectors trip a
     # Mosaic relayout bug at 8-row tiles)
     dfullb_ref[:] = dfullb_ref[:] + jnp.sum(d_e, axis=(0, 1), keepdims=True)
-    # d_full_w: sum_{n,P} r * d_e  (batched contraction over P, then n)
-    dfw = jax.lax.dot_general(
-        d_e[:, None, :].astype(wdt), r.astype(wdt),
-        dimension_numbers=(((2,), (1,)), ((0,), (0,))),
-        preferred_element_type=jnp.float32)[:, 0, :]         # (n, A)
-    dfullw_ref[:] = dfullw_ref[:] + jnp.sum(dfw, axis=0, keepdims=True)
-    # d_r = relu'(pre) * (d_e x full_w_row) — both factors materialized to
-    # full (n, P, A) before the multiply (avoids a double-broadcast
-    # (n,P,1)*(n,1,A) product, an untested Mosaic layout path)
-    p_dim, a_dim = pre.shape[1], pre.shape[2]
-    fwr = jnp.broadcast_to(fwrow_ref[:][None], (n, p_dim, a_dim))
-    d_e3 = jnp.broadcast_to(d_e[:, :, None], (n, p_dim, a_dim))
-    # relu' as an arithmetic {0,1} mask (sign of relu(pre)): identical to
-    # (pre > 0) incl. the 0-at-0 convention, no i1-vector select needed
-    d_r = jnp.sign(r) * (d_e3 * fwr.astype(jnp.float32))
-    datt1_ref[:] += d_r.astype(datt1_ref.dtype)
-    # sum over P as a batched contraction (middle-axis reduce_sum of a 3-D
-    # vector is another Mosaic relayout trap)
+    # A-tiled mask/score backward: recompute relu(att1+att2) per A tile so
+    # the live (n, P, a_tile) temporaries stay small (full-A spills scoped
+    # VMEM and caps the batch tile)
+    p_dim, a_dim = att1.shape[1], att1.shape[2]
+    a_tile = _a_tile_of(a_dim)
     ones_p = jnp.ones((n, 1, p_dim), wdt)
-    d_att2 = jax.lax.dot_general(
-        ones_p, d_r.astype(wdt),
-        dimension_numbers=(((2,), (1,)), ((0,), (0,))),
-        preferred_element_type=jnp.float32)[:, 0, :]         # (n, A)
+    d_e3 = jnp.broadcast_to(d_e[:, :, None], (n, p_dim, a_tile))
+    for a0 in range(0, a_dim, a_tile):
+        sl = slice(a0, a0 + a_tile)
+        # slice BEFORE adding the axis: `att2[:, None, sl]` is advanced
+        # indexing -> lax.gather, which Mosaic cannot lower
+        a2_t = att2[:, sl].astype(jnp.float32)
+        r_t = jnp.maximum(att1[:, :, sl] + a2_t[:, None, :], 0.0)
+        # d_full_w tile: sum_{n,P} r * d_e (batched contraction over P,
+        # then n)
+        dfw_t = jax.lax.dot_general(
+            d_e[:, None, :].astype(wdt), r_t.astype(wdt),
+            dimension_numbers=(((2,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32)[:, 0, :]     # (n, a_tile)
+        dfullw_ref[:, sl] = (dfullw_ref[:, sl]
+                             + jnp.sum(dfw_t, axis=0, keepdims=True))
+        # d_r = relu'(pre) * (d_e x full_w_row); relu' as an arithmetic
+        # {0,1} mask (sign of relu) — identical to (pre > 0) incl. the
+        # 0-at-0 convention, no i1-vector select needed
+        fwr_t = jnp.broadcast_to(fwrow_ref[:, sl][None],
+                                 (n, p_dim, a_tile))
+        d_r_t = jnp.sign(r_t) * (d_e3 * fwr_t.astype(jnp.float32))
+        datt1_ref[:, :, sl] += d_r_t.astype(datt1_ref.dtype)
+        # sum over P as a batched contraction (middle-axis reduce_sum of a
+        # 3-D vector is a Mosaic relayout trap)
+        datt2_scr[:, sl] = jax.lax.dot_general(
+            ones_p, d_r_t.astype(wdt),
+            dimension_numbers=(((2,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32)[:, 0, :]
+    d_att2 = datt2_scr[:]                                    # (n, A)
     ddecw_ref[:] += jnp.dot(hp_w.T, d_att2.astype(wdt),
                             preferred_element_type=jnp.float32)
     ddecb_ref[:] = ddecb_ref[:] + jnp.sum(d_att2, axis=0, keepdims=True)
     dh_prev += jnp.dot(d_att2.astype(wdt), decw_ref[:].T,
                        preferred_element_type=jnp.float32)
 
-    demb_ref[0] = d_emb.astype(demb_ref.dtype)
+    if sampled:
+        # d wrt the step input splits by the coin: teacher share flows to
+        # emb_seq (dropout path, handled by XLA outside), sampled share to
+        # the raw embedding of the used token (scattered outside)
+        demb_ref[0] = (coin * d_emb).astype(demb_ref.dtype)
+        dsamp_ref[0] = ((1.0 - coin) * d_emb).astype(dsamp_ref.dtype)
+    else:
+        demb_ref[0] = d_emb.astype(demb_ref.dtype)
     dh_scr[:] = dh_prev
 
     @pl.when(first)
@@ -392,6 +479,15 @@ def _dims(cell, kind):
     if kind == "factored":
         return cell["U_w"].shape[1], cell["W_w"].shape[0]
     return 0, cell["W_hh"].shape[0]
+
+
+def _tile_pair(tile_b):
+    """``tile_b``: int (both directions) or (tile_fwd, tile_bwd) — the
+    backward holds weight-grad accumulators + d_att1/d_att2 on top of the
+    forward's residents, so its VMEM ceiling is lower."""
+    if isinstance(tile_b, tuple):
+        return tile_b
+    return tile_b, tile_b
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(7, 8, 9))
@@ -421,8 +517,12 @@ def fused_att_scan(cell, att, emb_seq, att1, features, h0, c0,
 
 
 def _fwd_impl(cell, att, emb_seq, att1, features, h0, c0, kind, tile_b,
-              interpret):
+              interpret, samp=None):
+    """Shared forward launcher; ``samp`` = {head, emb_raw, coins} switches
+    on the scheduled-sampling kernel (in-kernel head/argmax/one-hot
+    feedback)."""
     interpret = _resolve_interpret(interpret)
+    tile_b, _ = _tile_pair(tile_b)
     b, seq_len, e_dim = emb_seq.shape
     p_dim, a_dim = att1.shape[1], att1.shape[2]
     fs = features.shape[2]
@@ -445,15 +545,32 @@ def _fwd_impl(cell, att, emb_seq, att1, features, h0, c0, kind, tile_b,
         shape, lambda bt, t: tuple([0] * len(shape)), memory_space=vmem)
 
     cell_t = _cell_tuple(cell, kind)
+    extra_ins, extra_in_specs = (), []
+    extra_out_specs, extra_out_shape, extra_scratch = (), (), []
+    if samp is not None:
+        head, v_dim = samp["head"], samp["head"]["C_w"].shape[1]
+        embr_t = jnp.swapaxes(samp["emb_raw"], 0, 1)
+        coins2 = samp["coins"].reshape(-1, 1).astype(jnp.float32)  # (T, 1)
+        extra_ins = (embr_t, coins2, head["C_w"],
+                     head["C_b"].reshape(1, -1), head["B"])
+        extra_in_specs = [
+            step(e_dim),
+            pl.BlockSpec((1, 1), lambda bt, t: (t, 0), memory_space=vmem),
+            full(h_dim, v_dim), full(1, v_dim), full(v_dim, e_dim)]
+        extra_out_specs = (pl.BlockSpec(
+            (1, tile_b, 1), lambda bt, t: (t, bt, 0), memory_space=vmem),)
+        extra_out_shape = (jax.ShapeDtypeStruct((seq_len, b, 1), jnp.int32),)
+        extra_scratch = [pltpu.VMEM((tile_b, e_dim), jnp.float32)]
     in_specs = ([step(e_dim), tile3(p_dim, a_dim), tile3(p_dim, fs),
-                 tile2(h_dim), tile2(h_dim),
-                 full(h_dim, a_dim), full(1, a_dim), full(a_dim, 1),
-                 full(1, 1), full(h_dim, fs), full(1, fs)]
+                 tile2(h_dim), tile2(h_dim)]
+                + extra_in_specs
+                + [full(h_dim, a_dim), full(1, a_dim), full(a_dim, 1),
+                   full(1, 1), full(h_dim, fs), full(1, fs)]
                 + [full(*w.shape) for w in cell_t])
-    out_specs = (step(h_dim), step(h_dim), step(p_dim))
+    out_specs = (step(h_dim), step(h_dim), step(p_dim)) + extra_out_specs
     kernel = functools.partial(_fwd_kernel, kind=kind, f_dim=f_dim,
-                               h_dim=h_dim)
-    h_t, c_t, alpha_t = pl.pallas_call(
+                               h_dim=h_dim, sampled=samp is not None)
+    outs = pl.pallas_call(
         kernel,
         grid=(n_bt, seq_len),
         in_specs=in_specs,
@@ -462,39 +579,50 @@ def _fwd_impl(cell, att, emb_seq, att1, features, h0, c0, kind, tile_b,
             jax.ShapeDtypeStruct((seq_len, b, h_dim), jnp.float32),
             jax.ShapeDtypeStruct((seq_len, b, h_dim), jnp.float32),
             jax.ShapeDtypeStruct((seq_len, b, p_dim), jnp.float32),
-        ),
+        ) + extra_out_shape,
         scratch_shapes=[
             pltpu.VMEM((tile_b, h_dim), jnp.float32),
             pltpu.VMEM((tile_b, h_dim), jnp.float32),
-        ],
+        ] + extra_scratch,
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=110 * 1024 * 1024),
         interpret=interpret,
-    )(emb_t, att1, features, h0, c0,
+    )(emb_t, att1, features, h0, c0, *extra_ins,
       att["dec_w"], att["dec_b"].reshape(1, -1), fw_col,
       att["full_b"].reshape(1, 1), att["fb_w"], att["fb_b"].reshape(1, -1),
       *cell_t)
+    h_t, c_t, alpha_t = outs[:3]
+    pidx_t = outs[3] if samp is not None else None
     return (jnp.swapaxes(h_t, 0, 1), jnp.swapaxes(alpha_t, 0, 1),
-            (h_t, c_t, alpha_t))
+            (h_t, c_t, alpha_t, pidx_t))
 
 
 def _vjp_fwd(cell, att, emb_seq, att1, features, h0, c0, kind, tile_b,
              interpret):
-    h_seq, alphas, (h_t, c_t, alpha_t) = _fwd_impl(
+    h_seq, alphas, (h_t, c_t, alpha_t, _) = _fwd_impl(
         cell, att, emb_seq, att1, features, h0, c0, kind, tile_b, interpret)
     return (h_seq, alphas), (cell, att, emb_seq, att1, features, h0, c0,
                              h_t, c_t, alpha_t)
 
 
 def _vjp_bwd(kind, tile_b, interpret, residuals, cots):
-    interpret = _resolve_interpret(interpret)
     (cell, att, emb_seq, att1, features, h0, c0, h_t, c_t, alpha_t
      ) = residuals
+    return _bwd_impl(cell, att, emb_seq, att1, features, h0, c0,
+                     h_t, c_t, alpha_t, cots, kind, tile_b, interpret)
+
+
+def _bwd_impl(cell, att, emb_seq, att1, features, h0, c0, h_t, c_t,
+              alpha_t, cots, kind, tile_b, interpret, samp=None):
+    interpret = _resolve_interpret(interpret)
     dh_seq, dalpha_seq = cots
+    _, tile_b = _tile_pair(tile_b)
     b, seq_len, e_dim = emb_seq.shape
     p_dim, a_dim = att1.shape[1], att1.shape[2]
     fs = features.shape[2]
     f_dim, h_dim = _dims(cell, kind)
+    if b % tile_b != 0:
+        raise ValueError(f"batch {b} not divisible by tile_b {tile_b}")
     n_bt = b // tile_b
 
     emb_t = jnp.swapaxes(emb_seq, 0, 1)
@@ -521,18 +649,40 @@ def _vjp_bwd(kind, tile_b, interpret, residuals, cots):
         shape, lambda bt, t: tuple([0] * len(shape)), memory_space=vmem)
 
     cell_t = _cell_tuple(cell, kind)
+    extra_ins, extra_in_specs = (), []
+    extra_out_specs, extra_out_shape = (), ()
+    if samp is not None:
+        head = samp["head"]
+        embr_t = jnp.swapaxes(samp["emb_raw"], 0, 1)         # (T, B, E)
+        coins2 = samp["coins"].reshape(-1, 1).astype(jnp.float32)
+        pidx2 = samp["pidx"][:, :, 0]                        # (T, B)
+        # embedding of the token actually used at each step: raw emb of
+        # captions[:, 0] at t=0, then the argmax feedback trace (XLA
+        # gather here — gathers don't lower inside the kernel)
+        pe_used_t = jnp.concatenate(
+            [embr_t[0:1], jnp.take(head["B"], pidx2[:-1], axis=0)], axis=0)
+        extra_ins = (coins2, pe_used_t)
+        extra_in_specs = [
+            pl.BlockSpec((1, 1), lambda bt, t: (seq_len - 1 - t, 0),
+                         memory_space=vmem),
+            step(e_dim, rev)]
+        extra_out_specs = (step(e_dim, rev),)
+        extra_out_shape = (
+            jax.ShapeDtypeStruct((seq_len, b, e_dim), jnp.float32),)
     in_specs = ([step(e_dim, rev), step(h_dim, rev_prev),
                  step(h_dim, rev_prev), step(h_dim, rev),
                  step(p_dim, rev), step(h_dim, rev), step(p_dim, rev),
                  tile3(p_dim, a_dim), tile3(p_dim, fs),
-                 tile2(h_dim), tile2(h_dim),
-                 full(h_dim, a_dim), full(1, a_dim), full(a_dim, 1),
-                 full(1, a_dim), full(1, 1), full(h_dim, fs), full(1, fs)]
+                 tile2(h_dim), tile2(h_dim)]
+                + extra_in_specs
+                + [full(h_dim, a_dim), full(1, a_dim), full(a_dim, 1),
+                   full(1, a_dim), full(1, 1), full(h_dim, fs), full(1, fs)]
                 + [full(*w.shape) for w in cell_t])
     out_specs = ((step(e_dim, rev), tile3(p_dim, a_dim),
                   tile2(h_dim), tile2(h_dim),
                   full(h_dim, a_dim), full(1, a_dim), full(1, a_dim),
                   full(1, 1), full(h_dim, fs), full(1, fs))
+                 + extra_out_specs
                  + tuple(full(*w.shape) for w in cell_t))
     out_shape = ((jax.ShapeDtypeStruct((seq_len, b, e_dim), jnp.float32),
                   jax.ShapeDtypeStruct((b, p_dim, a_dim), jnp.float32),
@@ -544,10 +694,12 @@ def _vjp_bwd(kind, tile_b, interpret, residuals, cots):
                   jax.ShapeDtypeStruct((1, 1), jnp.float32),
                   jax.ShapeDtypeStruct((h_dim, fs), jnp.float32),
                   jax.ShapeDtypeStruct((1, fs), jnp.float32))
+                 + extra_out_shape
                  + tuple(jax.ShapeDtypeStruct(w.shape, jnp.float32)
                          for w in cell_t))
     kernel = functools.partial(_bwd_kernel, kind=kind, f_dim=f_dim,
-                               h_dim=h_dim, seq_len=seq_len)
+                               h_dim=h_dim, seq_len=seq_len,
+                               sampled=samp is not None)
     outs = pl.pallas_call(
         kernel,
         grid=(n_bt, seq_len),
@@ -557,17 +709,20 @@ def _vjp_bwd(kind, tile_b, interpret, residuals, cots):
         scratch_shapes=[
             pltpu.VMEM((tile_b, h_dim), jnp.float32),
             pltpu.VMEM((tile_b, h_dim), jnp.float32),
+            pltpu.VMEM((tile_b, a_dim), jnp.float32),
         ],
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=120 * 1024 * 1024),
         interpret=interpret,
     )(emb_t, h_t, c_t, c_t, alpha_t, dh_t, dalpha_t, att1, features, h0, c0,
+      *extra_ins,
       att["dec_w"], att["dec_b"].reshape(1, -1), fw_col, fw_row,
       att["full_b"].reshape(1, 1), att["fb_w"], att["fb_b"].reshape(1, -1),
       *cell_t)
     (demb_t, datt1, dh0, dc0, ddecw, ddecb, dfullw, dfullb, dfbw, dfbb
      ) = outs[:10]
-    dcell_t = outs[10:]
+    n_extra = 1 if samp is not None else 0
+    dcell_t = outs[10 + n_extra:]
     keys = _FACTORED_KEYS if kind == "factored" else _LSTM_KEYS
     dcell = {k: g.reshape(cell[k].shape).astype(cell[k].dtype)
              for k, g in zip(keys, dcell_t)}
@@ -581,12 +736,87 @@ def _vjp_bwd(kind, tile_b, interpret, residuals, cots):
         "fb_b": dfbb.reshape(att["fb_b"].shape).astype(att["fb_b"].dtype),
     }
     demb = jnp.swapaxes(demb_t, 0, 1).astype(emb_seq.dtype)
-    return (dcell, datt, demb, datt1.astype(att1.dtype),
-            jnp.zeros_like(features), dh0.astype(h0.dtype),
-            dc0.astype(c0.dtype))
+    common = (dcell, datt, demb, datt1.astype(att1.dtype),
+              jnp.zeros_like(features), dh0.astype(h0.dtype),
+              dc0.astype(c0.dtype))
+    if samp is None:
+        return common
+    # sampled extras: scatter the sampled-step input grads into the raw
+    # embedding matrix by the used-token trace; t=0's sampled share flows
+    # through the emb_raw input instead (token = captions[:, 0])
+    dsamp_t = outs[10]                                       # (T, B, E)
+    head = samp["head"]
+    toks = samp["pidx"][:-1, :, 0].reshape(-1)
+    d_bemb = jnp.zeros_like(head["B"]).at[toks].add(
+        dsamp_t[1:].reshape(-1, e_dim).astype(head["B"].dtype))
+    d_head = {"C_w": jnp.zeros_like(head["C_w"]),
+              "C_b": jnp.zeros_like(head["C_b"]),
+              "B": d_bemb}
+    d_emb_raw_t = jnp.concatenate(
+        [dsamp_t[0:1], jnp.zeros_like(dsamp_t[1:])], axis=0)
+    d_emb_raw = jnp.swapaxes(d_emb_raw_t, 0, 1).astype(
+        samp["emb_raw"].dtype)
+    d_coins = jnp.zeros_like(samp["coins"])
+    return common, d_head, d_emb_raw, d_coins
 
 
 fused_att_scan.defvjp(_vjp_fwd, _vjp_bwd)
+
+
+# --------------------------------------------------------------------------
+# scheduled-sampling variant (reference training regime, tf < 1)
+# --------------------------------------------------------------------------
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(10, 11, 12))
+def fused_att_scan_sampled(cell, att, head, emb_seq, emb_raw_seq, att1,
+                           features, h0, c0, coins,
+                           kind="factored", tile_b=8, interpret=None):
+    """Scheduled-sampling attention training scan -> (h_seq, alphas).
+
+    Matches the ``teacher_forcing_ratio < 1`` scan body of
+    :func:`icee_tpu.models.attention.factored_att_forward_hiddens`: per step
+    the input embedding is the teacher's (``coins[t] == 1``) or the RAW
+    embedding of the previous step's argmax token (stop-gradient head,
+    ``model_att.py:285-290`` semantics).  The head runs INSIDE the kernel
+    (weights VMEM-resident, one-hot embed — Mosaic has no gather).
+
+    ``head``: {C_w (H, V), C_b (V,), B (V, E) raw embedding matrix}.
+    ``emb_seq``: teacher embeddings WITH dropout; ``emb_raw_seq``: dropout-
+    free embeddings of the same captions (feeds the t=0 bootstrap and its
+    cotangent).  ``coins``: (T,) {0., 1.}.  Cotangents: C_w/C_b zero
+    (argmax + stop-gradient), B gets the sampled-step scatter, features
+    zero (frozen encoder), coins zero.
+    """
+    h_seq, alphas, _ = _fwd_impl(
+        cell, att, emb_seq, att1, features, h0, c0, kind, tile_b, interpret,
+        samp={"head": head, "emb_raw": emb_raw_seq, "coins": coins})
+    return h_seq, alphas
+
+
+def _vjp_fwd_sampled(cell, att, head, emb_seq, emb_raw_seq, att1, features,
+                     h0, c0, coins, kind, tile_b, interpret):
+    h_seq, alphas, (h_t, c_t, alpha_t, pidx_t) = _fwd_impl(
+        cell, att, emb_seq, att1, features, h0, c0, kind, tile_b, interpret,
+        samp={"head": head, "emb_raw": emb_raw_seq, "coins": coins})
+    return (h_seq, alphas), (cell, att, head, emb_seq, emb_raw_seq, att1,
+                             features, h0, c0, coins, h_t, c_t, alpha_t,
+                             pidx_t)
+
+
+def _vjp_bwd_sampled(kind, tile_b, interpret, residuals, cots):
+    (cell, att, head, emb_seq, emb_raw_seq, att1, features, h0, c0, coins,
+     h_t, c_t, alpha_t, pidx_t) = residuals
+    common, d_head, d_emb_raw, d_coins = _bwd_impl(
+        cell, att, emb_seq, att1, features, h0, c0, h_t, c_t, alpha_t,
+        cots, kind, tile_b, interpret,
+        samp={"head": head, "emb_raw": emb_raw_seq, "coins": coins,
+              "pidx": pidx_t})
+    dcell, datt, demb, datt1, dfeat, dh0, dc0 = common
+    return (dcell, datt, d_head, demb, d_emb_raw, datt1, dfeat, dh0, dc0,
+            d_coins)
+
+
+fused_att_scan_sampled.defvjp(_vjp_fwd_sampled, _vjp_bwd_sampled)
 
 
 # --------------------------------------------------------------------------
@@ -634,4 +864,59 @@ def reference_att_scan(cell, att, emb_seq, att1, features, h0, c0,
 
     _, (h_t, alpha_t) = jax.lax.scan(body, (h0, c0),
                                      jnp.swapaxes(emb_seq, 0, 1))
+    return jnp.swapaxes(h_t, 0, 1), jnp.swapaxes(alpha_t, 0, 1)
+
+
+def reference_att_scan_sampled(cell, att, head, emb_seq, emb_raw_seq, att1,
+                               features, h0, c0, coins, kind="factored"):
+    """Pure-XLA scheduled-sampling oracle on the kernel's param format.
+
+    Same math as the model's tf<1 scan body: stop-gradient head, argmax
+    feedback embedded from the RAW matrix, coin blend per step."""
+    f_dim, h_dim = _dims(cell, kind)
+
+    def cell_step(h, c, e, gctx):
+        if kind == "factored":
+            v_all = e @ cell["V_we"] + gctx @ cell["V_wc"]
+            zs = []
+            for g in range(4):
+                v_g = v_all[:, g * f_dim:(g + 1) * f_dim] + cell["V_b"][g]
+                s_g = v_g @ cell["S_w"][g] + cell["S_b"][g]
+                u_g = s_g @ cell["U_w"][g] + cell["U_b"][g]
+                zs.append(u_g
+                          + (h @ cell["W_w"])[:, g * h_dim:(g + 1) * h_dim]
+                          + cell["W_b"][g])
+            i_t, f_t = jax.nn.sigmoid(zs[0]), jax.nn.sigmoid(zs[1])
+            o_t, g_t = jax.nn.sigmoid(zs[2]), jnp.tanh(zs[3])
+            c = f_t * c + i_t * g_t
+            return o_t * c, c
+        z = (e @ cell["W_ihe"] + gctx @ cell["W_ihc"]
+             + cell["b_ih"] + h @ cell["W_hh"] + cell["b_hh"])
+        i_t = jax.nn.sigmoid(z[:, 0 * h_dim:1 * h_dim])
+        f_t = jax.nn.sigmoid(z[:, 1 * h_dim:2 * h_dim])
+        g_t = jnp.tanh(z[:, 2 * h_dim:3 * h_dim])
+        o_t = jax.nn.sigmoid(z[:, 3 * h_dim:4 * h_dim])
+        c = f_t * c + i_t * g_t
+        return o_t * jnp.tanh(c), c
+
+    def body(carry, xs):
+        h, c, prev_emb = carry
+        emb_t, coin = xs
+        att2 = h @ att["dec_w"] + att["dec_b"]
+        e_s = jax.nn.relu(att1 + att2[:, None, :]) @ att["full_w"]
+        e_s = e_s[..., 0] + att["full_b"]
+        alpha = jax.nn.softmax(e_s, axis=1)
+        ctx = jnp.sum(features * alpha[..., None], axis=1)
+        gate = jax.nn.sigmoid(h @ att["fb_w"] + att["fb_b"])
+        gctx = gate * ctx
+        e = jnp.where(coin > 0.5, emb_t, prev_emb)
+        h, c = cell_step(h, c, e, gctx)
+        logits = jax.lax.stop_gradient(h) @ head["C_w"] + head["C_b"]
+        prev = jnp.argmax(logits, axis=-1)
+        return (h, c, jnp.take(head["B"], prev, axis=0)), (h, alpha)
+
+    carry0 = (h0, c0, emb_raw_seq[:, 0])
+    _, (h_t, alpha_t) = jax.lax.scan(
+        body, carry0,
+        (jnp.swapaxes(emb_seq, 0, 1), coins.astype(jnp.float32)))
     return jnp.swapaxes(h_t, 0, 1), jnp.swapaxes(alpha_t, 0, 1)

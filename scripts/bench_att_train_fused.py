@@ -8,6 +8,7 @@ Also checks hardware parity (compiled kernel vs XLA scan) on the full
 shapes before timing.
 
 Usage: python scripts/bench_att_train_fused.py [tile_b ...]
+       ICEE_BENCH_TF=0.8 python scripts/bench_att_train_fused.py   # scheduled
 """
 
 import os
@@ -29,7 +30,13 @@ def main():
     from icee_tpu.models import attention as att_mod
     from icee_tpu.ops.chunked_loss import masked_ce_from_hiddens
 
-    tiles = [int(a) for a in sys.argv[1:]] or [8]
+    def parse_tile(a):
+        if "x" in a:  # "32x8" = tile_fwd 32, tile_bwd 8
+            f, b = a.split("x")
+            return (int(f), int(b))
+        return int(a)
+
+    tiles = [parse_tile(a) for a in sys.argv[1:]] or [8]
 
     cfg = AttentionDecoderConfig(vocab_size=V, embed_size=300,
                                  hidden_size=H, factored_size=H,
@@ -42,18 +49,13 @@ def main():
     lens = jnp.full((B,), T, jnp.int32)
     mask = jnp.ones((B,), bool)
 
+    tf_ratio = float(os.environ.get("ICEE_BENCH_TF", "1.0"))
+
     def make_loss(fused, tile_b=8):
         def loss_fn(params):
-            if fused:
-                import icee_tpu.ops.pallas_att_train as pat
-                orig = pat.fused_att_scan
-                hiddens, alphas = att_mod.factored_att_forward_hiddens(
-                    params, cfg, caps, feats, 0, teacher_forcing_ratio=1.0,
-                    train=False, fused_scan=True)
-            else:
-                hiddens, alphas = att_mod.factored_att_forward_hiddens(
-                    params, cfg, caps, feats, 0, teacher_forcing_ratio=1.0,
-                    train=False, fused_scan=False)
+            hiddens, alphas = att_mod.factored_att_forward_hiddens(
+                params, cfg, caps, feats, 0, teacher_forcing_ratio=tf_ratio,
+                rng=jax.random.PRNGKey(3), train=False, fused_scan=fused)
             ce = masked_ce_from_hiddens(hiddens, params["C_w"],
                                         params["C_b"], caps, lens, mask)
             reg = jnp.mean((1.0 - jnp.sum(alphas, axis=1)) ** 2)

@@ -133,12 +133,14 @@ class TrainConfig:
     # crop/resize sizes (train_multitask.py:63-69)
     resize_size: int = 336
     crop_size: int = 224
-    # Use the Pallas fused time-scan kernel (ops/pallas_lstm.py) for the
-    # teacher-forced FactoredLSTM chain.  Only takes effect when
-    # teacher_forcing_ratio >= 1.0 (the fully teacher-forced fast path).
-    # None (default) = auto: on for the TPU backend (measured 3.3 vs
-    # 3.5 ms/step vs the XLA scan, interleaved A/B), off elsewhere (the
-    # kernel would run in slow interpret mode on CPU).
+    # Use the Pallas fused time-scan kernels for the training forward:
+    # ops/pallas_lstm.py for the non-attention FactoredLSTM chain
+    # (teacher-forced path only) and ops/pallas_att_train.py for the
+    # attention families (both the teacher-forced and the scheduled-
+    # sampling tf<1 paths — the sampled variant runs the head/argmax
+    # feedback in-kernel).  None (default) = auto: on for the TPU backend
+    # (measured wins vs the XLA scan, see docs/KERNELS.md §4), off
+    # elsewhere (the kernels would run in slow interpret mode on CPU).
     fused_scan: Optional[bool] = None
     # Compute the training CE in time chunks directly from the decoder's
     # hidden states (ops/chunked_loss.py) — the (B, T, V) logits never

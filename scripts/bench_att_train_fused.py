@@ -20,6 +20,7 @@ import numpy as np
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 V, T, B, P, A, H = 8192, 25, 128, 196, 512, 512
+B = int(os.environ.get("ICEE_BENCH_B", B))
 
 
 def main():

@@ -162,6 +162,161 @@ def masked_ce_from_hiddens(
     return _weighted_ce(hiddens, head_w, head_b, targets, weights, t_chunk)
 
 
+# --------------------------------------------------------------------------
+# two-head probability-mixture CE (the SentiCap switched loss,
+# ``senticap/mrnn/mrnn_switched.py:860-884,1006-1057``): the materialized
+# form mixes two (B, T, V) softmaxes per token before taking the target
+# probability.  Only the per-token TARGET probability of each head is needed
+# for the value, so the chunked form keeps just the two (B, T) logsumexp
+# residual planes; the backward recomputes each chunk's softmaxes.
+# --------------------------------------------------------------------------
+
+_PROB_FLOOR = 1e-37  # mrnn.py:563
+
+
+def _head_chunk(x, w, b, tt, v):
+    """One head on one chunk -> (lse (B,tc), tgt_logit (B,tc))."""
+    logits = (x @ w + b).astype(jnp.float32)                 # (B, tc, V)
+    m = jnp.max(logits, axis=-1)
+    lse = m + jnp.log(jnp.sum(jnp.exp(logits - m[..., None]), axis=-1))
+    tgt = jnp.sum(logits * jax.nn.one_hot(tt, v, dtype=logits.dtype),
+                  axis=-1)
+    return lse, tgt
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(10,))
+def _mixture_ce(hh_o, hh_n, co, cn, w_o, b_o, w_n, b_n, targets, weights,
+                t_chunk):
+    """``sum(weights * -log(max(co*p_o + cn*p_n, 1e-37)))`` where
+    ``p_* = softmax(hh_* @ w_* + b_*)[target]`` — the (B, T, V)
+    distributions never materialize.  ``co``/``cn`` are per-token mixture
+    coefficients (B, T); their cotangents are ``-w/p_mix * p_{o,n}`` so the
+    caller's coefficient construction (e.g. ``1-att``/``att``) chains
+    through XLA.  Floored positions get zero gradient, exactly like the
+    materialized ``max``."""
+    loss, _, _ = _mixture_forward(hh_o, hh_n, co, cn, w_o, b_o, w_n, b_n,
+                                  targets, weights, t_chunk)
+    return loss
+
+
+def _mixture_forward(hh_o, hh_n, co, cn, w_o, b_o, w_n, b_n, targets,
+                     weights, t_chunk):
+    v = w_o.shape[-1]
+    xo = _to_chunks(hh_o, t_chunk)
+    xn = _to_chunks(hh_n, t_chunk)
+    coc = _to_chunks(co, t_chunk)
+    cnc = _to_chunks(cn, t_chunk)
+    tc_ = _to_chunks(targets, t_chunk)
+    wc = _to_chunks(weights, t_chunk)
+
+    def body(acc, xs):
+        x_o, x_n, c_o, c_n, tt, ww = xs
+        lse_o, tgt_o = _head_chunk(x_o, w_o, b_o, tt, v)
+        lse_n, tgt_n = _head_chunk(x_n, w_n, b_n, tt, v)
+        p_mix = (c_o * jnp.exp(tgt_o - lse_o)
+                 + c_n * jnp.exp(tgt_n - lse_n))
+        nll = -jnp.log(jnp.maximum(p_mix, _PROB_FLOOR))
+        return acc + jnp.sum(ww * nll), (lse_o, lse_n)
+
+    loss, (lses_o, lses_n) = jax.lax.scan(
+        body, jnp.asarray(0.0, jnp.float32), (xo, xn, coc, cnc, tc_, wc))
+    return loss, lses_o, lses_n
+
+
+def _mixture_fwd(hh_o, hh_n, co, cn, w_o, b_o, w_n, b_n, targets, weights,
+                 t_chunk):
+    loss, lses_o, lses_n = _mixture_forward(
+        hh_o, hh_n, co, cn, w_o, b_o, w_n, b_n, targets, weights, t_chunk)
+    return loss, (hh_o, hh_n, co, cn, w_o, b_o, w_n, b_n, targets, weights,
+                  lses_o, lses_n)
+
+
+def _mixture_bwd(t_chunk, res, g):
+    (hh_o, hh_n, co, cn, w_o, b_o, w_n, b_n, targets, weights,
+     lses_o, lses_n) = res
+    b, t = targets.shape
+    v = w_o.shape[-1]
+    xo = _to_chunks(hh_o, t_chunk)
+    xn = _to_chunks(hh_n, t_chunk)
+    coc = _to_chunks(co, t_chunk)
+    cnc = _to_chunks(cn, t_chunk)
+    tc_ = _to_chunks(targets, t_chunk)
+    wc = _to_chunks(weights, t_chunk)
+    wo32 = w_o.astype(jnp.float32)
+    wn32 = w_n.astype(jnp.float32)
+
+    def head_bwd(x, w, w32, b_, tt, lse, fac):
+        """``fac`` = dloss/dp_tgt * p_tgt (B, tc); returns dx, dW, db."""
+        logits = (x @ w + b_).astype(jnp.float32)
+        p = jnp.exp(logits - lse[..., None])                 # (B, tc, V)
+        onehot = jax.nn.one_hot(tt, v, dtype=jnp.float32)
+        dl = fac[..., None] * (onehot - p)                   # (B, tc, V)
+        dx = jnp.einsum("btv,hv->bth", dl, w32).astype(x.dtype)
+        dw = jnp.einsum("bth,btv->hv", x.astype(jnp.float32), dl)
+        db = jnp.sum(dl, axis=(0, 1))
+        return dx, dw, db
+
+    def body(carry, xs):
+        dwo, dbo, dwn, dbn = carry
+        x_o, x_n, c_o, c_n, tt, ww, lse_o, lse_n = xs
+        _, tgt_o = _head_chunk(x_o, w_o, b_o, tt, v)
+        _, tgt_n = _head_chunk(x_n, w_n, b_n, tt, v)
+        p_o = jnp.exp(tgt_o - lse_o)
+        p_n = jnp.exp(tgt_n - lse_n)
+        p_mix = c_o * p_o + c_n * p_n
+        live = (p_mix > _PROB_FLOOR).astype(jnp.float32)
+        g_p = -(ww * g) * live / jnp.maximum(p_mix, _PROB_FLOOR)
+        d_co = g_p * p_o
+        d_cn = g_p * p_n
+        dx_o, dw_o, db_o = head_bwd(x_o, w_o, wo32, b_o, tt, lse_o,
+                                    g_p * c_o * p_o)
+        dx_n, dw_n, db_n = head_bwd(x_n, w_n, wn32, b_n, tt, lse_n,
+                                    g_p * c_n * p_n)
+        return ((dwo + dw_o, dbo + db_o, dwn + dw_n, dbn + db_n),
+                (dx_o, dx_n, d_co, d_cn))
+
+    (dwo, dbo, dwn, dbn), (dxo, dxn, dco, dcn) = jax.lax.scan(
+        body,
+        (jnp.zeros(w_o.shape, jnp.float32), jnp.zeros(b_o.shape, jnp.float32),
+         jnp.zeros(w_n.shape, jnp.float32), jnp.zeros(b_n.shape, jnp.float32)),
+        (xo, xn, coc, cnc, tc_, wc, lses_o, lses_n))
+
+    def unchunk(xc, like):
+        x = jnp.moveaxis(xc, 0, 1)
+        x = x.reshape((b, -1) + x.shape[3:])[:, :t]
+        return x.astype(like.dtype)
+
+    return (unchunk(dxo, hh_o), unchunk(dxn, hh_n),
+            unchunk(dco, co), unchunk(dcn, cn),
+            dwo.astype(w_o.dtype), dbo.astype(b_o.dtype),
+            dwn.astype(w_n.dtype), dbn.astype(b_n.dtype), None, None)
+
+
+_mixture_ce.defvjp(_mixture_fwd, _mixture_bwd)
+
+
+def mixture_ce_from_hiddens(
+    hh_o: jax.Array,         # (B, T, H) background head input (post-dropout)
+    hh_n: jax.Array,         # (B, T, H) sentiment head input (post-dropout)
+    co: jax.Array,           # (B, T) background mixture coefficient
+    cn: jax.Array,           # (B, T) sentiment mixture coefficient
+    w_o: jax.Array, b_o: jax.Array,
+    w_n: jax.Array, b_n: jax.Array,
+    targets: jax.Array,      # (B, T) int
+    weights: jax.Array,      # (B, T) float — mask (x CE reweighting)
+    t_chunk: Optional[int] = None,
+) -> jax.Array:
+    """Chunked ``sum(weights * -log(max(co*p_o + cn*p_n, 1e-37)))`` — the
+    SentiCap switched mixture CE without materializing either (B, T, V)
+    distribution."""
+    b, t = targets.shape
+    if t_chunk is None:
+        t_chunk = auto_t_chunk(b, t)
+    return _mixture_ce(hh_o, hh_n, co.astype(jnp.float32),
+                       cn.astype(jnp.float32), w_o, b_o, w_n, b_n,
+                       targets, weights.astype(jnp.float32), t_chunk)
+
+
 def masked_sum_ce_from_hiddens(
     hiddens: jax.Array,      # (B, T, H)
     head_w: jax.Array,       # (H, V)

@@ -106,8 +106,13 @@ def step(
     senti0: jax.Array,      # () f32 — batch sentiment (<= -0.5 descriptive)
     x_drop: Optional[jax.Array] = None,
     y_drop: Optional[jax.Array] = None,
+    return_hiddens: bool = False,
 ):
-    """One switched recurrence -> (s_t, h, c, log_att, log_1m_att)."""
+    """One switched recurrence -> (s_t, h, c, log_att, log_1m_att); with
+    ``return_hiddens`` the two softmaxes are skipped and the first element
+    is ``(head_in_o, head_in_n, att[:, 0])`` — the post-dropout head inputs
+    plus the switch gate, enough for the chunked mixture loss
+    (:func:`icee_tpu.ops.chunked_loss.mixture_ce_from_hiddens`)."""
     hs = conf["lstm_hidden_size"]
     gclip = conf["GRAD_CLIP_SIZE"]
     h_orig, h_new = h[:, :hs], h[:, hs:]
@@ -121,6 +126,8 @@ def step(
             x_t = x_t * xd
         h2, c2 = cell(base, x_t, h_i, c_i, gclip)
         hh = h2 * yd if (conf["DROP_OUTPUT"] and yd is not None) else h2
+        if return_hiddens:
+            return h2, c2, hh
         s = jax.nn.softmax(hh @ base["w"] + base["b"], axis=-1)
         return h2, c2, s
 
@@ -133,6 +140,13 @@ def step(
     att = jax.nn.sigmoid(
         jnp.concatenate([hh_o, hh_n], axis=1) @ params["att_w"]
         + params["att_b"])                                  # (B, 1)
+
+    if return_hiddens:
+        h_out = jnp.concatenate([hh_o, hh_n], axis=1)
+        c_out = jnp.concatenate([cc_o, cc_n], axis=1)
+        # s_o/s_n here are the POST-dropout head inputs (see ``run``)
+        return ((s_o, s_n, att[:, 0]), h_out, c_out,
+                jnp.log(att), jnp.log(1.0 - att))
 
     descriptive = senti0 <= -0.5
     mode = conf["DOMAIN_ADAPT"]
@@ -160,8 +174,13 @@ def forward(
     x_drop: Optional[jax.Array] = None,
     y_drop: Optional[jax.Array] = None,
     use_visual: bool = True,
+    return_hiddens: bool = False,
 ):
-    """Teacher-forced scan -> (s (B,T,V), log_att (B,T), log_1m_att (B,T))."""
+    """Teacher-forced scan -> (s (B,T,V), log_att (B,T), log_1m_att (B,T));
+    with ``return_hiddens`` the first element is instead
+    ``(hh_o (B,T,H), hh_n (B,T,H), att (B,T))`` — the post-dropout head
+    inputs and switch gates for the chunked mixture loss (the (B, T, V)
+    distributions never materialize)."""
     b, t = words.shape
     hs = conf["lstm_hidden_size"]
     if x_drop is None:
@@ -174,7 +193,7 @@ def forward(
         h, c = carry
         w_t, xd, yd, uv = xs
         s_t, h, c, la, l1a = step(params, conf, w_t, uv, h, c, v, senti0,
-                                  xd, yd)
+                                  xd, yd, return_hiddens=return_hiddens)
         return (h, c), (s_t, la[:, 0], l1a[:, 0])
 
     h0 = jnp.zeros((b, 2 * hs))
@@ -183,8 +202,13 @@ def forward(
         body, (h0, c0),
         (jnp.swapaxes(words, 0, 1), jnp.swapaxes(x_drop, 0, 1),
          jnp.swapaxes(y_drop, 0, 1), use_v))
-    return (jnp.swapaxes(s, 0, 1), jnp.swapaxes(la, 0, 1),
-            jnp.swapaxes(l1a, 0, 1))
+    la = jnp.swapaxes(la, 0, 1)
+    l1a = jnp.swapaxes(l1a, 0, 1)
+    if return_hiddens:
+        hh_o, hh_n, att = s
+        return ((jnp.swapaxes(hh_o, 0, 1), jnp.swapaxes(hh_n, 0, 1),
+                 jnp.swapaxes(att, 0, 1)), la, l1a)
+    return jnp.swapaxes(s, 0, 1), la, l1a
 
 
 def loss_fn(
@@ -210,6 +234,57 @@ def loss_fn(
         (1.0 + conf["LAMBDA_N"]) * conf["LAMBDA_GAM"]
         * (sw * (-log_att) + (1.0 - sw) * (-log_1m_att)) * mask)
     return base + neg + gate
+
+
+def loss_fn_from_hiddens(
+    params: dict,
+    conf: dict,
+    hh_o: jax.Array,        # (B, T, H) background head input (post-dropout)
+    hh_n: jax.Array,        # (B, T, H) sentiment head input (post-dropout)
+    att: jax.Array,         # (B, T) switch gate
+    senti0: jax.Array,      # () batch sentiment
+    y: jax.Array,           # (B, T) targets
+    mask: jax.Array,        # (B, T)
+    sw: jax.Array,          # (B, T) ANP switch indicator
+    log_att: jax.Array,     # (B, T)
+    log_1m_att: jax.Array,  # (B, T)
+) -> jax.Array:
+    """Same loss as :func:`loss_fn` computed from the hidden states — the
+    two (B, T, V) distributions never materialize
+    (``icee_tpu.ops.chunked_loss.mixture_ce_from_hiddens``).  The
+    ``base + LAMBDA_N * (1-sw)`` CE pair folds into one weighted chunked
+    pass; the V-free gate term is unchanged."""
+    from icee_tpu.ops.chunked_loss import mixture_ce_from_hiddens
+
+    mode = conf["DOMAIN_ADAPT"]
+    descriptive = senti0 <= -0.5
+    if mode in (DA_SUM, DA_SIMILAR_PARAM_3):
+        co_m, cn_m = 1.0 - att, att
+    elif mode == DA_FIXED_ALPHA:
+        alpha = jnp.full_like(att, conf["FIXED_ALPHA"])
+        co_m, cn_m = 1.0 - alpha, alpha
+    elif mode in (DA_SIMILAR_PARAM, DA_SIMILAR_PARAM_2):
+        co_m, cn_m = jnp.zeros_like(att), jnp.ones_like(att)
+    else:
+        raise ValueError(f"unknown DOMAIN_ADAPT {mode}")
+    co = jnp.where(descriptive, 1.0, co_m)
+    cn = jnp.where(descriptive, 0.0, cn_m)
+
+    m = mask.astype(jnp.float32)
+    if mode in (DA_FIXED_ALPHA, DA_SIMILAR_PARAM):
+        weights = m                                  # base term only
+    else:
+        weights = m * (1.0 + conf["LAMBDA_N"] * (1.0 - sw))
+
+    ce = mixture_ce_from_hiddens(
+        hh_o, hh_n, co, cn, params["w"], params["b"],
+        params["w_sw"], params["b_sw"], y, weights)
+    if mode in (DA_FIXED_ALPHA, DA_SIMILAR_PARAM, DA_SIMILAR_PARAM_2):
+        return ce
+    gate = jnp.sum(
+        (1.0 + conf["LAMBDA_N"]) * conf["LAMBDA_GAM"]
+        * (sw * (-log_att) + (1.0 - sw) * (-log_1m_att)) * m)
+    return ce + gate
 
 
 def cost_fn(params: dict, conf: dict, loss: jax.Array,

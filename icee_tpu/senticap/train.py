@@ -139,6 +139,14 @@ def make_base_step(conf: dict, solver, mesh=None):
 
 
 def make_switched_step(conf: dict, solver, mesh=None):
+    """Jitted switched-model step; ``conf["CHUNKED_CE"]`` (default None =
+    auto: on for the TPU backend) computes the mixture CE from the two
+    heads' hidden states in time chunks so neither (B, T, V) distribution
+    materializes (``ops/chunked_loss.mixture_ce_from_hiddens``)."""
+    use_chunked = conf.get("CHUNKED_CE")
+    if use_chunked is None:
+        use_chunked = jax.default_backend() == "tpu"
+
     @jax.jit
     def step(params, opt_state, data, idx, key):
         x = data["X"][idx]
@@ -161,9 +169,16 @@ def make_switched_step(conf: dict, solver, mesh=None):
         tmask = sw_model.switch_param_mask(params)
 
         def cost_fn(p):
-            s, la, l1a = sw_model.forward(p, conf, x, v, senti0, x_drop,
-                                          y_drop)
-            loss = sw_model.loss_fn(conf, s, y, mask, sw, la, l1a)
+            if use_chunked:
+                (hh_o, hh_n, att), la, l1a = sw_model.forward(
+                    p, conf, x, v, senti0, x_drop, y_drop,
+                    return_hiddens=True)
+                loss = sw_model.loss_fn_from_hiddens(
+                    p, conf, hh_o, hh_n, att, senti0, y, mask, sw, la, l1a)
+            else:
+                s, la, l1a = sw_model.forward(p, conf, x, v, senti0, x_drop,
+                                              y_drop)
+                loss = sw_model.loss_fn(conf, s, y, mask, sw, la, l1a)
             return sw_model.cost_fn(p, conf, loss, tmask), loss
 
         (cost, loss), grads = jax.value_and_grad(cost_fn, has_aux=True)(params)

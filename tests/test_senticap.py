@@ -143,6 +143,120 @@ def test_switched_loss_formula(rng):
     np.testing.assert_allclose(got, want, rtol=1e-5)
 
 
+@pytest.mark.parametrize("mode_senti", [
+    ("da_sum", 1.0), ("da_sum", -1.0), ("da_fixed_alpha", 1.0),
+    ("da_similar_param_2", 1.0), ("da_similar_param_3", 1.0),
+])
+def test_switched_chunked_loss_matches_materialized(rng, mode_senti):
+    """loss_fn_from_hiddens (chunked mixture CE, the two (B,T,V)
+    distributions never materialize) == loss_fn on the materialized
+    forward: value AND grads, every DOMAIN_ADAPT mode incl. the
+    descriptive branch, with dropout masks active."""
+    mode, senti = mode_senti
+    conf = dict(CONF, DOMAIN_ADAPT=mode)
+    base = M.init_params(jax.random.PRNGKey(0), VOCAB, conf)
+    params = SW.init_params(jax.random.PRNGKey(1), VOCAB, conf, base=base)
+    b, t = 4, 7
+    words = jnp.asarray(rng.integers(0, VOCAB, (b, t)), jnp.int32)
+    y = jnp.asarray(rng.integers(0, VOCAB, (b, t)), jnp.int32)
+    v = jnp.asarray(rng.standard_normal((b, 12)).astype(np.float32))
+    mask = jnp.asarray(rng.integers(0, 2, (b, t)).astype(np.float32))
+    sw = jnp.asarray(rng.integers(0, 2, (b, t)).astype(np.float32))
+    x_drop = jnp.asarray(
+        rng.integers(0, 2, (b, t, conf["emb_size"])).astype(np.float32)) * 2.0
+    y_drop = jnp.asarray(
+        rng.integers(0, 2, (b, t, conf["lstm_hidden_size"])).astype(
+            np.float32)) * 2.0
+    senti0 = jnp.asarray(senti)
+
+    def loss_mat(p):
+        s, la, l1a = SW.forward(p, conf, words, v, senti0, x_drop, y_drop)
+        return SW.loss_fn(conf, s, y, mask, sw, la, l1a)
+
+    def loss_chunk(p):
+        (hh_o, hh_n, att), la, l1a = SW.forward(
+            p, conf, words, v, senti0, x_drop, y_drop, return_hiddens=True)
+        return SW.loss_fn_from_hiddens(p, conf, hh_o, hh_n, att, senti0,
+                                       y, mask, sw, la, l1a)
+
+    vm, gm = jax.value_and_grad(loss_mat)(params)
+    vc, gc = jax.value_and_grad(loss_chunk)(params)
+    np.testing.assert_allclose(float(vc), float(vm), rtol=1e-6)
+    flat_m, _ = jax.tree_util.tree_flatten_with_path(gm)
+    flat_c, _ = jax.tree_util.tree_flatten_with_path(gc)
+    for (path, a), (_, b_) in zip(flat_m, flat_c):
+        np.testing.assert_allclose(
+            np.asarray(b_), np.asarray(a), rtol=2e-5, atol=1e-6,
+            err_msg=f"grad mismatch at {jax.tree_util.keystr(path)}")
+
+
+def test_switched_chunked_loss_floor_zero_grad(rng):
+    """When the mixed target probability underflows the reference's 1e-37
+    floor (mrnn.py:563) the chunked loss must clamp the value and zero the
+    gradient, exactly like the materialized max()."""
+    conf = dict(CONF)
+    base = M.init_params(jax.random.PRNGKey(0), VOCAB, conf)
+    params = SW.init_params(jax.random.PRNGKey(1), VOCAB, conf, base=base)
+    # huge logit offsets force ~one-hot softmaxes away from the target
+    params["b"] = params["b"].at[0].set(250.0)
+    params["b_sw"] = params["b_sw"].at[0].set(250.0)
+    b, t = 2, 3
+    words = jnp.asarray(rng.integers(1, VOCAB, (b, t)), jnp.int32)
+    y = jnp.full((b, t), VOCAB - 1, jnp.int32)  # never token 0
+    v = jnp.asarray(rng.standard_normal((b, 12)).astype(np.float32))
+    mask = jnp.ones((b, t))
+    sw = jnp.zeros((b, t))
+    senti0 = jnp.asarray(1.0)
+
+    def loss_mat(p):
+        s, la, l1a = SW.forward(p, conf, words, v, senti0)
+        return SW.loss_fn(conf, s, y, mask, sw, la, l1a)
+
+    def loss_chunk(p):
+        (hh_o, hh_n, att), la, l1a = SW.forward(
+            p, conf, words, v, senti0, return_hiddens=True)
+        return SW.loss_fn_from_hiddens(p, conf, hh_o, hh_n, att, senti0,
+                                       y, mask, sw, la, l1a)
+
+    vm, gm = jax.value_and_grad(loss_mat)(params)
+    vc, gc = jax.value_and_grad(loss_chunk)(params)
+    assert np.isfinite(float(vm)) and np.isfinite(float(vc))
+    np.testing.assert_allclose(float(vc), float(vm), rtol=1e-6)
+    # the CE contribution is floored -> the head weight grads vanish in
+    # both forms (the gate term flows only through att_w/att_b)
+    for k in ("w", "w_sw"):
+        np.testing.assert_allclose(np.asarray(gc[k]), np.asarray(gm[k]),
+                                   atol=1e-7)
+
+
+def test_switched_step_chunked_equals_materialized(rng):
+    """make_switched_step with CHUNKED_CE on/off produces the same updated
+    params and loss on one step."""
+    ds, w2i, _ = _toy_dataset(rng)
+    vocab = len(w2i)
+    outs = []
+    for chunked in (False, True):
+        conf = dict(CONF, CHUNKED_CE=chunked)
+        base = M.init_params(jax.random.PRNGKey(0), vocab, conf)
+        params = SW.init_params(jax.random.PRNGKey(1), vocab, conf,
+                                base=base)
+        solver = make_solver(conf)
+        opt_state = solver.init(params)
+        step = T.make_switched_step(conf, solver)
+        data = sio.device_dataset(ds)
+        idx = jnp.arange(4)
+        p2, _, loss = step(params, opt_state, data, idx,
+                           jax.random.PRNGKey(7))
+        outs.append((p2, float(loss)))
+    np.testing.assert_allclose(outs[0][1], outs[1][1], rtol=1e-6)
+    flat_a, _ = jax.tree_util.tree_flatten_with_path(outs[0][0])
+    flat_b, _ = jax.tree_util.tree_flatten_with_path(outs[1][0])
+    for (path, a), (_, b_) in zip(flat_a, flat_b):
+        np.testing.assert_allclose(
+            np.asarray(b_), np.asarray(a), rtol=1e-4, atol=1e-6,
+            err_msg=f"param mismatch at {jax.tree_util.keystr(path)}")
+
+
 def _toy_dataset(rng, n=8):
     records = []
     for i in range(n):

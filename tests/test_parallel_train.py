@@ -208,10 +208,11 @@ def test_senticap_train_dp_matches_single(rng):
         senti=np.concatenate([np.ones(8), -np.ones(8)]).astype(np.float32),
         ids=list(range(n)))
 
-    def run(mesh):
-        params, _ = T.train_base(ds, v, conf, num_epochs=2, seed=0,
+    def run(mesh, chunked=False):
+        c = dict(conf, CHUNKED_CE=chunked)
+        params, _ = T.train_base(ds, v, c, num_epochs=2, seed=0,
                                  mesh=mesh)
-        sw, _ = T.train_switched(ds, params, v, conf, num_epochs=1, seed=0,
+        sw, _ = T.train_switched(ds, params, v, c, num_epochs=1, seed=0,
                                  mesh=mesh)
         return (float(jnp.sum(jnp.abs(params["w_lstm"]))),
                 float(jnp.sum(jnp.abs(sw["att_w"]))))
@@ -219,6 +220,10 @@ def test_senticap_train_dp_matches_single(rng):
     got = run(make_mesh((8, 1)))
     want = run(None)
     np.testing.assert_allclose(got, want, rtol=2e-4)
+    # the chunked mixture CE (time-chunked, batch axis intact) shards over
+    # the data axis with no resharding and matches the materialized loss
+    got_chunked = run(make_mesh((8, 1)), chunked=True)
+    np.testing.assert_allclose(got_chunked, want, rtol=2e-4)
 
 
 def test_seq2seq_trainer_runs_on_mesh(tmp_path):

@@ -162,6 +162,69 @@ def masked_ce_from_hiddens(
     return _weighted_ce(hiddens, head_w, head_b, targets, weights, t_chunk)
 
 
+def masked_neglog2_sum_from_hiddens(
+    hiddens: jax.Array,      # (B, T, H)
+    head_w: jax.Array,       # (H, V)
+    head_b: jax.Array,       # (V,)
+    targets: jax.Array,      # (B, T) int
+    mask: jax.Array,         # (B, T)
+    t_chunk: Optional[int] = None,
+) -> jax.Array:
+    """``sum(mask * -log2(softmax(hh @ W + b)[y] + 1e-20))`` — the
+    perplexity numerator (``mrnn.py:518-530``) without materializing the
+    (B, T, V) distributions.  Value-only (eval path)."""
+    b, t = targets.shape
+    v = head_w.shape[-1]
+    if t_chunk is None:
+        t_chunk = auto_t_chunk(b, t)
+    xc = _to_chunks(hiddens, t_chunk)
+    tc = _to_chunks(targets, t_chunk)
+    wc = _to_chunks(mask.astype(jnp.float32), t_chunk)
+
+    def body(acc, xs):
+        x, tt, ww = xs
+        lse, tgt = _head_chunk(x, head_w, head_b, tt, v)
+        p = jnp.exp(tgt - lse)
+        return acc + jnp.sum(ww * -jnp.log2(p + 1e-20)), None
+
+    acc, _ = jax.lax.scan(body, jnp.asarray(0.0, jnp.float32), (xc, tc, wc))
+    return acc
+
+
+def mixture_neglog2_sum_from_hiddens(
+    hh_o: jax.Array, hh_n: jax.Array,
+    co: jax.Array, cn: jax.Array,
+    w_o: jax.Array, b_o: jax.Array,
+    w_n: jax.Array, b_n: jax.Array,
+    targets: jax.Array,
+    mask: jax.Array,
+    t_chunk: Optional[int] = None,
+) -> jax.Array:
+    """Two-head mixture form of :func:`masked_neglog2_sum_from_hiddens`
+    (the switched model's perplexity numerator).  Value-only."""
+    b, t = targets.shape
+    v = w_o.shape[-1]
+    if t_chunk is None:
+        t_chunk = auto_t_chunk(b, t)
+    xo = _to_chunks(hh_o, t_chunk)
+    xn = _to_chunks(hh_n, t_chunk)
+    coc = _to_chunks(co.astype(jnp.float32), t_chunk)
+    cnc = _to_chunks(cn.astype(jnp.float32), t_chunk)
+    tc = _to_chunks(targets, t_chunk)
+    wc = _to_chunks(mask.astype(jnp.float32), t_chunk)
+
+    def body(acc, xs):
+        x_o, x_n, c_o, c_n, tt, ww = xs
+        lse_o, tgt_o = _head_chunk(x_o, w_o, b_o, tt, v)
+        lse_n, tgt_n = _head_chunk(x_n, w_n, b_n, tt, v)
+        p = c_o * jnp.exp(tgt_o - lse_o) + c_n * jnp.exp(tgt_n - lse_n)
+        return acc + jnp.sum(ww * -jnp.log2(p + 1e-20)), None
+
+    acc, _ = jax.lax.scan(body, jnp.asarray(0.0, jnp.float32),
+                          (xo, xn, coc, cnc, tc, wc))
+    return acc
+
+
 # --------------------------------------------------------------------------
 # two-head probability-mixture CE (the SentiCap switched loss,
 # ``senticap/mrnn/mrnn_switched.py:860-884,1006-1057``): the materialized

@@ -236,6 +236,28 @@ def loss_fn(
     return base + neg + gate
 
 
+def mixture_coefficients(conf: dict, att: jax.Array, senti0: jax.Array
+                         ) -> Tuple[jax.Array, jax.Array]:
+    """Per-token mixture coefficients (co, cn) such that the switched
+    output's target probability is ``co * p_orig + cn * p_new`` — the
+    :func:`step` mixing rules (``mrnn_switched.py:860-884``) expressed in
+    coefficient form for the chunked losses."""
+    mode = conf["DOMAIN_ADAPT"]
+    descriptive = senti0 <= -0.5
+    if mode in (DA_SUM, DA_SIMILAR_PARAM_3):
+        co_m, cn_m = 1.0 - att, att
+    elif mode == DA_FIXED_ALPHA:
+        alpha = jnp.full_like(att, conf["FIXED_ALPHA"])
+        co_m, cn_m = 1.0 - alpha, alpha
+    elif mode in (DA_SIMILAR_PARAM, DA_SIMILAR_PARAM_2):
+        co_m, cn_m = jnp.zeros_like(att), jnp.ones_like(att)
+    else:
+        raise ValueError(f"unknown DOMAIN_ADAPT {mode}")
+    co = jnp.where(descriptive, 1.0, co_m)
+    cn = jnp.where(descriptive, 0.0, cn_m)
+    return co, cn
+
+
 def loss_fn_from_hiddens(
     params: dict,
     conf: dict,
@@ -257,18 +279,7 @@ def loss_fn_from_hiddens(
     from icee_tpu.ops.chunked_loss import mixture_ce_from_hiddens
 
     mode = conf["DOMAIN_ADAPT"]
-    descriptive = senti0 <= -0.5
-    if mode in (DA_SUM, DA_SIMILAR_PARAM_3):
-        co_m, cn_m = 1.0 - att, att
-    elif mode == DA_FIXED_ALPHA:
-        alpha = jnp.full_like(att, conf["FIXED_ALPHA"])
-        co_m, cn_m = 1.0 - alpha, alpha
-    elif mode in (DA_SIMILAR_PARAM, DA_SIMILAR_PARAM_2):
-        co_m, cn_m = jnp.zeros_like(att), jnp.ones_like(att)
-    else:
-        raise ValueError(f"unknown DOMAIN_ADAPT {mode}")
-    co = jnp.where(descriptive, 1.0, co_m)
-    cn = jnp.where(descriptive, 0.0, cn_m)
+    co, cn = mixture_coefficients(conf, att, senti0)
 
     m = mask.astype(jnp.float32)
     if mode in (DA_FIXED_ALPHA, DA_SIMILAR_PARAM):

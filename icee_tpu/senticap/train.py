@@ -286,15 +286,44 @@ def validation_perplexity(params, conf, dataset: sio.SentiDataset,
                           ) -> float:
     """Masked corpus perplexity (``get_val_perplexity``; ``base_only``
     evaluates the background model inside a switched param set,
-    ``mrnn_switched.py:1301``)."""
+    ``mrnn_switched.py:1301``).  With ``conf["CHUNKED_CE"]`` (auto: TPU)
+    the (B, T, V) distributions never materialize — the whole val split
+    evaluates in one pass through the chunked neglog2 reductions."""
+    use_chunked = conf.get("CHUNKED_CE")
+    if use_chunked is None:
+        use_chunked = jax.default_backend() == "tpu"
+    use_chunked = use_chunked and conf.get("SOFTMAX_OUT", True)
     data = sio.device_dataset(dataset)
+    y, mask = data["Y"], data["Xlen"]
     if switched and not base_only:
+        if use_chunked:
+            from icee_tpu.ops.chunked_loss import (
+                mixture_neglog2_sum_from_hiddens)
+
+            (hh_o, hh_n, att), _, _ = sw_model.forward(
+                params, conf, data["X"], data["V"], data["senti"][0],
+                return_hiddens=True)
+            co, cn = sw_model.mixture_coefficients(conf, att,
+                                                   data["senti"][0])
+            hsum = mixture_neglog2_sum_from_hiddens(
+                hh_o, hh_n, co, cn, params["w"], params["b"],
+                params["w_sw"], params["b_sw"], y, mask)
+            return float(2.0 ** (hsum / jnp.sum(mask)))
         s, _, _ = sw_model.forward(params, conf, data["X"], data["V"],
                                    data["senti"][0])
     else:
         p = {k: params[k] for k in ("wemb", "w_lstm", "w", "b", "wvm", "bmv")}
+        if use_chunked:
+            from icee_tpu.ops.chunked_loss import (
+                masked_neglog2_sum_from_hiddens)
+
+            hh = base_model.forward(p, conf, data["X"], data["V"],
+                                    return_hiddens=True)
+            hsum = masked_neglog2_sum_from_hiddens(
+                hh, p["w"], p["b"], y, mask)
+            return float(2.0 ** (hsum / jnp.sum(mask)))
         s = base_model.forward(p, conf, data["X"], data["V"])
-    return float(base_model.perplexity(s, data["Y"], data["Xlen"]))
+    return float(base_model.perplexity(s, y, mask))
 
 
 def make_beam_step(params, conf, switched: bool):

@@ -257,6 +257,25 @@ def test_switched_step_chunked_equals_materialized(rng):
             err_msg=f"param mismatch at {jax.tree_util.keystr(path)}")
 
 
+def test_validation_perplexity_chunked_matches(rng):
+    """validation_perplexity with CHUNKED_CE (no (B,T,V) materialization)
+    == the materialized path, base / switched / base_only views."""
+    ds, w2i, _ = _toy_dataset(rng)
+    vocab = len(w2i)
+    base = M.init_params(jax.random.PRNGKey(0), vocab, CONF)
+    params = SW.init_params(jax.random.PRNGKey(1), vocab, CONF, base=base)
+    params["w_sw"] = params["w_sw"] + 0.3 * jax.random.normal(
+        jax.random.PRNGKey(9), params["w_sw"].shape)
+    for switched, base_only in ((False, False), (True, False), (True, True)):
+        p = params if switched else base
+        want = T.validation_perplexity(p, dict(CONF, CHUNKED_CE=False), ds,
+                                       switched=switched, base_only=base_only)
+        got = T.validation_perplexity(p, dict(CONF, CHUNKED_CE=True), ds,
+                                      switched=switched, base_only=base_only)
+        np.testing.assert_allclose(got, want, rtol=1e-5,
+                                   err_msg=f"sw={switched} base={base_only}")
+
+
 def _toy_dataset(rng, n=8):
     records = []
     for i in range(n):

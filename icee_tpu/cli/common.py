@@ -74,6 +74,16 @@ def add_train_flags(p: argparse.ArgumentParser) -> None:
     p.add_argument("--log_path", type=str, default="out.log")
     p.add_argument("--model_path", type=str, default="models/")
     p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--fused_scan", choices=["auto", "on", "off"],
+                   default="auto",
+                   help="Pallas whole-scan training kernels "
+                        "(ops/pallas_lstm.py, ops/pallas_att_train.py); "
+                        "auto = on for the TPU backend")
+    p.add_argument("--chunked_ce", choices=["auto", "on", "off"],
+                   default="auto",
+                   help="chunked training CE (ops/chunked_loss.py, the "
+                        "(B,T,V) logits never materialize); auto = on for "
+                        "the TPU backend")
 
 
 def add_data_flags(p: argparse.ArgumentParser) -> None:
@@ -131,6 +141,10 @@ def train_config(args) -> TrainConfig:
         max_caption_len=args.max_seq_length + 2,
         seed=args.seed,
         crop_size=args.crop_size,
+        fused_scan={"auto": None, "on": True, "off": False}[
+            getattr(args, "fused_scan", "auto")],
+        chunked_ce={"auto": None, "on": True, "off": False}[
+            getattr(args, "chunked_ce", "auto")],
     )
 
 

@@ -47,6 +47,9 @@ def main(args) -> None:
         r.setdefault("sentiment", default_senti)
     features = sio.load_features(args.features) if args.features else None
 
+    chunked_ce = {"auto": None, "on": True, "off": False}[
+        getattr(args, "chunked_ce", "auto")]
+
     mesh = None
     if args.data_parallel:
         import jax
@@ -63,7 +66,8 @@ def main(args) -> None:
         conf = senticap_conf(
             emb_size=args.emb_size, lstm_hidden_size=args.hidden_size,
             visual_size=args.visual_size, batch_size_val=args.batch_size,
-            MAX_SENTENCE_LEN=args.max_len, learning_rate=args.lr)
+            MAX_SENTENCE_LEN=args.max_len, learning_rate=args.lr,
+            CHUNKED_CE=chunked_ce)
         w2i, i2w = sio.build_vocab(_tokens(records, sio),
                                    min_freq=conf["MIN_WORD_FREQ"])
         ds = sio.make_split(records, features, w2i, max_len=args.max_len,
@@ -85,6 +89,7 @@ def main(args) -> None:
         conf = dict(conf)
         conf["batch_size_val"] = args.batch_size
         conf["learning_rate"] = args.lr
+        conf["CHUNKED_CE"] = chunked_ce
         if base_w2i is None:
             raise SystemExit("base model pickle carries no vocabulary; "
                              "retrain it with this CLI")
@@ -187,4 +192,9 @@ if __name__ == "__main__":
     parser.add_argument("--data_parallel", action="store_true",
                         help="shard minibatches over all devices "
                              "(params replicated, gradient psum over ICI)")
+    parser.add_argument("--chunked_ce", choices=["auto", "on", "off"],
+                        default="auto",
+                        help="chunked (mixture) CE / perplexity — the "
+                             "(B,T,V) distributions never materialize; "
+                             "auto = on for the TPU backend")
     main(parser.parse_args())

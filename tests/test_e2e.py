@@ -112,7 +112,7 @@ def test_multitask_e2e(corpus_dir, tmp_path):
     assert os.path.isdir(os.path.join(tmp_path, "models",
                                       "HAP_checkpoint_toy"))
     # log file written
-    assert "Train Loss" in open(tmp_path / "out.log").read()
+    assert "Train Loss" in (tmp_path / "out.log").read_text()
     # training reduced factual loss materially: re-run one val epoch
     va = trainer._run_val(loader(ds, 4), 0)
     assert np.isfinite(va.loss)
@@ -215,7 +215,9 @@ def test_reference_state_dict_import(rng):
         return inp @ w.T + b
 
     def sig(a):
-        return 1 / (1 + np.exp(-a))
+        # overflow-safe: exp only ever sees non-positive arguments
+        return np.where(a >= 0, 1 / (1 + np.exp(-np.abs(a))),
+                        np.exp(-np.abs(a)) / (1 + np.exp(-np.abs(a))))
 
     pre = {}
     for g in ("i", "f", "o", "c"):

@@ -49,6 +49,8 @@ def main(args) -> None:
 
     chunked_ce = {"auto": None, "on": True, "off": False}[
         getattr(args, "chunked_ce", "auto")]
+    fused_scan = {"auto": None, "on": True, "off": False}[
+        getattr(args, "fused_scan", "auto")]
 
     mesh = None
     if args.data_parallel:
@@ -67,7 +69,7 @@ def main(args) -> None:
             emb_size=args.emb_size, lstm_hidden_size=args.hidden_size,
             visual_size=args.visual_size, batch_size_val=args.batch_size,
             MAX_SENTENCE_LEN=args.max_len, learning_rate=args.lr,
-            CHUNKED_CE=chunked_ce)
+            CHUNKED_CE=chunked_ce, FUSED_SCAN=fused_scan)
         w2i, i2w = sio.build_vocab(_tokens(records, sio),
                                    min_freq=conf["MIN_WORD_FREQ"])
         ds = sio.make_split(records, features, w2i, max_len=args.max_len,
@@ -90,6 +92,7 @@ def main(args) -> None:
         conf["batch_size_val"] = args.batch_size
         conf["learning_rate"] = args.lr
         conf["CHUNKED_CE"] = chunked_ce
+        conf["FUSED_SCAN"] = fused_scan
         if base_w2i is None:
             raise SystemExit("base model pickle carries no vocabulary; "
                              "retrain it with this CLI")
@@ -197,4 +200,9 @@ if __name__ == "__main__":
                         help="chunked (mixture) CE / perplexity — the "
                              "(B,T,V) distributions never materialize; "
                              "auto = on for the TPU backend")
+    parser.add_argument("--fused_scan", choices=["auto", "on", "off"],
+                        default="auto",
+                        help="whole-scan Pallas recurrence kernel "
+                             "(ops/pallas_senticap_train.py); auto = on "
+                             "for the TPU backend")
     main(parser.parse_args())

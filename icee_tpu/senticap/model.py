@@ -55,6 +55,17 @@ def _gca_bwd(bound, g):
 grad_clip_act.defvjp(_gca_fwd, _gca_bwd)
 
 
+def _use_fused_scan(conf: dict, b: int, batch_norm: bool) -> bool:
+    """Route the teacher-forced hidden-state scan through the whole-scan
+    Pallas kernel (``ops/pallas_senticap_train.py``).  ``FUSED_SCAN``:
+    None (default) = auto-on for the TPU backend; the BATCH_NORM affine
+    quirk branch stays on the XLA scan."""
+    knob = conf.get("FUSED_SCAN")
+    if knob is None:
+        knob = jax.default_backend() == "tpu"
+    return bool(knob) and not batch_norm and b % 8 == 0
+
+
 # --- parameters -----------------------------------------------------------
 
 def init_params(key: jax.Array, vocab_size: int, conf=None,
@@ -191,6 +202,15 @@ def forward(
         x_drop = jnp.ones_like(emb)
     if y_drop is None:
         y_drop = jnp.ones((b, t, h_dim), emb.dtype)
+
+    if return_hiddens and _use_fused_scan(conf, b, bn):
+        from icee_tpu.ops.pallas_senticap_train import fused_senticap_scan
+
+        x_full = jnp.where(use_v[None, :, None], vis[:, None, :], emb)
+        if conf["DROP_INPUT"]:
+            x_full = x_full * x_drop
+        h_seq = fused_senticap_scan(params["w_lstm"], x_full, gclip)
+        return h_seq * y_drop if conf["DROP_OUTPUT"] else h_seq
 
     def body(carry, xs):
         h, c = carry

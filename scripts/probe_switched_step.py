@@ -120,12 +120,15 @@ def main():
         return med
 
     conf = senticap_conf(emb_size=512, lstm_hidden_size=512)
-    t_mat = bench_step("mat  ", dict(conf, CHUNKED_CE=False))
-    t_chunk = bench_step("chunk", dict(conf, CHUNKED_CE=True))
-    t_scan = bench_scan_only(conf)
-    print(f"\nmat {t_mat:.2f} | chunk {t_chunk:.2f} | scan-only {t_scan:.2f}"
-          f" ms -> loss path ~{t_chunk - t_scan:.2f} ms of the chunked step;"
-          " a whole-scan kernel attacks the scan-only share")
+    t_mat = bench_step("mat   ", dict(conf, CHUNKED_CE=False,
+                                      FUSED_SCAN=False))
+    t_chunk = bench_step("chunk ", dict(conf, CHUNKED_CE=True,
+                                        FUSED_SCAN=False))
+    t_fused = bench_step("ck+fus", dict(conf, CHUNKED_CE=True,
+                                        FUSED_SCAN=True))
+    t_scan = bench_scan_only(dict(conf, FUSED_SCAN=False))
+    print(f"\nmat {t_mat:.2f} | chunk {t_chunk:.2f} | chunk+fused "
+          f"{t_fused:.2f} | scan-only(xla) {t_scan:.2f} ms")
 
 
 if __name__ == "__main__":

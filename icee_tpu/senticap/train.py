@@ -72,6 +72,20 @@ def _shard_batch(arrs, mesh):
     return tuple(jax.lax.with_sharding_constraint(a, s) for a in arrs)
 
 
+def _gate_fused_for_mesh(conf: dict, mesh) -> dict:
+    """Auto FUSED_SCAN turns OFF under a >1-way sharded batch: a compiled
+    ``pallas_call`` has no GSPMD partitioning rule, so the sharded batch
+    would be all-gathered and replicated rather than split.  Explicit
+    ``FUSED_SCAN=True`` is honored."""
+    if mesh is None or conf.get("FUSED_SCAN") is not None:
+        return conf
+    from icee_tpu.parallel.mesh import DATA_AXIS
+
+    if mesh.shape.get(DATA_AXIS, 1) > 1:
+        return dict(conf, FUSED_SCAN=False)
+    return conf
+
+
 def make_base_step(conf: dict, solver, mesh=None):
     """Jitted base-model step over device-resident data; ``mesh`` shards
     the gathered minibatch over the data axis (DP).
@@ -84,6 +98,7 @@ def make_base_step(conf: dict, solver, mesh=None):
     if use_chunked is None:
         use_chunked = jax.default_backend() == "tpu"
     use_chunked = use_chunked and conf.get("SOFTMAX_OUT", True)
+    conf = _gate_fused_for_mesh(conf, mesh)
 
     @jax.jit
     def step(params, opt_state, data, idx, key):
@@ -146,6 +161,7 @@ def make_switched_step(conf: dict, solver, mesh=None):
     use_chunked = conf.get("CHUNKED_CE")
     if use_chunked is None:
         use_chunked = jax.default_backend() == "tpu"
+    conf = _gate_fused_for_mesh(conf, mesh)
 
     @jax.jit
     def step(params, opt_state, data, idx, key):

@@ -80,16 +80,23 @@ def make_caption_steps(
     optimizer: optax.GradientTransformation,
     lang_optimizer: optax.GradientTransformation,
     factored: bool = True,
+    data_shards: int = 1,
 ):
     """Steps for the non-attention captioners over cached pooled features.
 
     ``optimizer`` covers (decoder, encoder head) — the factual track;
     ``lang_optimizer`` covers the decoder only — the emotion track
     (``train_multitask.py:163-167``).
+
+    ``data_shards``: size of the mesh's data axis the step will run under.
+    The auto fused-scan default turns OFF when > 1: a compiled
+    ``pallas_call`` has no GSPMD partitioning rule, so under a sharded
+    batch it would be replicated (all-gather) rather than split — the XLA
+    scan shards cleanly.  Explicit ``fused_scan=True`` is honored.
     """
     use_fused = tcfg.fused_scan
     if use_fused is None:  # auto: the kernel wins ~5% on TPU, interpret-slow elsewhere
-        use_fused = jax.default_backend() == "tpu"
+        use_fused = jax.default_backend() == "tpu" and data_shards == 1
     use_chunked = tcfg.chunked_ce
     if use_chunked is None:  # auto: 4.5x at large batch on TPU (chunked_loss.py)
         use_chunked = jax.default_backend() == "tpu"
@@ -183,6 +190,7 @@ def make_attention_steps(
     optimizer: optax.GradientTransformation,
     lang_optimizer: optax.GradientTransformation,
     factored: bool = True,
+    data_shards: int = 1,
 ):
     """Steps for the attention captioners (spatial encoder has no trainable
     parameters, so both optimizers cover the decoder;
@@ -190,13 +198,16 @@ def make_attention_steps(
 
     Inputs/targets are shifted: model consumes ``captions[:, :-1]`` and
     predicts ``captions[:, 1:]`` with lengths-1.
+
+    ``data_shards``: see :func:`make_caption_steps` — auto fused-scan turns
+    off under a >1-way sharded batch (no GSPMD rule for ``pallas_call``).
     """
     use_chunked = tcfg.chunked_ce
     if use_chunked is None:  # auto: 4.5x at large batch on TPU (chunked_loss.py)
         use_chunked = jax.default_backend() == "tpu"
     use_fused = tcfg.fused_scan
     if use_fused is None:  # auto: whole-scan kernel on TPU (pallas_att_train)
-        use_fused = jax.default_backend() == "tpu"
+        use_fused = jax.default_backend() == "tpu" and data_shards == 1
 
     def _forward(dec, features, captions_in, style, rng, train, tf_ratio):
         if factored:

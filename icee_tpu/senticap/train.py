@@ -72,18 +72,56 @@ def _shard_batch(arrs, mesh):
     return tuple(jax.lax.with_sharding_constraint(a, s) for a in arrs)
 
 
-def _gate_fused_for_mesh(conf: dict, mesh) -> dict:
-    """Auto FUSED_SCAN turns OFF under a >1-way sharded batch: a compiled
-    ``pallas_call`` has no GSPMD partitioning rule, so the sharded batch
-    would be all-gathered and replicated rather than split.  Explicit
-    ``FUSED_SCAN=True`` is honored."""
-    if mesh is None or conf.get("FUSED_SCAN") is not None:
-        return conf
+def _data_shards(mesh) -> int:
+    if mesh is None:
+        return 1
     from icee_tpu.parallel.mesh import DATA_AXIS
 
-    if mesh.shape.get(DATA_AXIS, 1) > 1:
-        return dict(conf, FUSED_SCAN=False)
-    return conf
+    return mesh.shape.get(DATA_AXIS, 1)
+
+
+def _fused_requested(conf: dict) -> bool:
+    knob = conf.get("FUSED_SCAN")
+    if knob is None:
+        return jax.default_backend() == "tpu"
+    return bool(knob)
+
+
+def _shard_mapped_grads(mesh, grads_of):
+    """Run ``grads_of(params, *batch) -> (grads, loss)`` per data shard
+    under ``shard_map`` and ``psum`` the results.
+
+    A compiled ``pallas_call`` has no GSPMD partitioning rule — inside a
+    plain jit a sharded batch operand would be all-gathered and the kernel
+    replicated per device.  ``shard_map`` splits the batch explicitly, so
+    each device runs the SAME whole-scan kernels on its shard
+    (``ops/pallas_senticap_train.py``) and only the weight grads cross ICI.
+    The SentiCap loss is a masked SUM, so shard psums are exact; param-only
+    regularizers are scaled by ``1/ndata`` inside ``grads_of`` so the psum
+    reproduces them once."""
+    from jax import shard_map
+    from jax.sharding import PartitionSpec as P
+
+    from icee_tpu.parallel.mesh import DATA_AXIS
+
+    def local(params, *batch):
+        grads, loss = grads_of(params, *batch)
+        return (jax.lax.psum(grads, DATA_AXIS),
+                jax.lax.psum(loss, DATA_AXIS))
+
+    def run(params, *batch):
+        n_in = len(batch)
+        # check_vma off: the model's lax.scan carries start from unvarying
+        # jnp.zeros inits, which the vma checker rejects under shard_map;
+        # correctness is covered by the mesh-vs-single equivalence tests
+        return shard_map(
+            local, mesh=mesh,
+            in_specs=(P(),) + (P(DATA_AXIS),) * n_in,
+            out_specs=(P(), P()),
+            check_vma=False,
+        )(params, *batch)
+
+    return run
 
 
 def make_base_step(conf: dict, solver, mesh=None):
@@ -98,7 +136,10 @@ def make_base_step(conf: dict, solver, mesh=None):
     if use_chunked is None:
         use_chunked = jax.default_backend() == "tpu"
     use_chunked = use_chunked and conf.get("SOFTMAX_OUT", True)
-    conf = _gate_fused_for_mesh(conf, mesh)
+    ndata = _data_shards(mesh)
+    # kernels + DP compose via shard_map (psum'd grads); plain GSPMD path
+    # otherwise (the XLA scan and chunked losses shard cleanly there)
+    use_sm = ndata > 1 and _fused_requested(conf)
 
     @jax.jit
     def step(params, opt_state, data, idx, key):
@@ -106,7 +147,8 @@ def make_base_step(conf: dict, solver, mesh=None):
         y = data["Y"][idx]
         mask = data["Xlen"][idx]
         v = data["V"][idx]
-        x, y, mask, v = _shard_batch((x, y, mask, v), mesh)
+        if not use_sm:
+            x, y, mask, v = _shard_batch((x, y, mask, v), mesh)
         kx, ky, k_forced = jax.random.split(key, 3)
         b, t = x.shape
         x_drop = jax.random.bernoulli(
@@ -127,23 +169,40 @@ def make_base_step(conf: dict, solver, mesh=None):
             # the output-dropout mask
             forced = jax.random.bernoulli(k_forced, semi, x.shape).astype(
                 jnp.float32)
+        else:
+            forced = jnp.ones_like(x, jnp.float32)
 
-        def cost_fn(p):
-            if semi < 1.0:
-                out = base_model.forward_semi_forced(
-                    p, conf, x, v, forced, x_drop, y_drop,
-                    return_hiddens=use_chunked)
-            else:
-                out = base_model.forward(p, conf, x, v, True, x_drop, y_drop,
-                                         return_hiddens=use_chunked)
-            if use_chunked:
-                loss = base_model.loss_fn_from_hiddens(p, out, y, mask)
-            else:
-                loss = base_model.loss_fn(out, y, mask)
-            l2 = sum(jnp.sum(q ** 2) for q in jax.tree_util.tree_leaves(p))
-            return loss + conf["L2_REG_CONST"] * l2, loss
+        def grads_of(p, x, y, mask, v, x_drop, y_drop, forced):
+            def cost_fn(p):
+                if semi < 1.0:
+                    out = base_model.forward_semi_forced(
+                        p, conf, x, v, forced, x_drop, y_drop,
+                        return_hiddens=use_chunked)
+                else:
+                    out = base_model.forward(p, conf, x, v, True, x_drop,
+                                             y_drop,
+                                             return_hiddens=use_chunked)
+                if use_chunked:
+                    loss = base_model.loss_fn_from_hiddens(p, out, y, mask)
+                else:
+                    loss = base_model.loss_fn(out, y, mask)
+                l2 = sum(jnp.sum(q ** 2)
+                         for q in jax.tree_util.tree_leaves(p))
+                # param-only term scaled so the shard_map psum reproduces
+                # it exactly once (no-op on the unsharded/GSPMD path)
+                scale = ndata if use_sm else 1
+                return loss + conf["L2_REG_CONST"] * l2 / scale, loss
 
-        (cost, loss), grads = jax.value_and_grad(cost_fn, has_aux=True)(params)
+            (_, loss), grads = jax.value_and_grad(
+                cost_fn, has_aux=True)(p)
+            return grads, loss
+
+        if use_sm:
+            grads, loss = _shard_mapped_grads(mesh, grads_of)(
+                params, x, y, mask, v, x_drop, y_drop, forced)
+        else:
+            grads, loss = grads_of(params, x, y, mask, v, x_drop, y_drop,
+                                   forced)
         updates, opt_state = solver.update(grads, opt_state, params)
         import optax
 
@@ -161,7 +220,8 @@ def make_switched_step(conf: dict, solver, mesh=None):
     use_chunked = conf.get("CHUNKED_CE")
     if use_chunked is None:
         use_chunked = jax.default_backend() == "tpu"
-    conf = _gate_fused_for_mesh(conf, mesh)
+    ndata = _data_shards(mesh)
+    use_sm = ndata > 1 and _fused_requested(conf)
 
     @jax.jit
     def step(params, opt_state, data, idx, key):
@@ -170,7 +230,8 @@ def make_switched_step(conf: dict, solver, mesh=None):
         mask = data["Xlen"][idx]
         v = data["V"][idx]
         sw = data["SW"][idx]
-        x, y, mask, v, sw = _shard_batch((x, y, mask, v, sw), mesh)
+        if not use_sm:
+            x, y, mask, v, sw = _shard_batch((x, y, mask, v, sw), mesh)
         senti0 = data["senti"][idx][0]
         kx, ky = jax.random.split(key)
         b, t = x.shape
@@ -184,20 +245,35 @@ def make_switched_step(conf: dict, solver, mesh=None):
                 1.0 - conf["DROP_OUTPUT_FRACTION"])
         tmask = sw_model.switch_param_mask(params)
 
-        def cost_fn(p):
-            if use_chunked:
-                (hh_o, hh_n, att), la, l1a = sw_model.forward(
-                    p, conf, x, v, senti0, x_drop, y_drop,
-                    return_hiddens=True)
-                loss = sw_model.loss_fn_from_hiddens(
-                    p, conf, hh_o, hh_n, att, senti0, y, mask, sw, la, l1a)
-            else:
-                s, la, l1a = sw_model.forward(p, conf, x, v, senti0, x_drop,
-                                              y_drop)
-                loss = sw_model.loss_fn(conf, s, y, mask, sw, la, l1a)
-            return sw_model.cost_fn(p, conf, loss, tmask), loss
+        def grads_of(p, x, y, mask, v, sw, x_drop, y_drop):
+            def cost_fn(p):
+                if use_chunked:
+                    (hh_o, hh_n, att), la, l1a = sw_model.forward(
+                        p, conf, x, v, senti0, x_drop, y_drop,
+                        return_hiddens=True)
+                    loss = sw_model.loss_fn_from_hiddens(
+                        p, conf, hh_o, hh_n, att, senti0, y, mask, sw,
+                        la, l1a)
+                else:
+                    s, la, l1a = sw_model.forward(p, conf, x, v, senti0,
+                                                  x_drop, y_drop)
+                    loss = sw_model.loss_fn(conf, s, y, mask, sw, la, l1a)
+                # cost_fn's reg terms are param-only: under shard_map,
+                # scale so the DP psum reproduces them exactly once
+                reg = sw_model.cost_fn(p, conf, jnp.asarray(0.0), tmask)
+                scale = ndata if use_sm else 1
+                return loss + reg / scale, loss
 
-        (cost, loss), grads = jax.value_and_grad(cost_fn, has_aux=True)(params)
+            (_, loss), grads = jax.value_and_grad(
+                cost_fn, has_aux=True)(p)
+            return grads, loss
+
+        if use_sm:
+            grads, loss = _shard_mapped_grads(mesh, grads_of)(
+                params, x, y, mask, v, sw, x_drop, y_drop)
+        else:
+            grads, loss = grads_of(params, x, y, mask, v, sw, x_drop,
+                                   y_drop)
         updates, opt_state = solver.update(grads, opt_state, params)
         import optax
 

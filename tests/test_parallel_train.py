@@ -208,8 +208,8 @@ def test_senticap_train_dp_matches_single(rng):
         senti=np.concatenate([np.ones(8), -np.ones(8)]).astype(np.float32),
         ids=list(range(n)))
 
-    def run(mesh, chunked=False):
-        c = dict(conf, CHUNKED_CE=chunked)
+    def run(mesh, chunked=False, fused=None):
+        c = dict(conf, CHUNKED_CE=chunked, FUSED_SCAN=fused)
         params, _ = T.train_base(ds, v, c, num_epochs=2, seed=0,
                                  mesh=mesh)
         sw, _ = T.train_switched(ds, params, v, c, num_epochs=1, seed=0,
@@ -224,6 +224,16 @@ def test_senticap_train_dp_matches_single(rng):
     # the data axis with no resharding and matches the materialized loss
     got_chunked = run(make_mesh((8, 1)), chunked=True)
     np.testing.assert_allclose(got_chunked, want, rtol=2e-4)
+    # FUSED_SCAN + mesh takes the shard_map path: each device runs the
+    # whole-scan Pallas kernels on its shard, weight grads psum over the
+    # data axis — same trained params as the single-device run.  The
+    # (2, 1) mesh gives 8 rows per shard so the kernel glue engages
+    # (b % 8 == 0); the (8, 1) mesh exercises the in-shard_map XLA
+    # fallback at 2 rows per shard
+    for shape in ((2, 4), (8, 1)):
+        got_fused = run(make_mesh(shape), chunked=True, fused=True)
+        np.testing.assert_allclose(got_fused, want, rtol=2e-4,
+                                   err_msg=f"mesh {shape}")
 
 
 def test_seq2seq_trainer_runs_on_mesh(tmp_path):

@@ -27,6 +27,23 @@ import jax
 import jax.numpy as jnp
 
 from icee_tpu.core.config import AttentionDecoderConfig
+
+
+def _data_shards(mesh):
+    from icee_tpu.parallel.mesh import data_shards
+
+    return data_shards(mesh)
+
+
+def _maybe_shard_map(fn, mesh, in_batched):
+    """Wrap a fused-kernel call in ``shard_map`` over the data axis when
+    running under a >1-way data mesh (``parallel.mesh.kernel_shard_map``);
+    identity otherwise."""
+    if _data_shards(mesh) <= 1:
+        return fn
+    from icee_tpu.parallel.mesh import kernel_shard_map
+
+    return kernel_shard_map(fn, mesh, in_batched)
 from icee_tpu.core import initializers as init
 from icee_tpu.ops.cells import factored_lstm_cell, lstm_cell
 
@@ -212,6 +229,7 @@ def factored_att_forward_hiddens(
     rng: Optional[jax.Array] = None,
     train: bool = True,
     fused_scan: bool = False,
+    mesh=None,
 ) -> Tuple[jax.Array, jax.Array]:
     """Training forward -> (hiddens (B,T,H), alphas (B,T,P)); the vocab head
     is left to the caller (chunked loss, ``ops/chunked_loss.py``).  On the
@@ -241,7 +259,8 @@ def factored_att_forward_hiddens(
 
     if (isinstance(teacher_forcing_ratio, float)
             and teacher_forcing_ratio >= 1.0):
-        if fused_scan and b % 8 == 0:
+        b_eff = b // _data_shards(mesh)
+        if fused_scan and b_eff % 8 == 0:
             from icee_tpu.ops.pallas_att_train import fused_att_scan
 
             e = cfg.embed_size
@@ -254,9 +273,12 @@ def factored_att_forward_hiddens(
             katt = {"dec_w": att["dec_w"], "dec_b": att["dec_b"],
                     "full_w": att["full_w"], "full_b": att["full_b"],
                     "fb_w": params["f_beta_w"], "fb_b": params["f_beta_b"]}
-            tiles = (16 if b % 16 == 0 else 8, 8)
-            return fused_att_scan(cell, katt, emb_seq, att1, features,
-                                  h0, c0, "factored", tiles)
+            tiles = (16 if b_eff % 16 == 0 else 8, 8)
+            fn = lambda cl, at, es, a1, fe, h, c: fused_att_scan(  # noqa: E731
+                cl, at, es, a1, fe, h, c, "factored", tiles)
+            fn = _maybe_shard_map(fn, mesh, (False, False, True, True,
+                                             True, True, True))
+            return fn(cell, katt, emb_seq, att1, features, h0, c0)
 
         def tf_body(carry, emb_teacher):
             h, c = carry
@@ -271,7 +293,8 @@ def factored_att_forward_hiddens(
 
     coins = jax.random.bernoulli(k_tf, teacher_forcing_ratio, (t,))
 
-    if fused_scan and b % 8 == 0:
+    b_eff = b // _data_shards(mesh)
+    if fused_scan and b_eff % 8 == 0:
         from icee_tpu.ops.pallas_att_train import fused_att_scan_sampled
 
         e = cfg.embed_size
@@ -286,10 +309,14 @@ def factored_att_forward_hiddens(
                 "fb_w": params["f_beta_w"], "fb_b": params["f_beta_b"]}
         head = {"C_w": params["C_w"], "C_b": params["C_b"],
                 "B": params["B"]}
-        tiles = (16 if b % 16 == 0 else 8, 8)
-        return fused_att_scan_sampled(
-            cell, katt, head, emb_seq, embed(params, captions), att1,
-            features, h0, c0, coins.astype(jnp.float32), "factored", tiles)
+        tiles = (16 if b_eff % 16 == 0 else 8, 8)
+        fn = lambda cl, at, hd, es, er, a1, fe, h, c, co: (  # noqa: E731
+            fused_att_scan_sampled(cl, at, hd, es, er, a1, fe, h, c, co,
+                                   "factored", tiles))
+        fn = _maybe_shard_map(fn, mesh, (False, False, False, True, True,
+                                         True, True, True, True, False))
+        return fn(cell, katt, head, emb_seq, embed(params, captions), att1,
+                  features, h0, c0, coins.astype(jnp.float32))
 
     def body(carry, xs):
         h, c, prev = carry
@@ -399,6 +426,7 @@ def rnn_att_forward_hiddens(
     rng: Optional[jax.Array] = None,
     train: bool = True,
     fused_scan: bool = False,
+    mesh=None,
 ) -> Tuple[jax.Array, jax.Array]:
     """NIC+Att training forward -> (hiddens, alphas); head left to the
     caller (see :func:`factored_att_forward_hiddens`)."""
@@ -418,7 +446,8 @@ def rnn_att_forward_hiddens(
 
     if (isinstance(teacher_forcing_ratio, float)
             and teacher_forcing_ratio >= 1.0):
-        if fused_scan and b % 8 == 0:
+        b_eff = b // _data_shards(mesh)
+        if fused_scan and b_eff % 8 == 0:
             from icee_tpu.ops.pallas_att_train import fused_att_scan
 
             e = cfg.embed_size
@@ -430,9 +459,12 @@ def rnn_att_forward_hiddens(
             katt = {"dec_w": att["dec_w"], "dec_b": att["dec_b"],
                     "full_w": att["full_w"], "full_b": att["full_b"],
                     "fb_w": params["f_beta_w"], "fb_b": params["f_beta_b"]}
-            tiles = (16 if b % 16 == 0 else 8, 8)
-            return fused_att_scan(cell, katt, emb_seq, att1, features,
-                                  h0, c0, "lstm", tiles)
+            tiles = (16 if b_eff % 16 == 0 else 8, 8)
+            fn = lambda cl, at, es, a1, fe, h, c: fused_att_scan(  # noqa: E731
+                cl, at, es, a1, fe, h, c, "lstm", tiles)
+            fn = _maybe_shard_map(fn, mesh, (False, False, True, True,
+                                             True, True, True))
+            return fn(cell, katt, emb_seq, att1, features, h0, c0)
 
         def tf_body(carry, emb_teacher):
             h, c = carry
@@ -447,7 +479,8 @@ def rnn_att_forward_hiddens(
 
     coins = jax.random.bernoulli(k_tf, teacher_forcing_ratio, (t,))
 
-    if fused_scan and b % 8 == 0:
+    b_eff = b // _data_shards(mesh)
+    if fused_scan and b_eff % 8 == 0:
         from icee_tpu.ops.pallas_att_train import fused_att_scan_sampled
 
         e = cfg.embed_size
@@ -461,11 +494,15 @@ def rnn_att_forward_hiddens(
                 "fb_w": params["f_beta_w"], "fb_b": params["f_beta_b"]}
         head = {"C_w": params["linear_w"], "C_b": params["linear_b"],
                 "B": params["embed"]}
-        tiles = (16 if b % 16 == 0 else 8, 8)
-        return fused_att_scan_sampled(
-            cell, katt, head, emb_seq,
-            jnp.take(params["embed"], captions, axis=0), att1,
-            features, h0, c0, coins.astype(jnp.float32), "lstm", tiles)
+        tiles = (16 if b_eff % 16 == 0 else 8, 8)
+        fn = lambda cl, at, hd, es, er, a1, fe, h, c, co: (  # noqa: E731
+            fused_att_scan_sampled(cl, at, hd, es, er, a1, fe, h, c, co,
+                                   "lstm", tiles))
+        fn = _maybe_shard_map(fn, mesh, (False, False, False, True, True,
+                                         True, True, True, True, False))
+        return fn(cell, katt, head, emb_seq,
+                  jnp.take(params["embed"], captions, axis=0), att1,
+                  features, h0, c0, coins.astype(jnp.float32))
 
     def body(carry, xs):
         h, c, prev = carry

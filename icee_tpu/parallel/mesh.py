@@ -55,6 +55,32 @@ def batch_sharding(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P(DATA_AXIS))
 
 
+def data_shards(mesh: Optional[Mesh]) -> int:
+    """Size of the mesh's data axis (1 when no mesh)."""
+    if mesh is None:
+        return 1
+    return mesh.shape.get(DATA_AXIS, 1)
+
+
+def kernel_shard_map(fn, mesh: Mesh, in_batched: Sequence[bool]):
+    """Wrap a Pallas-kernel-calling ``fn`` in ``shard_map`` over the data
+    axis: batch-leading args split per device, weight pytrees replicated,
+    every output batch-leading.  A compiled ``pallas_call`` has no GSPMD
+    partitioning rule — without this wrapper a sharded batch operand would
+    be all-gathered and the kernel replicated per device.  ``shard_map`` is
+    differentiable: replicated inputs' cotangents (the weight grads) psum
+    over ICI automatically.
+
+    ``check_vma=False``: kernel glue may fall back to ``lax.scan`` whose
+    zero-init carries trip the varying-manifest-axes checker; correctness
+    is covered by the mesh-vs-single equivalence tests."""
+    from jax import shard_map
+
+    specs = tuple(P(DATA_AXIS) if b else P() for b in in_batched)
+    return shard_map(fn, mesh=mesh, in_specs=specs,
+                     out_specs=P(DATA_AXIS), check_vma=False)
+
+
 def replicated(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P())
 

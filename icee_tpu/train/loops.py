@@ -126,18 +126,14 @@ class MultitaskTrainer:
 
         self.optimizer = optim.make_adam(tcfg.lr_caption, tcfg)
         self.lang_optimizer = optim.make_adam(tcfg.lr_language, tcfg)
-        from icee_tpu.parallel.mesh import DATA_AXIS
-
-        data_shards = (1 if mesh is None
-                       else mesh.shape.get(DATA_AXIS, 1))
         if self.attention:
             steps = make_attention_steps(cfg, tcfg, self.optimizer,
                                          self.lang_optimizer, self.factored,
-                                         data_shards=data_shards)
+                                         mesh=mesh)
         else:
             steps = make_caption_steps(cfg, tcfg, self.optimizer,
                                        self.lang_optimizer, self.factored,
-                                       data_shards=data_shards)
+                                       mesh=mesh)
         self.factual_step, self.emotion_step, self.val_step = steps
 
         if self.attention:

@@ -80,7 +80,7 @@ def make_caption_steps(
     optimizer: optax.GradientTransformation,
     lang_optimizer: optax.GradientTransformation,
     factored: bool = True,
-    data_shards: int = 1,
+    mesh=None,
 ):
     """Steps for the non-attention captioners over cached pooled features.
 
@@ -88,23 +88,25 @@ def make_caption_steps(
     ``lang_optimizer`` covers the decoder only — the emotion track
     (``train_multitask.py:163-167``).
 
-    ``data_shards``: size of the mesh's data axis the step will run under.
-    The auto fused-scan default turns OFF when > 1: a compiled
-    ``pallas_call`` has no GSPMD partitioning rule, so under a sharded
-    batch it would be replicated (all-gather) rather than split — the XLA
-    scan shards cleanly.  Explicit ``fused_scan=True`` is honored.
+    ``mesh``: the device mesh the step will run under (data-parallel).  The
+    fused whole-scan kernels are wrapped in ``shard_map`` over the data
+    axis at their call sites (a bare ``pallas_call`` has no GSPMD
+    partitioning rule); everything else stays in the global program so
+    semantics match the single-device run (RNG draws identical; only
+    cross-device reduction order differs).
     """
     use_fused = tcfg.fused_scan
     if use_fused is None:  # auto: the kernel wins ~5% on TPU, interpret-slow elsewhere
-        use_fused = jax.default_backend() == "tpu" and data_shards == 1
+        use_fused = jax.default_backend() == "tpu"
     use_chunked = tcfg.chunked_ce
     if use_chunked is None:  # auto: 4.5x at large batch on TPU (chunked_loss.py)
         use_chunked = jax.default_backend() == "tpu"
-    fwd = (functools.partial(fl.forward, fused_scan=use_fused)
+    fwd = (functools.partial(fl.forward, fused_scan=use_fused, mesh=mesh)
            if factored else
            lambda p, c, caps, feats, style, **kw: nic.forward(p, c, caps, feats, **kw)
     )
-    fwd_h = (functools.partial(fl.forward_hiddens, fused_scan=use_fused)
+    fwd_h = (functools.partial(fl.forward_hiddens, fused_scan=use_fused,
+                               mesh=mesh)
              if factored else
              lambda p, c, caps, feats, style, **kw: nic.forward_hiddens(
                  p, c, caps, feats, **kw)
@@ -190,7 +192,7 @@ def make_attention_steps(
     optimizer: optax.GradientTransformation,
     lang_optimizer: optax.GradientTransformation,
     factored: bool = True,
-    data_shards: int = 1,
+    mesh=None,
 ):
     """Steps for the attention captioners (spatial encoder has no trainable
     parameters, so both optimizers cover the decoder;
@@ -199,15 +201,15 @@ def make_attention_steps(
     Inputs/targets are shifted: model consumes ``captions[:, :-1]`` and
     predicts ``captions[:, 1:]`` with lengths-1.
 
-    ``data_shards``: see :func:`make_caption_steps` — auto fused-scan turns
-    off under a >1-way sharded batch (no GSPMD rule for ``pallas_call``).
+    ``mesh``: see :func:`make_caption_steps` — fused kernels run per data
+    shard inside ``shard_map``.
     """
     use_chunked = tcfg.chunked_ce
     if use_chunked is None:  # auto: 4.5x at large batch on TPU (chunked_loss.py)
         use_chunked = jax.default_backend() == "tpu"
     use_fused = tcfg.fused_scan
     if use_fused is None:  # auto: whole-scan kernel on TPU (pallas_att_train)
-        use_fused = jax.default_backend() == "tpu" and data_shards == 1
+        use_fused = jax.default_backend() == "tpu"
 
     def _forward(dec, features, captions_in, style, rng, train, tf_ratio):
         if factored:
@@ -257,13 +259,13 @@ def make_attention_steps(
             hiddens, alphas = att_mod.factored_att_forward_hiddens(
                 dec, cfg, captions_in, features, style,
                 teacher_forcing_ratio=tcfg.teacher_forcing_ratio, rng=rng,
-                train=True, fused_scan=use_fused)
+                train=True, fused_scan=use_fused, mesh=mesh)
             head_w, head_b = dec["C_w"], dec["C_b"]
         else:
             hiddens, alphas = att_mod.rnn_att_forward_hiddens(
                 dec, cfg, captions_in, features,
                 teacher_forcing_ratio=tcfg.teacher_forcing_ratio, rng=rng,
-                train=True, fused_scan=use_fused)
+                train=True, fused_scan=use_fused, mesh=mesh)
             head_w, head_b = dec["linear_w"], dec["linear_b"]
         ce = masked_ce_from_hiddens(hiddens, head_w, head_b, targets,
                                     tgt_len, sample_mask)

@@ -99,6 +99,92 @@ def _run(vocab, fac, emo, feats, tmp_path, mesh, tag):
     return trainer, losses, out
 
 
+@pytest.mark.parametrize("attention", [False, True])
+def test_fused_kernels_shard_map_dp_matches_single(attention):
+    """fused_scan=True steps built for a (2, 4) mesh run the whole-scan
+    Pallas kernels per data shard inside shard_map (weight-grad cotangents
+    psum automatically); trained params must match the single-device fused
+    run (up to cross-device reduction reassociation) — the dropout masks
+    are drawn in the GLOBAL program and only sliced by the shard_map."""
+    import optax
+
+    from icee_tpu.core.config import AttentionDecoderConfig
+    from icee_tpu.models import attention as att_mod
+    from icee_tpu.parallel.train import place_replicated
+    from icee_tpu.train.steps import make_attention_steps, make_caption_steps
+
+    rng = np.random.default_rng(0)
+    B_, T, V = 16, 6, 40
+    tcfg = TrainConfig(fused_scan=True, chunked_ce=True,
+                       teacher_forcing_ratio=1.0)
+    caps = jnp.asarray(rng.integers(4, V, (B_, T)), jnp.int32)
+    lens = jnp.full((B_,), T, jnp.int32)
+    maskb = jnp.ones((B_,), bool)
+    key = jax.random.PRNGKey(5)
+    feats_att = jnp.asarray(rng.standard_normal((B_, 5, 32)), jnp.float32)
+    pooled_glob = jnp.asarray(rng.standard_normal((B_, FEAT)), jnp.float32)
+
+    def run(mesh):
+        opt = optax.adam(1e-3)
+        if attention:
+            cfg = AttentionDecoderConfig(
+                vocab_size=V, embed_size=16, hidden_size=24,
+                factored_size=24, attention_size=16, feature_size=32,
+                dropout=0.3)
+            dec = att_mod.init_factored_att_params(jax.random.PRNGKey(0),
+                                                   cfg)
+            feats = feats_att
+            fac, emo, _ = make_attention_steps(cfg, tcfg, opt, opt, True,
+                                               mesh=mesh)
+            if mesh is not None:
+                dec = place_replicated(dec, mesh)
+                feats = jax.device_put(
+                    feats, jax.NamedSharding(
+                        mesh, jax.sharding.PartitionSpec("data")))
+            opt_state = opt.init(dec)
+            dec, opt_state, l1 = fac(dec, opt_state, feats, caps, lens,
+                                     maskb, key)
+            dec, opt_state, l2 = emo(dec, opt_state, feats, caps, lens,
+                                     maskb, jnp.asarray(1), key)
+            return dec, (float(l1), float(l2))
+        cfg = DecoderConfig(vocab_size=V, embed_size=16, hidden_size=24,
+                            factored_size=24, dropout=0.3,
+                            max_seq_length=T - 2)
+        dec = fl.init_params(jax.random.PRNGKey(0), cfg)
+        head = enc_mod.init_head_params(
+            jax.random.PRNGKey(1), EncoderConfig(embed_size=16,
+                                                 feature_size=FEAT))
+        pooled = pooled_glob
+        fac, emo, _ = make_caption_steps(cfg, tcfg, opt, opt, True,
+                                         mesh=mesh)
+        if mesh is not None:
+            dec = place_replicated(dec, mesh)
+            head = place_replicated(head, mesh)
+            pooled = jax.device_put(
+                pooled, jax.NamedSharding(
+                    mesh, jax.sharding.PartitionSpec("data")))
+        opt_state = opt.init((dec, head))
+        dec, head, opt_state, l1 = fac(dec, head, opt_state, pooled, caps,
+                                       lens, maskb, key)
+        return (dec, head), (float(l1),)
+
+    want_p, want_l = run(None)
+    got_p, got_l = run(make_mesh((2, 4)))
+    # cross-device reductions reassociate (same tolerance class as the
+    # GSPMD mesh-vs-single trainer tests)
+    np.testing.assert_allclose(got_l, want_l, rtol=2e-3)
+    flat_w, _ = jax.tree_util.tree_flatten_with_path(want_p)
+    flat_g, _ = jax.tree_util.tree_flatten_with_path(got_p)
+    for (path, a), (_, b_) in zip(flat_w, flat_g):
+        # atol 5e-4 (half the Adam lr): params whose true gradient is
+        # mathematically zero (e.g. attention full_b — the softmax
+        # jacobian sums to zero over P) carry pure float residue that
+        # Adam's sign-like first step amplifies to lr scale either way
+        np.testing.assert_allclose(
+            np.asarray(b_), np.asarray(a), rtol=2e-3, atol=5e-4,
+            err_msg=f"param mismatch at {jax.tree_util.keystr(path)}")
+
+
 def test_multitask_trainer_dp_tp_matches_single_device(tmp_path):
     """Two FULL MultitaskTrainer epochs (factual+emotion train, val BLEU,
     checkpointing) on a (4, 2) DP x TP mesh == the single-device run."""

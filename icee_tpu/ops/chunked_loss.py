@@ -308,11 +308,18 @@ def _mixture_bwd(t_chunk, res, g):
     wo32 = w_o.astype(jnp.float32)
     wn32 = w_n.astype(jnp.float32)
 
-    def head_bwd(x, w, w32, b_, tt, lse, fac):
-        """``fac`` = dloss/dp_tgt * p_tgt (B, tc); returns dx, dW, db."""
+    def head_recompute(x, w, b_, tt, lse):
+        """One head's chunk logits -> (softmax p (B,tc,V), onehot,
+        target prob (B,tc)) — materialized ONCE per head per chunk (the
+        (B,tc,V) matmul dominates the backward)."""
         logits = (x @ w + b_).astype(jnp.float32)
         p = jnp.exp(logits - lse[..., None])                 # (B, tc, V)
         onehot = jax.nn.one_hot(tt, v, dtype=jnp.float32)
+        p_tgt = jnp.sum(p * onehot, axis=-1)
+        return p, onehot, p_tgt
+
+    def head_bwd(x, w32, p, onehot, fac):
+        """``fac`` = dloss/dp_tgt * p_tgt (B, tc); returns dx, dW, db."""
         dl = fac[..., None] * (onehot - p)                   # (B, tc, V)
         dx = jnp.einsum("btv,hv->bth", dl, w32).astype(x.dtype)
         dw = jnp.einsum("bth,btv->hv", x.astype(jnp.float32), dl)
@@ -322,19 +329,15 @@ def _mixture_bwd(t_chunk, res, g):
     def body(carry, xs):
         dwo, dbo, dwn, dbn = carry
         x_o, x_n, c_o, c_n, tt, ww, lse_o, lse_n = xs
-        _, tgt_o = _head_chunk(x_o, w_o, b_o, tt, v)
-        _, tgt_n = _head_chunk(x_n, w_n, b_n, tt, v)
-        p_o = jnp.exp(tgt_o - lse_o)
-        p_n = jnp.exp(tgt_n - lse_n)
+        pv_o, oh_o, p_o = head_recompute(x_o, w_o, b_o, tt, lse_o)
+        pv_n, oh_n, p_n = head_recompute(x_n, w_n, b_n, tt, lse_n)
         p_mix = c_o * p_o + c_n * p_n
         live = (p_mix > _PROB_FLOOR).astype(jnp.float32)
         g_p = -(ww * g) * live / jnp.maximum(p_mix, _PROB_FLOOR)
         d_co = g_p * p_o
         d_cn = g_p * p_n
-        dx_o, dw_o, db_o = head_bwd(x_o, w_o, wo32, b_o, tt, lse_o,
-                                    g_p * c_o * p_o)
-        dx_n, dw_n, db_n = head_bwd(x_n, w_n, wn32, b_n, tt, lse_n,
-                                    g_p * c_n * p_n)
+        dx_o, dw_o, db_o = head_bwd(x_o, wo32, pv_o, oh_o, g_p * c_o * p_o)
+        dx_n, dw_n, db_n = head_bwd(x_n, wn32, pv_n, oh_n, g_p * c_n * p_n)
         return ((dwo + dw_o, dbo + db_o, dwn + dw_n, dbn + db_n),
                 (dx_o, dx_n, d_co, d_cn))
 

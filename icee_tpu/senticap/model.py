@@ -55,15 +55,31 @@ def _gca_bwd(bound, g):
 grad_clip_act.defvjp(_gca_fwd, _gca_bwd)
 
 
-def _use_fused_scan(conf: dict, b: int, batch_norm: bool) -> bool:
-    """Route the teacher-forced hidden-state scan through the whole-scan
-    Pallas kernel (``ops/pallas_senticap_train.py``).  ``FUSED_SCAN``:
-    None (default) = auto-on for the TPU backend; the BATCH_NORM affine
-    quirk branch stays on the XLA scan."""
+def fused_scan_requested(conf: dict) -> bool:
+    """THE auto-resolution rule for ``conf["FUSED_SCAN"]`` (None = on for
+    the TPU backend) — shared by the forward glue here and the step
+    builders in ``senticap/train.py`` so the shard_map-vs-GSPMD routing
+    can never diverge from kernel engagement."""
     knob = conf.get("FUSED_SCAN")
     if knob is None:
-        knob = jax.default_backend() == "tpu"
-    return bool(knob) and not batch_norm and b % 8 == 0
+        return jax.default_backend() == "tpu"
+    return bool(knob)
+
+
+def chunked_ce_requested(conf: dict) -> bool:
+    """Auto-resolution rule for ``conf["CHUNKED_CE"]`` (None = on for the
+    TPU backend); SOFTMAX_OUT-guarded by the callers that need it."""
+    knob = conf.get("CHUNKED_CE")
+    if knob is None:
+        return jax.default_backend() == "tpu"
+    return bool(knob)
+
+
+def _use_fused_scan(conf: dict, b: int, batch_norm: bool) -> bool:
+    """Route the teacher-forced hidden-state scan through the whole-scan
+    Pallas kernel (``ops/pallas_senticap_train.py``); the BATCH_NORM
+    affine quirk branch stays on the XLA scan."""
+    return fused_scan_requested(conf) and not batch_norm and b % 8 == 0
 
 
 # --- parameters -----------------------------------------------------------

@@ -73,18 +73,16 @@ def _shard_batch(arrs, mesh):
 
 
 def _data_shards(mesh) -> int:
-    if mesh is None:
-        return 1
-    from icee_tpu.parallel.mesh import DATA_AXIS
+    from icee_tpu.parallel.mesh import data_shards
 
-    return mesh.shape.get(DATA_AXIS, 1)
+    return data_shards(mesh)
 
 
 def _fused_requested(conf: dict) -> bool:
-    knob = conf.get("FUSED_SCAN")
-    if knob is None:
-        return jax.default_backend() == "tpu"
-    return bool(knob)
+    # single source of truth: the same predicate the forward glue consults
+    # (senticap/model.py), so shard_map-vs-GSPMD routing can never diverge
+    # from kernel engagement
+    return base_model.fused_scan_requested(conf)
 
 
 def _shard_mapped_grads(mesh, grads_of):
@@ -132,10 +130,8 @@ def make_base_step(conf: dict, solver, mesh=None):
     computes the loss from hidden states in time chunks so the (B, T, V)
     distributions never materialize (``ops/chunked_loss.py``); only applies
     to ``SOFTMAX_OUT`` models."""
-    use_chunked = conf.get("CHUNKED_CE")
-    if use_chunked is None:
-        use_chunked = jax.default_backend() == "tpu"
-    use_chunked = use_chunked and conf.get("SOFTMAX_OUT", True)
+    use_chunked = (base_model.chunked_ce_requested(conf)
+                   and conf.get("SOFTMAX_OUT", True))
     ndata = _data_shards(mesh)
     # kernels + DP compose via shard_map (psum'd grads); plain GSPMD path
     # otherwise (the XLA scan and chunked losses shard cleanly there)
@@ -217,9 +213,7 @@ def make_switched_step(conf: dict, solver, mesh=None):
     auto: on for the TPU backend) computes the mixture CE from the two
     heads' hidden states in time chunks so neither (B, T, V) distribution
     materializes (``ops/chunked_loss.mixture_ce_from_hiddens``)."""
-    use_chunked = conf.get("CHUNKED_CE")
-    if use_chunked is None:
-        use_chunked = jax.default_backend() == "tpu"
+    use_chunked = base_model.chunked_ce_requested(conf)
     ndata = _data_shards(mesh)
     use_sm = ndata > 1 and _fused_requested(conf)
 
@@ -381,10 +375,8 @@ def validation_perplexity(params, conf, dataset: sio.SentiDataset,
     ``mrnn_switched.py:1301``).  With ``conf["CHUNKED_CE"]`` (auto: TPU)
     the (B, T, V) distributions never materialize — the whole val split
     evaluates in one pass through the chunked neglog2 reductions."""
-    use_chunked = conf.get("CHUNKED_CE")
-    if use_chunked is None:
-        use_chunked = jax.default_backend() == "tpu"
-    use_chunked = use_chunked and conf.get("SOFTMAX_OUT", True)
+    use_chunked = (base_model.chunked_ce_requested(conf)
+                   and conf.get("SOFTMAX_OUT", True))
     data = sio.device_dataset(dataset)
     y, mask = data["Y"], data["Xlen"]
     if switched and not base_only:

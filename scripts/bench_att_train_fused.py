@@ -102,7 +102,9 @@ def main():
         import icee_tpu.models.attention as am
 
         # patch the glue's tile via a wrapper when exploring tile sizes
-        if tb != 8:
+        # (teacher-forced only: the scheduled-sampling variant's tiles are
+        # picked by the glue, so tf<1 always routes through make_loss)
+        if tb != 8 and tf_ratio >= 1.0:
             import icee_tpu.ops.pallas_att_train as pat
             orig = pat.fused_att_scan
 

@@ -27,6 +27,8 @@ import jax
 import jax.numpy as jnp
 
 from icee_tpu.core.config import AttentionDecoderConfig
+from icee_tpu.core import initializers as init
+from icee_tpu.ops.cells import factored_lstm_cell, lstm_cell
 
 
 def _data_shards(mesh):
@@ -44,8 +46,34 @@ def _maybe_shard_map(fn, mesh, in_batched):
     from icee_tpu.parallel.mesh import kernel_shard_map
 
     return kernel_shard_map(fn, mesh, in_batched)
-from icee_tpu.core import initializers as init
-from icee_tpu.ops.cells import factored_lstm_cell, lstm_cell
+
+
+def _factored_kernel_params(params, att, style, e):
+    """Repack the factored decoder + attention params into the fused
+    kernel's layout (ONE place — four call sites consume it)."""
+    cell = {"V_we": params["V_w"][:e], "V_wc": params["V_w"][e:],
+            "V_b": params["V_b"],
+            "S_w": jnp.take(params["S_w"], style, axis=0),
+            "S_b": jnp.take(params["S_b"], style, axis=0),
+            "U_w": params["U_w"], "U_b": params["U_b"],
+            "W_w": params["W_w"], "W_b": params["W_b"]}
+    katt = {"dec_w": att["dec_w"], "dec_b": att["dec_b"],
+            "full_w": att["full_w"], "full_b": att["full_b"],
+            "fb_w": params["f_beta_w"], "fb_b": params["f_beta_b"]}
+    return cell, katt
+
+
+def _lstm_kernel_params(params, att, e):
+    cell = {"W_ihe": params["cell"]["W_ih"][:e],
+            "W_ihc": params["cell"]["W_ih"][e:],
+            "W_hh": params["cell"]["W_hh"],
+            "b_ih": params["cell"]["b_ih"],
+            "b_hh": params["cell"]["b_hh"]}
+    katt = {"dec_w": att["dec_w"], "dec_b": att["dec_b"],
+            "full_w": att["full_w"], "full_b": att["full_b"],
+            "fb_w": params["f_beta_w"], "fb_b": params["f_beta_b"]}
+    return cell, katt
+
 
 State = Tuple[jax.Array, jax.Array]
 
@@ -263,16 +291,8 @@ def factored_att_forward_hiddens(
         if fused_scan and b_eff % 8 == 0:
             from icee_tpu.ops.pallas_att_train import fused_att_scan
 
-            e = cfg.embed_size
-            cell = {"V_we": params["V_w"][:e], "V_wc": params["V_w"][e:],
-                    "V_b": params["V_b"],
-                    "S_w": jnp.take(params["S_w"], style, axis=0),
-                    "S_b": jnp.take(params["S_b"], style, axis=0),
-                    "U_w": params["U_w"], "U_b": params["U_b"],
-                    "W_w": params["W_w"], "W_b": params["W_b"]}
-            katt = {"dec_w": att["dec_w"], "dec_b": att["dec_b"],
-                    "full_w": att["full_w"], "full_b": att["full_b"],
-                    "fb_w": params["f_beta_w"], "fb_b": params["f_beta_b"]}
+            cell, katt = _factored_kernel_params(params, att, style,
+                                                  cfg.embed_size)
             tiles = (16 if b_eff % 16 == 0 else 8, 8)
             fn = lambda cl, at, es, a1, fe, h, c: fused_att_scan(  # noqa: E731
                 cl, at, es, a1, fe, h, c, "factored", tiles)
@@ -297,16 +317,8 @@ def factored_att_forward_hiddens(
     if fused_scan and b_eff % 8 == 0:
         from icee_tpu.ops.pallas_att_train import fused_att_scan_sampled
 
-        e = cfg.embed_size
-        cell = {"V_we": params["V_w"][:e], "V_wc": params["V_w"][e:],
-                "V_b": params["V_b"],
-                "S_w": jnp.take(params["S_w"], style, axis=0),
-                "S_b": jnp.take(params["S_b"], style, axis=0),
-                "U_w": params["U_w"], "U_b": params["U_b"],
-                "W_w": params["W_w"], "W_b": params["W_b"]}
-        katt = {"dec_w": att["dec_w"], "dec_b": att["dec_b"],
-                "full_w": att["full_w"], "full_b": att["full_b"],
-                "fb_w": params["f_beta_w"], "fb_b": params["f_beta_b"]}
+        cell, katt = _factored_kernel_params(params, att, style,
+                                              cfg.embed_size)
         head = {"C_w": params["C_w"], "C_b": params["C_b"],
                 "B": params["B"]}
         tiles = (16 if b_eff % 16 == 0 else 8, 8)
@@ -315,7 +327,9 @@ def factored_att_forward_hiddens(
                                    "factored", tiles))
         fn = _maybe_shard_map(fn, mesh, (False, False, False, True, True,
                                          True, True, True, True, False))
-        return fn(cell, katt, head, emb_seq, embed(params, captions), att1,
+        # only the t=0 bootstrap column of the raw embeddings is consumed
+        return fn(cell, katt, head, emb_seq,
+                  embed(params, captions[:, :1]), att1,
                   features, h0, c0, coins.astype(jnp.float32))
 
     def body(carry, xs):
@@ -450,15 +464,7 @@ def rnn_att_forward_hiddens(
         if fused_scan and b_eff % 8 == 0:
             from icee_tpu.ops.pallas_att_train import fused_att_scan
 
-            e = cfg.embed_size
-            cell = {"W_ihe": params["cell"]["W_ih"][:e],
-                    "W_ihc": params["cell"]["W_ih"][e:],
-                    "W_hh": params["cell"]["W_hh"],
-                    "b_ih": params["cell"]["b_ih"],
-                    "b_hh": params["cell"]["b_hh"]}
-            katt = {"dec_w": att["dec_w"], "dec_b": att["dec_b"],
-                    "full_w": att["full_w"], "full_b": att["full_b"],
-                    "fb_w": params["f_beta_w"], "fb_b": params["f_beta_b"]}
+            cell, katt = _lstm_kernel_params(params, att, cfg.embed_size)
             tiles = (16 if b_eff % 16 == 0 else 8, 8)
             fn = lambda cl, at, es, a1, fe, h, c: fused_att_scan(  # noqa: E731
                 cl, at, es, a1, fe, h, c, "lstm", tiles)
@@ -483,15 +489,7 @@ def rnn_att_forward_hiddens(
     if fused_scan and b_eff % 8 == 0:
         from icee_tpu.ops.pallas_att_train import fused_att_scan_sampled
 
-        e = cfg.embed_size
-        cell = {"W_ihe": params["cell"]["W_ih"][:e],
-                "W_ihc": params["cell"]["W_ih"][e:],
-                "W_hh": params["cell"]["W_hh"],
-                "b_ih": params["cell"]["b_ih"],
-                "b_hh": params["cell"]["b_hh"]}
-        katt = {"dec_w": att["dec_w"], "dec_b": att["dec_b"],
-                "full_w": att["full_w"], "full_b": att["full_b"],
-                "fb_w": params["f_beta_w"], "fb_b": params["f_beta_b"]}
+        cell, katt = _lstm_kernel_params(params, att, cfg.embed_size)
         head = {"C_w": params["linear_w"], "C_b": params["linear_b"],
                 "B": params["embed"]}
         tiles = (16 if b_eff % 16 == 0 else 8, 8)
@@ -500,8 +498,9 @@ def rnn_att_forward_hiddens(
                                    "lstm", tiles))
         fn = _maybe_shard_map(fn, mesh, (False, False, False, True, True,
                                          True, True, True, True, False))
+        # only the t=0 bootstrap column of the raw embeddings is consumed
         return fn(cell, katt, head, emb_seq,
-                  jnp.take(params["embed"], captions, axis=0), att1,
+                  jnp.take(params["embed"], captions[:, :1], axis=0), att1,
                   features, h0, c0, coins.astype(jnp.float32))
 
     def body(carry, xs):

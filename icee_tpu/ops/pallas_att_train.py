@@ -75,7 +75,7 @@ def _a_tile_of(a_dim):
 def _attend_step(h_prev, att1, feat, decw_ref, decb_ref, fullw_ref,
                  fullb_ref, fbw_ref, fbb_ref, wdt):
     """One Bahdanau step on a resident (n, P, A)/(n, P, FS) tile ->
-    (att2, alpha, ctx, gate).  Mirrors ``attend_precomputed`` +
+    (alpha, ctx, gate).  Mirrors ``attend_precomputed`` +
     ``f_beta`` gate (``models/attention.py:59-72,119-131``); the relu
     score pass is A-tiled (elementwise relu -> tiling is exact, only the
     contraction order differs)."""
@@ -104,7 +104,7 @@ def _attend_step(h_prev, att1, feat, decw_ref, decb_ref, fullw_ref,
     gate = jax.nn.sigmoid(
         jnp.dot(h_prev.astype(wdt), fbw_ref[:],
                 preferred_element_type=jnp.float32) + fbb_ref[0, :])
-    return att2, alpha, ctx, gate
+    return alpha, ctx, gate
 
 
 def _factored_acts(emb, gctx, h_prev, cell, f_dim, h_dim, wdt):
@@ -183,7 +183,7 @@ def _fwd_kernel(*refs, kind, f_dim, h_dim, sampled):
 
     h_prev = h_scr[:]
     c_prev = c_scr[:]
-    _, alpha, ctx, gate = _attend_step(
+    alpha, ctx, gate = _attend_step(
         h_prev, att1_ref[:].astype(jnp.float32), feat_ref[:],
         decw_ref, decb_ref, fullw_ref, fullb_ref, fbw_ref, fbb_ref, wdt)
     gctx = gate * ctx
@@ -554,7 +554,11 @@ def _fwd_impl(cell, att, emb_seq, att1, features, h0, c0, kind, tile_b,
         extra_ins = (embr_t, coins2, head["C_w"],
                      head["C_b"].reshape(1, -1), head["B"])
         extra_in_specs = [
-            step(e_dim),
+            # only the t=0 bootstrap block is ever read (pl.when in the
+            # kernel): pin the index map so the DMA happens once per batch
+            # tile, not once per step
+            pl.BlockSpec((1, tile_b, e_dim), lambda bt, t: (0, bt, 0),
+                         memory_space=vmem),
             pl.BlockSpec((1, 1), lambda bt, t: (t, 0), memory_space=vmem),
             full(h_dim, v_dim), full(1, v_dim), full(v_dim, e_dim)]
         extra_out_specs = (pl.BlockSpec(
@@ -752,8 +756,12 @@ def _bwd_impl(cell, att, emb_seq, att1, features, h0, c0, h_t, c_t,
     d_head = {"C_w": jnp.zeros_like(head["C_w"]),
               "C_b": jnp.zeros_like(head["C_b"]),
               "B": d_bemb}
-    d_emb_raw_t = jnp.concatenate(
-        [dsamp_t[0:1], jnp.zeros_like(dsamp_t[1:])], axis=0)
+    if samp["emb_raw"].shape[1] == 1:
+        # bootstrap-only input (B, 1, E): its cotangent is step 0's share
+        d_emb_raw_t = dsamp_t[0:1]
+    else:
+        d_emb_raw_t = jnp.concatenate(
+            [dsamp_t[0:1], jnp.zeros_like(dsamp_t[1:])], axis=0)
     d_emb_raw = jnp.swapaxes(d_emb_raw_t, 0, 1).astype(
         samp["emb_raw"].dtype)
     d_coins = jnp.zeros_like(samp["coins"])
@@ -782,8 +790,9 @@ def fused_att_scan_sampled(cell, att, head, emb_seq, emb_raw_seq, att1,
 
     ``head``: {C_w (H, V), C_b (V,), B (V, E) raw embedding matrix}.
     ``emb_seq``: teacher embeddings WITH dropout; ``emb_raw_seq``: dropout-
-    free embeddings of the same captions (feeds the t=0 bootstrap and its
-    cotangent).  ``coins``: (T,) {0., 1.}.  Cotangents: C_w/C_b zero
+    free embeddings feeding the t=0 bootstrap and its cotangent — only
+    column 0 is consumed, so callers may pass just ``(B, 1, E)`` (the
+    model glue does, avoiding a full-(B,T) gather + mostly-zero scatter).  ``coins``: (T,) {0., 1.}.  Cotangents: C_w/C_b zero
     (argmax + stop-gradient), B gets the sampled-step scatter, features
     zero (frozen encoder), coins zero.
     """

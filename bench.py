@@ -182,7 +182,7 @@ def bench_att_decode(jax, jnp):
 ATT_TRAIN_B = 128
 
 
-def bench_att_train(jax, jnp):
+def bench_att_train(jax, jnp, fused=None):
     """Attention captioner train step at the reference's production regime
     (B=128, 25 consumed steps, teacher_forcing_ratio=0.8 —
     ``model_att.py:242``): fwd+bwd+Adam through ``make_attention_steps``
@@ -198,7 +198,8 @@ def bench_att_train(jax, jnp):
     cfg = AttentionDecoderConfig(
         vocab_size=V, embed_size=E, hidden_size=H, factored_size=F,
         attention_size=512, feature_size=2048, dropout=0.0)
-    tcfg = TrainConfig()  # teacher_forcing_ratio=0.8 (reference default)
+    # teacher_forcing_ratio=0.8 (reference default); fused None = auto
+    tcfg = TrainConfig(fused_scan=fused)
     opt = optax.adam(2e-4)
     fac_step, _, _ = make_attention_steps(cfg, tcfg, opt, opt, factored=True)
 
@@ -387,7 +388,7 @@ def bench_train_epoch(jax, jnp):
 SC_VOCAB, SC_BATCH = 8800, 128
 
 
-def bench_senticap(jax, jnp):
+def bench_senticap(jax, jnp, fused=None):
     """SentiCap base-mRNN train step at the reference COCO regime
     (``mrnn.py:30-111``: emb/hidden 512, visual 4096, batch 128, T=22,
     teacher-forced, RMSProp) over a device-resident dataset — returns
@@ -398,6 +399,7 @@ def bench_senticap(jax, jnp):
     from icee_tpu.senticap.train import make_base_step
 
     conf = senticap_conf(emb_size=512, lstm_hidden_size=512)
+    conf["FUSED_SCAN"] = fused
     t = conf["MAX_SENTENCE_LEN"] + 2
     params = sc_model.init_params(jax.random.PRNGKey(0), SC_VOCAB, conf)
     solver = make_solver(conf)
@@ -435,7 +437,7 @@ def bench_senticap(jax, jnp):
     return float(np.median(times))
 
 
-def bench_senticap_switched(jax, jnp):
+def bench_senticap_switched(jax, jnp, fused=None):
     """SWITCHED SentiCap train step (the actual SentiCap method,
     ``mrnn_switched.py:780-890``) at the MTurk regime: double-LSTM
     recurrence, switch gate, LAMBDA_N/LAMBDA_GAM loss, RMSProp over the
@@ -446,6 +448,7 @@ def bench_senticap_switched(jax, jnp):
     from icee_tpu.senticap.train import make_switched_step
 
     conf = senticap_conf(emb_size=512, lstm_hidden_size=512)
+    conf["FUSED_SCAN"] = fused
     t = conf["MAX_SENTENCE_LEN"] + 2
     params = sw_model.init_params(jax.random.PRNGKey(0), SC_VOCAB, conf)
     solver = make_solver(conf, sw_model.switch_param_mask(params))
@@ -665,22 +668,40 @@ def main():
             print(f"# epoch train failed ({type(e).__name__})")
     att_train_ms = None
     if not over_budget("attention train"):
+        # auto = the sampled whole-scan kernel at tf=0.8; if its hardware
+        # compile fails, the XLA-scan retry keeps the metric alive
         try:
             att_train_ms = bench_att_train(jax, jnp) * 1e3
         except Exception as e:
-            print(f"# attention train step failed ({type(e).__name__})")
+            print(f"# att-train fused failed ({type(e).__name__}); XLA retry")
+            try:
+                att_train_ms = bench_att_train(jax, jnp, fused=False) * 1e3
+            except Exception as e2:
+                print(f"# attention train step failed ({type(e2).__name__})")
     senticap_ms = None
     if not over_budget("senticap train"):
+        # first try the whole-scan kernel (auto default); if its hardware
+        # compile fails, fall back to the XLA scan so the metric survives
         try:
             senticap_ms = bench_senticap(jax, jnp) * 1e3
         except Exception as e:
-            print(f"# senticap train step failed ({type(e).__name__})")
+            print(f"# senticap fused failed ({type(e).__name__}); XLA retry")
+            try:
+                senticap_ms = bench_senticap(jax, jnp, fused=False) * 1e3
+            except Exception as e2:
+                print(f"# senticap train step failed ({type(e2).__name__})")
     senticap_sw_ms = None
     if not over_budget("senticap switched train"):
         try:
             senticap_sw_ms = bench_senticap_switched(jax, jnp) * 1e3
         except Exception as e:
-            print(f"# senticap switched step failed ({type(e).__name__})")
+            print(f"# switched fused failed ({type(e).__name__}); XLA retry")
+            try:
+                senticap_sw_ms = bench_senticap_switched(
+                    jax, jnp, fused=False) * 1e3
+            except Exception as e2:
+                print("# senticap switched step failed "
+                      f"({type(e2).__name__})")
     senticap_dec_cps = None
     if not over_budget("senticap decode"):
         try:

@@ -188,8 +188,10 @@ def _fwd_kernel(*refs, kind, f_dim, h_dim, sampled):
         decw_ref, decb_ref, fullw_ref, fullb_ref, fbw_ref, fbb_ref, wdt)
     gctx = gate * ctx
     if sampled:
-        # coin in {0.0, 1.0}: arithmetic blend is exact (a*1+b*0 == a)
-        coin = coin_ref[0, 0]
+        # coin in {0.0, 1.0}: arithmetic blend is exact (a*1+b*0 == a).
+        # coins live whole-array in SMEM (a (1,1) VMEM block of a (T,1)
+        # array fails the Mosaic (8,128)-divisibility check).
+        coin = coin_ref[t, 0]
         emb = (coin * emb_ref[0].astype(jnp.float32)
                + (1.0 - coin) * pemb_scr[:])
     else:
@@ -275,8 +277,9 @@ def _bwd_kernel(*refs, kind, f_dim, h_dim, seq_len, sampled):
     if sampled:
         # recompute the blended step input; pemb_ref streams the embedding
         # of the token actually used (argmax feedback / captions[:,0]),
-        # reconstructed OUTSIDE the kernel from the saved pidx trace
-        coin = coin_ref[0, 0]
+        # reconstructed OUTSIDE the kernel from the saved pidx trace.
+        # coins: whole-array SMEM, indexed at the reversed timestep
+        coin = coin_ref[s, 0]
         emb = (coin * emb_ref[0].astype(jnp.float32)
                + (1.0 - coin) * pemb_ref[0].astype(jnp.float32))
     else:
@@ -559,7 +562,7 @@ def _fwd_impl(cell, att, emb_seq, att1, features, h0, c0, kind, tile_b,
             # tile, not once per step
             pl.BlockSpec((1, tile_b, e_dim), lambda bt, t: (0, bt, 0),
                          memory_space=vmem),
-            pl.BlockSpec((1, 1), lambda bt, t: (t, 0), memory_space=vmem),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
             full(h_dim, v_dim), full(1, v_dim), full(v_dim, e_dim)]
         extra_out_specs = (pl.BlockSpec(
             (1, tile_b, 1), lambda bt, t: (t, bt, 0), memory_space=vmem),)
@@ -667,8 +670,7 @@ def _bwd_impl(cell, att, emb_seq, att1, features, h0, c0, h_t, c_t,
             [embr_t[0:1], jnp.take(head["B"], pidx2[:-1], axis=0)], axis=0)
         extra_ins = (coins2, pe_used_t)
         extra_in_specs = [
-            pl.BlockSpec((1, 1), lambda bt, t: (seq_len - 1 - t, 0),
-                         memory_space=vmem),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
             step(e_dim, rev)]
         extra_out_specs = (step(e_dim, rev),)
         extra_out_shape = (

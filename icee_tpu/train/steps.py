@@ -103,13 +103,14 @@ def make_caption_steps(
         use_chunked = jax.default_backend() == "tpu"
     fwd = (functools.partial(fl.forward, fused_scan=use_fused, mesh=mesh)
            if factored else
-           lambda p, c, caps, feats, style, **kw: nic.forward(p, c, caps, feats, **kw)
+           lambda p, c, caps, feats, style, **kw: nic.forward(
+               p, c, caps, feats, fused_scan=use_fused, mesh=mesh, **kw)
     )
     fwd_h = (functools.partial(fl.forward_hiddens, fused_scan=use_fused,
                                mesh=mesh)
              if factored else
              lambda p, c, caps, feats, style, **kw: nic.forward_hiddens(
-                 p, c, caps, feats, **kw)
+                 p, c, caps, feats, fused_scan=use_fused, mesh=mesh, **kw)
     )
     head_of = ((lambda d: (d["C_w"], d["C_b"])) if factored
                else (lambda d: (d["linear_w"], d["linear_b"])))

@@ -321,7 +321,10 @@ def factored_att_forward_hiddens(
                                               cfg.embed_size)
         head = {"C_w": params["C_w"], "C_b": params["C_b"],
                 "B": params["B"]}
-        tiles = (16 if b_eff % 16 == 0 else 8, 8)
+        # sampled keeps the 8-row forward tile: the in-kernel head (C_w,
+        # 16.8MB) + raw embedding matrix (9.8MB) push the 16-row tile's
+        # scoped VMEM past the 128MiB chip budget (measured OOM on v5e)
+        tiles = (8, 8)
         fn = lambda cl, at, hd, es, er, a1, fe, h, c, co: (  # noqa: E731
             fused_att_scan_sampled(cl, at, hd, es, er, a1, fe, h, c, co,
                                    "factored", tiles))
@@ -492,7 +495,8 @@ def rnn_att_forward_hiddens(
         cell, katt = _lstm_kernel_params(params, att, cfg.embed_size)
         head = {"C_w": params["linear_w"], "C_b": params["linear_b"],
                 "B": params["embed"]}
-        tiles = (16 if b_eff % 16 == 0 else 8, 8)
+        # 8-row forward tile only — see the factored sampled call above
+        tiles = (8, 8)
         fn = lambda cl, at, hd, es, er, a1, fe, h, c, co: (  # noqa: E731
             fused_att_scan_sampled(cl, at, hd, es, er, a1, fe, h, c, co,
                                    "lstm", tiles))

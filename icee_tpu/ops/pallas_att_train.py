@@ -592,6 +592,10 @@ def _fwd_impl(cell, att, emb_seq, att1, features, h0, c0, kind, tile_b,
             pltpu.VMEM((tile_b, h_dim), jnp.float32),
         ] + extra_scratch,
         compiler_params=pltpu.CompilerParams(
+            # the sampled variant adds C_w (16.8MB) + the raw embedding
+            # matrix (9.8MB) to the resident set: it must run the 8-row
+            # forward tile (the 16-row tile OOMs scoped VMEM on v5e even
+            # at a 120MiB limit — XLA grows its staging with the budget)
             vmem_limit_bytes=110 * 1024 * 1024),
         interpret=interpret,
     )(emb_t, att1, features, h0, c0, *extra_ins,

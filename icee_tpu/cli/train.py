@@ -62,8 +62,31 @@ def main(args) -> None:
                  "sad": (args.sad_path, args.val_sad_path),
                  "angry": (args.angry_path, args.val_angry_path)}
 
+    if args.device_resident and not (args.no_augment or args.feature_cache):
+        raise SystemExit(
+            "--device_resident pins one feature per image on device, which "
+            "requires deterministic features: pass --no_augment or "
+            "--feature_cache (per-epoch crop/flip augmentation would be "
+            "frozen at its first draw)")
+
     def loader(path, bs, train=True):
         ds = load_caption_dataset(path, vocab)
+        if train and args.device_resident and args.trainer != "seq2seq":
+            # whole-epoch device-resident training: the split is pinned in
+            # HBM and each epoch is ONE jitted lax.scan dispatch
+            # (data/device.py — the TPU-native answer to per-batch dispatch
+            # cost; the senticap family's device_dataset analogue).
+            from icee_tpu.data import device as device_data
+            import numpy as np
+
+            feat_shape = np.asarray(provider_eval(ds[0].image)).shape
+            if device_data.fits_device(len(ds), feat_shape):
+                return device_data.from_examples(
+                    ds, batch_size=bs, max_len=tcfg.max_caption_len,
+                    image_provider=provider_eval, shuffle=True,
+                    seed=args.seed, mesh=mesh)
+            print(f"WARNING: {path} features exceed the device-resident "
+                  "budget; falling back to the host loader")
         return caption_dataset_loader(
             ds, batch_size=bs, max_len=tcfg.max_caption_len,
             image_provider=provider_train if train else provider_eval,
@@ -198,6 +221,10 @@ if __name__ == "__main__":
     parser.add_argument("--attention", action="store_true")
     parser.add_argument("--no_augment", action="store_true",
                         help="disable train-time crop/flip; use cached eval-mode features")
+    parser.add_argument("--device_resident", action="store_true",
+                        help="pin train splits on device and run each epoch "
+                             "as ONE jitted scan (requires --no_augment or "
+                             "--feature_cache)")
     parser.add_argument("--data_parallel", action="store_true",
                         help="train over all devices: ('data','model') mesh, "
                              "batch sharded over the data axis, gradient "

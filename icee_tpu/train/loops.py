@@ -202,6 +202,10 @@ class MultitaskTrainer:
 
     def _run_train(self, loader, style: Optional[int], log_step: int,
                    tag: str) -> EpochStats:
+        from icee_tpu.data.device import DeviceCaptionData
+
+        if isinstance(loader, DeviceCaptionData):
+            return self._run_train_device(loader, style, log_step, tag)
         losses = AverageMeter()
         t0 = time.time()
         for i, batch in enumerate(loader):
@@ -234,6 +238,102 @@ class MultitaskTrainer:
                       f"Loss: {float(loss):.4f}")
             losses.update(float(loss), int(batch.lengths.sum()))
         return EpochStats(loss=losses.avg, batch_time=time.time() - t0)
+
+    def _device_epoch_fn(self, factual: bool):
+        """Jitted WHOLE-EPOCH program for a device-resident split: one
+        ``lax.scan`` over shuffled batch-index rows gathers each minibatch
+        with ``jnp.take`` and runs the same step the host loop would — one
+        dispatch per epoch instead of two host round-trips per batch (the
+        TPU-native answer to the relay's per-dispatch floor; see
+        ``data/device.py``).  RNG splits mirror ``_run_train``'s
+        ``_next_rng`` order exactly, so parameters after a device epoch are
+        bit-identical to the host-loop epoch on the same batch composition.
+        """
+        if not hasattr(self, "_depoch_cache"):
+            self._depoch_cache = {}
+        key = (factual, self.attention)
+        fn = self._depoch_cache.get(key)
+        if fn is not None:
+            return fn
+        step = self.factual_step if factual else self.emotion_step
+        attention, mesh = self.attention, self.mesh
+        if mesh is not None:
+            from icee_tpu.parallel.mesh import batch_sharding
+
+            bsh = batch_sharding(mesh)
+
+        def epoch(dec, head, opt_state, rng, images, captions, lengths,
+                  idx, valid, style):
+            def body(carry, xs):
+                dec, head, opt_state, rng = carry
+                bidx, bvalid = xs
+                rng, k = jax.random.split(rng)
+                # zero padded rows exactly like the host loader's batch
+                # padding (BatchNorm batch statistics see every row, so
+                # gather-padded features would perturb them)
+                feats = jnp.take(images, bidx, axis=0)
+                feats = feats * bvalid.reshape(
+                    (-1,) + (1,) * (feats.ndim - 1)).astype(feats.dtype)
+                caps = jnp.take(captions, bidx, axis=0) * bvalid[:, None]
+                lens = jnp.where(bvalid, jnp.take(lengths, bidx, axis=0), 0)
+                if mesh is not None:
+                    # data arrays replicate across the mesh; reshard the
+                    # gathered batch over the data axis so the step runs DP
+                    feats = jax.lax.with_sharding_constraint(feats, bsh)
+                    caps = jax.lax.with_sharding_constraint(caps, bsh)
+                if factual:
+                    if attention:
+                        dec, opt_state, loss = step(
+                            dec, opt_state, feats, caps, lens, bvalid, k)
+                    else:
+                        dec, head, opt_state, loss = step(
+                            dec, head, opt_state, feats, caps, lens, bvalid,
+                            k)
+                else:
+                    if attention:
+                        dec, opt_state, loss = step(
+                            dec, opt_state, feats, caps, lens, bvalid, style,
+                            k)
+                    else:
+                        dec, head, opt_state, loss = step(
+                            dec, head, opt_state, feats, caps, lens, bvalid,
+                            style, k)
+                return (dec, head, opt_state, rng), (loss, lens.sum())
+
+            (dec, head, opt_state, rng), (losses, ntoks) = jax.lax.scan(
+                body, (dec, head, opt_state, rng), (idx, valid))
+            return dec, head, opt_state, rng, losses, ntoks
+
+        fn = jax.jit(epoch)
+        self._depoch_cache[key] = fn
+        return fn
+
+    def _run_train_device(self, ddata, style: Optional[int], log_step: int,
+                          tag: str) -> EpochStats:
+        """One training epoch over a :class:`DeviceCaptionData` split."""
+        t0 = time.time()
+        factual = style is None or style == 0
+        idx, valid = ddata.epoch_indices()
+        fn = self._device_epoch_fn(factual)
+        opt_state = self.opt_state if factual else self.lang_opt_state
+        dec, head, opt_state, self.rng, losses, ntoks = fn(
+            self.dec, self.head, opt_state, self.rng,
+            ddata.images, ddata.captions, ddata.lengths,
+            jnp.asarray(idx), jnp.asarray(valid),
+            jnp.asarray(style if style is not None else 0))
+        self.dec, self.head = dec, head
+        if factual:
+            self.opt_state = opt_state
+        else:
+            self.lang_opt_state = opt_state
+        losses = np.asarray(losses, np.float64)
+        ntoks = np.asarray(ntoks, np.float64)
+        for i in range(0, len(losses), max(log_step, 1)):
+            print(f"Step [{i}/{len(losses)}], [{tag}], "
+                  f"Loss: {float(losses[i]):.4f}")
+        total = float(ntoks.sum())
+        avg = float((losses * ntoks).sum() / total) if total else 0.0
+        return EpochStats(loss=avg, batch_time=time.time() - t0)
 
     def _run_val(self, loader, style: int) -> EpochStats:
         losses, top5s = AverageMeter(), AverageMeter()

@@ -1,0 +1,221 @@
+"""Device-resident whole-epoch training (``data/device.py`` +
+``MultitaskTrainer._run_train_device``).
+
+The TPU-native epoch: the split pinned on device, one jitted ``lax.scan``
+over shuffled batch-index rows per epoch (the captioner analogue of the
+SentiCap Theano shared-array path, ``senticap/mrnn/mrnn.py:581-596``; the
+reference captioners re-feed every batch from host workers,
+``stylenet/train_multitask.py:364-408``).  Must visit the SAME batches in
+the SAME order as the host ``BatchLoader`` and produce matching parameters.
+"""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from icee_tpu.core.config import (
+    AttentionDecoderConfig,
+    DecoderConfig,
+    EncoderConfig,
+    TrainConfig,
+)
+from icee_tpu.data import build_vocab, load_caption_dataset
+from icee_tpu.data import device as device_data
+from icee_tpu.data.pipeline import caption_dataset_loader
+from icee_tpu.models import attention as att_mod
+from icee_tpu.models import encoder as enc_mod
+from icee_tpu.models import factored_lstm as fl
+from icee_tpu.parallel.mesh import make_mesh
+from icee_tpu.train.loops import MultitaskTrainer
+
+CORPUS = (
+    "i1.jpg#0\tseorang anak bermain bola di lapangan\n"
+    "i2.jpg#0\tseekor anjing coklat berlari cepat\n"
+    "i3.jpg#0\tdua orang tua duduk di bangku\n"
+    "i4.jpg#0\tseorang wanita muda membaca buku\n"
+    "i5.jpg#0\tseorang pria berdiri di pantai\n"
+    "i6.jpg#0\tseekor kucing tidur di atas meja\n"
+    "i7.jpg#0\tanak anak berenang di sungai\n"
+    "i8.jpg#0\tseorang petani bekerja di sawah\n"
+    "i9.jpg#0\tseorang anak kecil tertawa riang\n"
+    "i10.jpg#0\tseekor burung terbang di langit\n"
+)
+FEAT, B, MAXLEN = 16, 4, 12
+
+
+@pytest.fixture(scope="module")
+def data(tmp_path_factory):
+    p = tmp_path_factory.mktemp("dev_epoch")
+    (p / "fac.txt").write_text(CORPUS)
+    vocab = build_vocab(str(p / "fac.txt"), threshold=1)
+    ds = load_caption_dataset(str(p / "fac.txt"), vocab)
+    rng = np.random.default_rng(0)
+    feats = {e.image: rng.standard_normal((FEAT,)).astype(np.float32)
+             for e in ds}
+    return vocab, ds, feats
+
+
+def _trainer(vocab, tmp_path, mesh=None, family="factored", cfg=None,
+             tag="t"):
+    if cfg is None:
+        cfg = DecoderConfig(vocab_size=len(vocab), embed_size=16,
+                            hidden_size=24, factored_size=24, dropout=0.0,
+                            max_seq_length=10)
+    tcfg = TrainConfig(mode="happy", lr_caption=5e-3, lr_language=5e-3,
+                       teacher_forcing_ratio=1.0, log_step=10_000,
+                       log_step_emotion=10_000)
+    attention = family.endswith("_att")
+    if attention:
+        dec = att_mod.init_factored_att_params(jax.random.PRNGKey(0), cfg)
+        head = None
+    else:
+        dec = fl.init_params(jax.random.PRNGKey(0), cfg)
+        head = enc_mod.init_head_params(
+            jax.random.PRNGKey(1),
+            EncoderConfig(embed_size=16, feature_size=FEAT))
+    return MultitaskTrainer(cfg, tcfg, vocab, dec, head, family=family,
+                            model_dir=str(tmp_path / f"m_{tag}"),
+                            data_name="dev", mesh=mesh)
+
+
+def test_epoch_indices_match_batch_loader(data):
+    """Same seeded generator, same trailing partial batch, across epochs."""
+    _, ds, feats = data
+    loader = caption_dataset_loader(
+        ds, batch_size=B, max_len=MAXLEN,
+        image_provider=lambda n: feats[n], shuffle=True, seed=7, prefetch=0)
+    ddata = device_data.from_examples(
+        ds, batch_size=B, max_len=MAXLEN,
+        image_provider=lambda n: feats[n], shuffle=True, seed=7)
+    assert len(ddata) == len(loader) == 3  # 10 examples, B=4 -> 4+4+2
+    for _ in range(2):  # two epochs: generators must stay in lockstep
+        host = loader._index_batches()
+        idx, valid = ddata.epoch_indices()
+        for b, hb in enumerate(host):
+            np.testing.assert_array_equal(idx[b, : len(hb)], hb)
+            assert valid[b].sum() == len(hb)
+            assert not valid[b, len(hb):].any()
+
+
+@pytest.mark.parametrize("style", [0, 1])
+def test_device_epoch_matches_host_loop(data, tmp_path, style):
+    """One epoch through ``_run_train`` with a DeviceCaptionData equals the
+    host-loader epoch: same batches, same RNG splits, matching params."""
+    vocab, ds, feats = data
+
+    def run(device):
+        tr = _trainer(vocab, tmp_path, tag=f"host{device}{style}")
+        if device:
+            src = device_data.from_examples(
+                ds, batch_size=B, max_len=MAXLEN,
+                image_provider=lambda n: feats[n], shuffle=True, seed=3)
+        else:
+            src = caption_dataset_loader(
+                ds, batch_size=B, max_len=MAXLEN,
+                image_provider=lambda n: feats[n], shuffle=True, seed=3,
+                prefetch=0)
+        st = tr._run_train(src, style, 10_000, "T")
+        return tr, st
+
+    tr_h, st_h = run(False)
+    tr_d, st_d = run(True)
+    assert np.isfinite(st_d.loss)
+    np.testing.assert_allclose(st_d.loss, st_h.loss, rtol=1e-6)
+    for (path, a), (_, b) in zip(
+            jax.tree_util.tree_flatten_with_path(tr_h.dec)[0],
+            jax.tree_util.tree_flatten_with_path(tr_d.dec)[0]):
+        np.testing.assert_allclose(
+            np.asarray(b), np.asarray(a), rtol=1e-6, atol=1e-7,
+            err_msg=f"param mismatch at {jax.tree_util.keystr(path)}")
+    for (path, a), (_, b) in zip(
+            jax.tree_util.tree_flatten_with_path(tr_h.head)[0],
+            jax.tree_util.tree_flatten_with_path(tr_d.head)[0]):
+        np.testing.assert_allclose(
+            np.asarray(b), np.asarray(a), rtol=1e-6, atol=1e-7,
+            err_msg=f"head mismatch at {jax.tree_util.keystr(path)}")
+
+
+def test_device_epoch_attention_family(data, tmp_path):
+    """The head-less attention families run the device epoch too (spatial
+    features, emotion track)."""
+    vocab, ds, _ = data
+    cfg = AttentionDecoderConfig(
+        vocab_size=len(vocab), embed_size=16, hidden_size=24,
+        factored_size=24, attention_size=16, feature_size=FEAT, dropout=0.0,
+        max_seq_length=10)
+    rng = np.random.default_rng(1)
+    sp_feats = {e.image: rng.standard_normal((5, FEAT)).astype(np.float32)
+                for e in ds}
+
+    def run(device):
+        tr = _trainer(vocab, tmp_path, family="factored_att", cfg=cfg,
+                      tag=f"att{device}")
+        if device:
+            src = device_data.from_examples(
+                ds, batch_size=B, max_len=MAXLEN,
+                image_provider=lambda n: sp_feats[n], shuffle=True, seed=5)
+        else:
+            src = caption_dataset_loader(
+                ds, batch_size=B, max_len=MAXLEN,
+                image_provider=lambda n: sp_feats[n], shuffle=True, seed=5,
+                prefetch=0)
+        st = tr._run_train(src, 1, 10_000, "HAP")
+        return tr, st
+
+    tr_h, st_h = run(False)
+    tr_d, st_d = run(True)
+    np.testing.assert_allclose(st_d.loss, st_h.loss, rtol=1e-6)
+    for (path, a), (_, b) in zip(
+            jax.tree_util.tree_flatten_with_path(tr_h.dec)[0],
+            jax.tree_util.tree_flatten_with_path(tr_d.dec)[0]):
+        np.testing.assert_allclose(
+            np.asarray(b), np.asarray(a), rtol=1e-6, atol=1e-7,
+            err_msg=f"param mismatch at {jax.tree_util.keystr(path)}")
+
+
+def test_device_epoch_full_factual_training(data, tmp_path):
+    """train_factual_only drives device-resident train epochs end-to-end
+    (train scan + host val + BLEU + checkpointing)."""
+    vocab, ds, feats = data
+    tr = _trainer(vocab, tmp_path, tag="full")
+    ddata = device_data.from_examples(
+        ds, batch_size=B, max_len=MAXLEN,
+        image_provider=lambda n: feats[n], shuffle=True, seed=0)
+    val = caption_dataset_loader(
+        ds, batch_size=B, max_len=MAXLEN,
+        image_provider=lambda n: feats[n], shuffle=False, seed=0, prefetch=0)
+    out = tr.train_factual_only(ddata, val, num_epochs=2)
+    assert np.isfinite(out["best_bleu4"]["factual"])
+
+
+def test_device_epoch_on_mesh_matches_single(data, tmp_path):
+    """Device-resident epochs under the 8-device DP mesh: gathered batches
+    reshard over the data axis; params match the single-device device-epoch
+    run up to cross-device reduction reassociation."""
+    vocab, ds, feats = data
+
+    def run(mesh):
+        tr = _trainer(vocab, tmp_path, mesh=mesh,
+                      tag=f"mesh{mesh is not None}")
+        ddata = device_data.from_examples(
+            ds, batch_size=8, max_len=MAXLEN,
+            image_provider=lambda n: feats[n], shuffle=True, seed=2,
+            mesh=mesh)
+        st = tr._run_train(ddata, 0, 10_000, "FAC")
+        return tr, st
+
+    tr_s, st_s = run(None)
+    tr_m, st_m = run(make_mesh((8, 1)))
+    np.testing.assert_allclose(st_m.loss, st_s.loss, rtol=2e-3)
+    for (path, a), (_, b) in zip(
+            jax.tree_util.tree_flatten_with_path(tr_s.dec)[0],
+            jax.tree_util.tree_flatten_with_path(tr_m.dec)[0]):
+        np.testing.assert_allclose(
+            np.asarray(b), np.asarray(a), rtol=2e-3, atol=5e-4,
+            err_msg=f"param mismatch at {jax.tree_util.keystr(path)}")
+
+
+def test_fits_device_gate():
+    assert device_data.fits_device(8000, (2048,))           # 66 MB pooled
+    assert not device_data.fits_device(30000, (196, 2048))  # 48 GB spatial

@@ -318,6 +318,23 @@ def bench_train(jax, jnp, fused_scan, batch=TRAIN_B):
 EPOCH_N, EPOCH_B = 4096, 512
 
 
+def _epoch_examples(rng):
+    """EPOCH_N synthetic caption examples + a 1024-image feature cache
+    (shared by the host-loader and device-resident epoch benches)."""
+    from icee_tpu.data.captions import CaptionExample
+
+    examples, feats = [], {}
+    for i in range(EPOCH_N):
+        ln = int(rng.integers(8, TRAIN_T))
+        ids = [1] + list(rng.integers(4, V, ln - 2)) + [2]
+        name = f"img{i % 1024}.jpg"   # 1024 unique images, cached features
+        examples.append(CaptionExample(image=name, caption_ids=ids,
+                                       all_caption_ids=[ids]))
+        if name not in feats:
+            feats[name] = rng.standard_normal((2048,)).astype(np.float32)
+    return examples, feats
+
+
 def bench_train_epoch(jax, jnp):
     """End-to-end EPOCH throughput (VERDICT r2 #6): the real host loader
     (threaded prefetch, C++ ragged batcher) feeding the jitted factual step
@@ -329,7 +346,6 @@ def bench_train_epoch(jax, jnp):
     import optax
 
     from icee_tpu.core.config import DecoderConfig, EncoderConfig, TrainConfig
-    from icee_tpu.data.captions import CaptionExample
     from icee_tpu.data.pipeline import caption_dataset_loader
     from icee_tpu.models import encoder as enc_mod
     from icee_tpu.models import factored_lstm as fl
@@ -342,16 +358,7 @@ def bench_train_epoch(jax, jnp):
     fac_step, _, _ = make_caption_steps(cfg, tcfg, opt, opt, factored=True)
 
     rng = np.random.default_rng(0)
-    examples = []
-    feats = {}
-    for i in range(EPOCH_N):
-        ln = int(rng.integers(8, TRAIN_T))
-        ids = [1] + list(rng.integers(4, V, ln - 2)) + [2]
-        name = f"img{i % 1024}.jpg"   # 1024 unique images, cached features
-        examples.append(CaptionExample(image=name, caption_ids=ids,
-                                       all_caption_ids=[ids]))
-        if name not in feats:
-            feats[name] = rng.standard_normal((2048,)).astype(np.float32)
+    examples, feats = _epoch_examples(rng)
 
     loader = caption_dataset_loader(
         examples, batch_size=EPOCH_B, max_len=TRAIN_T,
@@ -383,6 +390,48 @@ def bench_train_epoch(jax, jnp):
         n = epoch()
         times.append(time.perf_counter() - t0)
     return n / float(np.median(times))
+
+
+def bench_train_epoch_device(jax, jnp):
+    """Device-resident whole-epoch training (``data/device.py`` +
+    ``MultitaskTrainer._run_train_device``): the SAME 4096-caption epoch as
+    ``bench_train_epoch`` but pinned in HBM and run as ONE jitted
+    ``lax.scan`` dispatch per epoch (``icee-train --device_resident``) —
+    captions/sec through the user-facing trainer.  The gap to
+    ``train_epoch_captions_per_sec`` is the relay's per-batch dispatch cost
+    that the device-resident formulation removes."""
+    import tempfile
+
+    from icee_tpu.core.config import DecoderConfig, EncoderConfig, TrainConfig
+    from icee_tpu.data import device as device_data
+    from icee_tpu.models import encoder as enc_mod
+    from icee_tpu.models import factored_lstm as fl
+    from icee_tpu.train.loops import MultitaskTrainer
+
+    cfg = DecoderConfig(vocab_size=V, embed_size=E, hidden_size=H,
+                        factored_size=F, dropout=0.0)
+    tcfg = TrainConfig(teacher_forcing_ratio=1.0, log_step=10 ** 9)
+    rng = np.random.default_rng(0)
+    examples, feats = _epoch_examples(rng)
+    ddata = device_data.from_examples(
+        examples, batch_size=EPOCH_B, max_len=TRAIN_T,
+        image_provider=lambda n: feats[n], shuffle=True, seed=0)
+
+    dec = fl.init_params(jax.random.PRNGKey(0), cfg)
+    head = enc_mod.init_head_params(
+        jax.random.PRNGKey(1), EncoderConfig(embed_size=E))
+    trainer = MultitaskTrainer(
+        cfg, tcfg, vocab=None, dec_params=dec, head_params=head,
+        family="factored", sample_fn=lambda *a: [],
+        model_dir=tempfile.mkdtemp(prefix="icee_bench_"), data_name="bench")
+
+    trainer._run_train(ddata, 0, 10 ** 9, "FAC")  # compile + warmup
+    times = []
+    for _ in range(3):
+        t0 = time.perf_counter()
+        trainer._run_train(ddata, 0, 10 ** 9, "FAC")
+        times.append(time.perf_counter() - t0)
+    return EPOCH_N / float(np.median(times))
 
 
 SC_VOCAB, SC_BATCH = 8800, 128
@@ -666,6 +715,12 @@ def main():
             epoch_cps = bench_train_epoch(jax, jnp)
         except Exception as e:
             print(f"# epoch train failed ({type(e).__name__})")
+    epoch_dev_cps = None
+    if not over_budget("device epoch train"):
+        try:
+            epoch_dev_cps = bench_train_epoch_device(jax, jnp)
+        except Exception as e:
+            print(f"# device epoch train failed ({type(e).__name__})")
     att_train_ms = None
     if not over_budget("attention train"):
         # auto = the sampled whole-scan kernel at tf=0.8; if its hardware
@@ -761,6 +816,8 @@ def main():
             else round(512 / (train_b512_ms / 1e3), 1)),
         "train_epoch_captions_per_sec": (None if epoch_cps is None
                                          else round(epoch_cps, 1)),
+        "train_epoch_device_captions_per_sec": (
+            None if epoch_dev_cps is None else round(epoch_dev_cps, 1)),
         "att_train_step_ms": (None if att_train_ms is None
                               else round(att_train_ms, 2)),
         "att_train_captions_per_sec": (

@@ -531,7 +531,7 @@ class TransferTrainer(MultitaskTrainer):
             self.tcfg.lr_language, self.tcfg, param_mask=mask)
         steps = (make_attention_steps if self.attention else make_caption_steps)(
             self.cfg, self.tcfg, self.optimizer, self.lang_optimizer,
-            self.factored)
+            self.factored, mesh=self.mesh)
         self.factual_step, self.emotion_step, self.val_step = steps
         self.lang_opt_state = self.lang_optimizer.init(self.dec)
 

@@ -189,6 +189,57 @@ def test_device_epoch_full_factual_training(data, tmp_path):
     assert np.isfinite(out["best_bleu4"]["factual"])
 
 
+def test_device_epoch_transfer_trainer(data, tmp_path):
+    """TransferTrainer (masked style-only optimizer) inherits the device
+    epoch: emotion-track scan updates ONLY the style group, matching the
+    host loop."""
+    from icee_tpu.train.loops import TransferTrainer
+
+    vocab, ds, feats = data
+    cfg = DecoderConfig(vocab_size=len(vocab), embed_size=16,
+                        hidden_size=24, factored_size=24, dropout=0.0,
+                        max_seq_length=10)
+    tcfg = TrainConfig(mode="happy", lr_caption=5e-3, lr_language=5e-3,
+                       teacher_forcing_ratio=1.0, log_step=10_000,
+                       log_step_emotion=10_000)
+
+    def run(device):
+        dec = fl.init_params(jax.random.PRNGKey(0), cfg)
+        head = enc_mod.init_head_params(
+            jax.random.PRNGKey(1), EncoderConfig(embed_size=16,
+                                                 feature_size=FEAT))
+        tr = TransferTrainer(cfg, tcfg, vocab, dec, head,
+                             model_dir=str(tmp_path / f"tx{device}"),
+                             data_name="dev")
+        if device:
+            src = device_data.from_examples(
+                ds, batch_size=B, max_len=MAXLEN,
+                image_provider=lambda n: feats[n], shuffle=True, seed=9)
+        else:
+            src = caption_dataset_loader(
+                ds, batch_size=B, max_len=MAXLEN,
+                image_provider=lambda n: feats[n], shuffle=True, seed=9,
+                prefetch=0)
+        st = tr._run_train(src, 1, 10_000, "HAP")
+        return tr, st
+
+    tr_h, st_h = run(False)
+    tr_d, st_d = run(True)
+    np.testing.assert_allclose(st_d.loss, st_h.loss, rtol=1e-6)
+    leaves_h = jax.tree_util.tree_flatten_with_path(tr_h.dec)[0]
+    leaves_d = jax.tree_util.tree_flatten_with_path(tr_d.dec)[0]
+    for (path, a), (_, b) in zip(leaves_h, leaves_d):
+        np.testing.assert_allclose(
+            np.asarray(b), np.asarray(a), rtol=1e-6, atol=1e-7,
+            err_msg=f"param mismatch at {jax.tree_util.keystr(path)}")
+    # the masked optimizer must have left non-style params at init values
+    init = fl.init_params(jax.random.PRNGKey(0), cfg)
+    np.testing.assert_array_equal(np.asarray(tr_d.dec["B"]),
+                                  np.asarray(init["B"]))
+    np.testing.assert_array_equal(np.asarray(tr_d.dec["V_w"]),
+                                  np.asarray(init["V_w"]))
+
+
 def test_device_epoch_on_mesh_matches_single(data, tmp_path):
     """Device-resident epochs under the 8-device DP mesh: gathered batches
     reshard over the data axis; params match the single-device device-epoch

@@ -71,9 +71,9 @@ def main(args) -> None:
 
     def loader(path, bs, train=True):
         ds = load_caption_dataset(path, vocab)
-        if train and args.device_resident and args.trainer != "seq2seq":
-            # whole-epoch device-resident training: the split is pinned in
-            # HBM and each epoch is ONE jitted lax.scan dispatch
+        if args.device_resident and args.trainer != "seq2seq":
+            # whole-epoch device-resident training/validation: the split is
+            # pinned in HBM and each epoch is ONE jitted lax.scan dispatch
             # (data/device.py — the TPU-native answer to per-batch dispatch
             # cost; the senticap family's device_dataset analogue).
             from icee_tpu.data import device as device_data
@@ -83,7 +83,7 @@ def main(args) -> None:
             if device_data.fits_device(len(ds), feat_shape):
                 return device_data.from_examples(
                     ds, batch_size=bs, max_len=tcfg.max_caption_len,
-                    image_provider=provider_eval, shuffle=True,
+                    image_provider=provider_eval, shuffle=train,
                     seed=args.seed, mesh=mesh)
             print(f"WARNING: {path} features exceed the device-resident "
                   "budget; falling back to the host loader")

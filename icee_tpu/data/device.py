@@ -51,6 +51,10 @@ class DeviceCaptionData:
     batch_size: int
     shuffle: bool = True
     seed: int = 0
+    # host-side per-example reference caption lists (all 5 refs per image,
+    # ``FlickrDataset`` D3) — consumed by the BLEU side of the device val
+    # epoch, never shipped to the device
+    references: Optional[List[List[List[int]]]] = None
     _rng: np.random.Generator = dataclasses.field(init=False, repr=False)
 
     def __post_init__(self):
@@ -118,6 +122,7 @@ def from_examples(
         batch_size=batch_size,
         shuffle=shuffle,
         seed=seed,
+        references=[e.all_caption_ids for e in examples],
     )
 
 

@@ -335,7 +335,90 @@ class MultitaskTrainer:
         avg = float((losses * ntoks).sum() / total) if total else 0.0
         return EpochStats(loss=avg, batch_time=time.time() - t0)
 
+    def _val_epoch_fn(self):
+        """Jitted WHOLE-EPOCH validation program for a device-resident
+        split: one ``lax.scan`` over batch-index rows running ``val_step``
+        per batch — loss/top-5/greedy preds for the entire split in ONE
+        dispatch (the teacher-forced half of ``train_multitask.py:272-361``;
+        BLEU stays on host over the returned preds)."""
+        if not hasattr(self, "_dval_cache"):
+            self._dval_cache = None
+        if self._dval_cache is not None:
+            return self._dval_cache
+        val_step, attention, mesh = self.val_step, self.attention, self.mesh
+        if mesh is not None:
+            from icee_tpu.parallel.mesh import batch_sharding
+
+            bsh = batch_sharding(mesh)
+
+        def epoch(dec, head, images, captions, lengths, idx, valid, style):
+            def body(_, xs):
+                bidx, bvalid = xs
+                feats = jnp.take(images, bidx, axis=0)
+                feats = feats * bvalid.reshape(
+                    (-1,) + (1,) * (feats.ndim - 1)).astype(feats.dtype)
+                caps = jnp.take(captions, bidx, axis=0) * bvalid[:, None]
+                lens = jnp.where(bvalid, jnp.take(lengths, bidx, axis=0), 0)
+                if mesh is not None:
+                    feats = jax.lax.with_sharding_constraint(feats, bsh)
+                    caps = jax.lax.with_sharding_constraint(caps, bsh)
+                if attention:
+                    loss, top5, preds = val_step(dec, feats, caps, lens,
+                                                 bvalid, style)
+                else:
+                    loss, top5, preds = val_step(dec, head, feats, caps,
+                                                 lens, bvalid, style)
+                return 0, (loss, top5, lens.sum(), preds)
+
+            _, out = jax.lax.scan(body, 0, (idx, valid))
+            return out
+
+        self._dval_cache = jax.jit(epoch)
+        return self._dval_cache
+
+    def _run_val_device(self, ddata, style: int) -> EpochStats:
+        """Whole-split validation over a :class:`DeviceCaptionData` —
+        metrics identical to the host ``_run_val`` on the same split."""
+        t0 = time.time()
+        idx, valid = ddata.epoch_indices()
+        fn = self._val_epoch_fn()
+        losses, top5s, ntoks, preds = fn(
+            self.dec, self.head, ddata.images, ddata.captions, ddata.lengths,
+            jnp.asarray(idx), jnp.asarray(valid), jnp.asarray(style))
+        losses = np.asarray(losses, np.float64)
+        top5s = np.asarray(top5s, np.float64)
+        ntoks = np.asarray(ntoks, np.float64)
+        preds = np.asarray(preds)                      # (nb, B, T)
+        lens_host = np.asarray(ddata.lengths)[idx]     # (nb, B)
+        start, end = self.vocab.start, self.vocab.end
+        shift = 1 if self.attention else 0
+        references, hypotheses = [], []
+        for b in range(idx.shape[0]):
+            for j in range(idx.shape[1]):
+                if not valid[b, j]:
+                    continue
+                ei = int(idx[b, j])
+                references.append([strip_specials(r, start, end)
+                                   for r in ddata.references[ei]])
+                L = max(int(lens_host[b, j]) - shift, 0)
+                hypotheses.append(
+                    strip_specials(preds[b, j, :L].tolist(), start, end))
+        bleu4 = corpus_bleu(references, hypotheses)
+        total = float(ntoks.sum())
+        loss = float((losses * ntoks).sum() / total) if total else 0.0
+        top5 = float((top5s * ntoks).sum() / total) if total else 0.0
+        if self.sample_fn is not None:
+            # the host loop samples from the first row of the last batch
+            feat = ddata.images[int(idx[-1, 0]):int(idx[-1, 0]) + 1]
+            print(self.sample_fn(self.dec, self.head, feat, style))
+        return EpochStats(loss=loss, top5=top5, bleu4=bleu4,
+                          batch_time=time.time() - t0)
+
     def _run_val(self, loader, style: int) -> EpochStats:
+        from icee_tpu.data.device import DeviceCaptionData
+
+        if isinstance(loader, DeviceCaptionData):
+            return self._run_val_device(loader, style)
         losses, top5s = AverageMeter(), AverageMeter()
         references, hypotheses = [], []
         start, end = self.vocab.start, self.vocab.end

@@ -267,6 +267,50 @@ def test_device_epoch_on_mesh_matches_single(data, tmp_path):
             err_msg=f"param mismatch at {jax.tree_util.keystr(path)}")
 
 
+def test_device_val_matches_host(data, tmp_path):
+    """_run_val over a DeviceCaptionData: loss/top-5/BLEU-4 equal the host
+    val loop on the same (unshuffled) split."""
+    vocab, ds, feats = data
+    tr = _trainer(vocab, tmp_path, tag="val")
+    host = caption_dataset_loader(
+        ds, batch_size=B, max_len=MAXLEN,
+        image_provider=lambda n: feats[n], shuffle=False, seed=0, prefetch=0)
+    dev = device_data.from_examples(
+        ds, batch_size=B, max_len=MAXLEN,
+        image_provider=lambda n: feats[n], shuffle=False, seed=0)
+    va_h = tr._run_val(host, 0)
+    va_d = tr._run_val(dev, 0)
+    np.testing.assert_allclose(va_d.loss, va_h.loss, rtol=1e-6)
+    np.testing.assert_allclose(va_d.top5, va_h.top5, rtol=1e-6)
+    np.testing.assert_allclose(va_d.bleu4, va_h.bleu4, rtol=1e-9)
+
+
+def test_device_val_attention_family(data, tmp_path):
+    """Attention-family device val (shifted hypotheses, no head)."""
+    vocab, ds, _ = data
+    cfg = AttentionDecoderConfig(
+        vocab_size=len(vocab), embed_size=16, hidden_size=24,
+        factored_size=24, attention_size=16, feature_size=FEAT, dropout=0.0,
+        max_seq_length=10)
+    rng = np.random.default_rng(1)
+    sp_feats = {e.image: rng.standard_normal((5, FEAT)).astype(np.float32)
+                for e in ds}
+    tr = _trainer(vocab, tmp_path, family="factored_att", cfg=cfg,
+                  tag="valatt")
+    host = caption_dataset_loader(
+        ds, batch_size=B, max_len=MAXLEN,
+        image_provider=lambda n: sp_feats[n], shuffle=False, seed=0,
+        prefetch=0)
+    dev = device_data.from_examples(
+        ds, batch_size=B, max_len=MAXLEN,
+        image_provider=lambda n: sp_feats[n], shuffle=False, seed=0)
+    va_h = tr._run_val(host, 1)
+    va_d = tr._run_val(dev, 1)
+    np.testing.assert_allclose(va_d.loss, va_h.loss, rtol=1e-6)
+    np.testing.assert_allclose(va_d.top5, va_h.top5, rtol=1e-6)
+    np.testing.assert_allclose(va_d.bleu4, va_h.bleu4, rtol=1e-9)
+
+
 def test_fits_device_gate():
     assert device_data.fits_device(8000, (2048,))           # 66 MB pooled
     assert not device_data.fits_device(30000, (196, 2048))  # 48 GB spatial

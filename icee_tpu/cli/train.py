@@ -71,7 +71,7 @@ def main(args) -> None:
 
     def loader(path, bs, train=True):
         ds = load_caption_dataset(path, vocab)
-        if args.device_resident and args.trainer != "seq2seq":
+        if args.device_resident:
             # whole-epoch device-resident training/validation: the split is
             # pinned in HBM and each epoch is ONE jitted lax.scan dispatch
             # (data/device.py — the TPU-native answer to per-batch dispatch
@@ -180,6 +180,13 @@ def main(args) -> None:
 
         def style_loader(path):
             ds = load_styled_caption_dataset(path, vocab)
+            if args.device_resident:
+                # text-only corpora always fit (ids are (N, T) int32)
+                from icee_tpu.data import device as device_data
+
+                return device_data.from_styled(
+                    ds, batch_size=tcfg.language_batch_size,
+                    max_len=tcfg.max_caption_len, seed=args.seed, mesh=mesh)
             return styled_caption_loader(
                 ds, batch_size=tcfg.language_batch_size,
                 max_len=tcfg.max_caption_len, seed=args.seed)

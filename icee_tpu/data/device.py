@@ -126,6 +126,41 @@ def from_examples(
     )
 
 
+def from_styled(
+    caption_ids: List[List[int]],
+    batch_size: int,
+    max_len: int,
+    shuffle: bool = True,
+    seed: int = 0,
+    mesh=None,
+) -> DeviceCaptionData:
+    """Pack a text-only styled corpus (the reference's ``get_style_loader``
+    data, ``stylenet/data_loader.py:183-197``) for whole-epoch device
+    training: captions/lengths pinned on device, ``images=None`` (the paper
+    regime's emotion passes carry no features, ``stylenet/train.py:356-387``).
+    """
+    import jax
+    import jax.numpy as jnp
+
+    captions, lengths = pad_captions(caption_ids, max_len)
+    if mesh is not None:
+        from icee_tpu.parallel.mesh import replicated
+
+        sh = replicated(mesh)
+        put = lambda a: jax.device_put(a, sh)  # noqa: E731
+    else:
+        put = jnp.asarray
+    return DeviceCaptionData(
+        images=None,
+        captions=put(captions),
+        lengths=put(lengths),
+        num_examples=len(caption_ids),
+        batch_size=batch_size,
+        shuffle=shuffle,
+        seed=seed,
+    )
+
+
 def fits_device(
     num_examples: int,
     feature_shape: Tuple[int, ...],

@@ -691,13 +691,63 @@ class PaperRegimeTrainer(MultitaskTrainer):
         self.style_steps = {emo: make_step(self.style_optimizers[emo])
                             for emo in EMOTIONS}
 
+    def _style_epoch_fn(self, emo: str):
+        """Jitted whole-epoch program for a text-only style corpus pinned on
+        device (``data/device.from_styled``): one ``lax.scan`` over shuffled
+        batch-index rows running that emotion's S-slice step — the device
+        analogue of the host loop in :meth:`train` (RNG split order
+        identical, so parameters bit-match the host epoch)."""
+        if not hasattr(self, "_sepoch_cache"):
+            self._sepoch_cache = {}
+        fn = self._sepoch_cache.get(emo)
+        if fn is not None:
+            return fn
+        step = self.style_steps[emo]
+        mesh = self.mesh
+        if mesh is not None:
+            from icee_tpu.parallel.mesh import batch_sharding
+
+            bsh = batch_sharding(mesh)
+
+        def epoch(dec, opt_state, rng, captions, lengths, idx, valid, style):
+            def body(carry, xs):
+                dec, opt_state, rng = carry
+                bidx, bvalid = xs
+                rng, k = jax.random.split(rng)
+                caps = jnp.take(captions, bidx, axis=0) * bvalid[:, None]
+                lens = jnp.where(bvalid, jnp.take(lengths, bidx, axis=0), 0)
+                if mesh is not None:
+                    caps = jax.lax.with_sharding_constraint(caps, bsh)
+                dec, opt_state, loss = step(dec, opt_state, caps, lens,
+                                            bvalid, style, k)
+                return (dec, opt_state, rng), loss
+
+            (dec, opt_state, rng), losses = jax.lax.scan(
+                body, (dec, opt_state, rng), (idx, valid))
+            return dec, opt_state, rng, losses
+
+        fn = jax.jit(epoch)
+        self._sepoch_cache[emo] = fn
+        return fn
+
     def train(self, data_loader, style_loaders: Dict[str, object],
               num_epochs: Optional[int] = None) -> None:
+        from icee_tpu.data.device import DeviceCaptionData
+
         num_epochs = num_epochs or self.tcfg.num_epochs
         for epoch in range(num_epochs):
             self._run_train(data_loader, 0, self.tcfg.log_step, "FAC")
             for emo, loader in style_loaders.items():
                 sid = mode_id(emo)
+                if isinstance(loader, DeviceCaptionData):
+                    idx, valid = loader.epoch_indices()
+                    fn = self._style_epoch_fn(emo)
+                    (self.dec, self.style_opt_states[emo], self.rng,
+                     _losses) = fn(
+                        self.dec, self.style_opt_states[emo], self.rng,
+                        loader.captions, loader.lengths, jnp.asarray(idx),
+                        jnp.asarray(valid), jnp.asarray(sid))
+                    continue
                 step = self.style_steps[emo]
                 for batch in loader:
                     caps, lens, smask = self._to_device(
@@ -742,14 +792,126 @@ class Seq2SeqTrainer:
         self.rng, k = jax.random.split(self.rng)
         return k
 
+    # -- device-resident whole-epoch programs ------------------------------
+
+    def _gather_batch(self, images, captions, lengths, bidx, bvalid):
+        """Gather one minibatch from the pinned split inside a jitted epoch
+        (padded rows zeroed exactly like the host loader's batch padding —
+        the encoder head's BatchNorm sees every row)."""
+        imgs = jnp.take(images, bidx, axis=0)
+        imgs = imgs * bvalid[:, None].astype(imgs.dtype)
+        caps = jnp.take(captions, bidx, axis=0) * bvalid[:, None]
+        lens = jnp.where(bvalid, jnp.take(lengths, bidx, axis=0), 0)
+        if self.mesh is not None:
+            from icee_tpu.parallel.mesh import batch_sharding
+
+            bsh = batch_sharding(self.mesh)
+            imgs = jax.lax.with_sharding_constraint(imgs, bsh)
+            caps = jax.lax.with_sharding_constraint(caps, bsh)
+        return imgs, caps, lens
+
+    def _device_epoch_fns(self):
+        """Jitted whole-epoch programs for device-resident splits: the
+        factual autoencode pass, the per-emotion pass (dst=src overwrite
+        inside the scan), and both validation passes — each epoch is ONE
+        dispatch (``data/device.py``; same RNG split order as the host
+        loops, so parameters match bit-for-bit)."""
+        if hasattr(self, "_depoch_fns"):
+            return self._depoch_fns
+        fac_step, emo_step = self.factual_step, self.emotion_step
+        val_fac, val_emo = self.val_factual, self.val_emotion
+        gather = self._gather_batch
+
+        def fac_epoch(params, head, opt_state, rng, images, captions,
+                      lengths, idx, valid):
+            def body(carry, xs):
+                params, head, opt_state, rng = carry
+                bidx, bvalid = xs
+                rng, k = jax.random.split(rng)
+                imgs, caps, lens = gather(images, captions, lengths,
+                                          bidx, bvalid)
+                params, head, opt_state, loss = fac_step(
+                    params, head, opt_state, imgs, caps, lens, bvalid, k)
+                return (params, head, opt_state, rng), (loss, lens.sum())
+
+            (params, head, opt_state, rng), (losses, ntoks) = jax.lax.scan(
+                body, (params, head, opt_state, rng), (idx, valid))
+            return params, head, opt_state, rng, losses, ntoks
+
+        def emo_epoch(params, head, opt_state, rng, images, captions,
+                      lengths, idx, valid, eid):
+            def body(carry, xs):
+                params, opt_state, rng = carry
+                bidx, bvalid = xs
+                rng, k = jax.random.split(rng)
+                imgs, caps, lens = gather(images, captions, lengths,
+                                          bidx, bvalid)
+                # dst = src (reference overwrite, seq2seq/train.py:316-317)
+                params, opt_state, loss = emo_step(
+                    params, head, opt_state, imgs, caps, lens, caps, lens,
+                    bvalid, eid, k)
+                return (params, opt_state, rng), (loss, lens.sum())
+
+            (params, opt_state, rng), (losses, ntoks) = jax.lax.scan(
+                body, (params, opt_state, rng), (idx, valid))
+            return params, opt_state, rng, losses, ntoks
+
+        def val_fac_epoch(params, head, images, captions, lengths, idx,
+                          valid):
+            def body(_, xs):
+                bidx, bvalid = xs
+                imgs, caps, lens = gather(images, captions, lengths,
+                                          bidx, bvalid)
+                loss, top5, _ = val_fac(params, head, imgs, caps, lens,
+                                        bvalid)
+                return 0, (loss, top5, lens.sum())
+
+            _, out = jax.lax.scan(body, 0, (idx, valid))
+            return out
+
+        def val_emo_epoch(params, head, images, captions, lengths, idx,
+                          valid, eid):
+            def body(_, xs):
+                bidx, bvalid = xs
+                imgs, caps, lens = gather(images, captions, lengths,
+                                          bidx, bvalid)
+                loss, top5, _ = val_emo(params, head, imgs, caps, lens,
+                                        caps, lens, bvalid, eid)
+                return 0, (loss, top5,
+                           jnp.clip(lens - 1, 0, None).sum())
+
+            _, out = jax.lax.scan(body, 0, (idx, valid))
+            return out
+
+        self._depoch_fns = (jax.jit(fac_epoch), jax.jit(emo_epoch),
+                            jax.jit(val_fac_epoch), jax.jit(val_emo_epoch))
+        return self._depoch_fns
+
     def train(self, data_loader, emotion_loaders: Dict[str, object],
               num_epochs: Optional[int] = None,
               val_loader=None, val_emotion_loaders: Optional[Dict] = None
               ) -> None:
+        from icee_tpu.data.device import DeviceCaptionData
+
         num_epochs = num_epochs or self.tcfg.num_epochs
         for epoch in range(num_epochs):
             losses = AverageMeter()
-            for batch in data_loader:
+            if isinstance(data_loader, DeviceCaptionData):
+                idx, valid = data_loader.epoch_indices()
+                fac_epoch = self._device_epoch_fns()[0]
+                (self.params, self.head, self.opt_state, self.rng,
+                 ep_losses, ep_ntoks) = fac_epoch(
+                    self.params, self.head, self.opt_state, self.rng,
+                    data_loader.images, data_loader.captions,
+                    data_loader.lengths, jnp.asarray(idx),
+                    jnp.asarray(valid))
+                for ls, nt in zip(np.asarray(ep_losses, np.float64),
+                                  np.asarray(ep_ntoks, np.float64)):
+                    losses.update(float(ls), int(nt))
+                data_loader_batches = ()
+            else:
+                data_loader_batches = data_loader
+            for batch in data_loader_batches:
                 imgs, caps, lens, smask = _to_device(
                     self.mesh, batch.images, batch.captions, batch.lengths,
                     batch.sample_mask)
@@ -769,6 +931,19 @@ class Seq2SeqTrainer:
             for emo, loader in emotion_loaders.items():
                 eid = mode_id(emo) - 1
                 e_losses = AverageMeter()
+                if isinstance(loader, DeviceCaptionData):
+                    idx, valid = loader.epoch_indices()
+                    emo_epoch = self._device_epoch_fns()[1]
+                    (self.params, self.emotion_opt_state, self.rng,
+                     ep_losses, ep_ntoks) = emo_epoch(
+                        self.params, self.head, self.emotion_opt_state,
+                        self.rng, loader.images, loader.captions,
+                        loader.lengths, jnp.asarray(idx), jnp.asarray(valid),
+                        jnp.asarray(eid))
+                    for ls, nt in zip(np.asarray(ep_losses, np.float64),
+                                      np.asarray(ep_ntoks, np.float64)):
+                        e_losses.update(float(ls), int(nt))
+                    loader = ()
                 for batch in loader:
                     imgs, caps, lens, smask = _to_device(
                         self.mesh, batch.images, batch.captions,
@@ -793,7 +968,21 @@ class Seq2SeqTrainer:
     def validate_factual(self, loader):
         """seq2seq ``val_factual`` (``seq2seq/train.py:262-299``): teacher-
         forcing off, token-mean loss + top-5."""
+        from icee_tpu.data.device import DeviceCaptionData
+
         losses, top5s = AverageMeter(), AverageMeter()
+        if isinstance(loader, DeviceCaptionData):
+            idx, valid = loader.epoch_indices()
+            val_epoch = self._device_epoch_fns()[2]
+            ep_losses, ep_top5s, ep_ntoks = val_epoch(
+                self.params, self.head, loader.images, loader.captions,
+                loader.lengths, jnp.asarray(idx), jnp.asarray(valid))
+            for ls, t5, nt in zip(np.asarray(ep_losses, np.float64),
+                                  np.asarray(ep_top5s, np.float64),
+                                  np.asarray(ep_ntoks, np.float64)):
+                losses.update(float(ls), int(nt))
+                top5s.update(float(t5), int(nt))
+            return losses.avg, top5s.avg
         for batch in loader:
             imgs, caps, lens, smask = _to_device(
                 self.mesh, batch.images, batch.captions, batch.lengths,
@@ -808,7 +997,22 @@ class Seq2SeqTrainer:
     def validate_emotion(self, loader, emotion_id: int):
         """seq2seq ``val_emotion`` (``seq2seq/train.py:303-345``), with the
         dst=src overwrite preserved."""
+        from icee_tpu.data.device import DeviceCaptionData
+
         losses, top5s = AverageMeter(), AverageMeter()
+        if isinstance(loader, DeviceCaptionData):
+            idx, valid = loader.epoch_indices()
+            val_epoch = self._device_epoch_fns()[3]
+            ep_losses, ep_top5s, ep_ntoks = val_epoch(
+                self.params, self.head, loader.images, loader.captions,
+                loader.lengths, jnp.asarray(idx), jnp.asarray(valid),
+                jnp.asarray(emotion_id))
+            for ls, t5, nt in zip(np.asarray(ep_losses, np.float64),
+                                  np.asarray(ep_top5s, np.float64),
+                                  np.asarray(ep_ntoks, np.float64)):
+                losses.update(float(ls), max(int(nt), 1))
+                top5s.update(float(t5), max(int(nt), 1))
+            return losses.avg, top5s.avg
         for batch in loader:
             imgs, caps, lens, smask = _to_device(
                 self.mesh, batch.images, batch.captions, batch.lengths,

@@ -314,3 +314,100 @@ def test_device_val_attention_family(data, tmp_path):
 def test_fits_device_gate():
     assert device_data.fits_device(8000, (2048,))           # 66 MB pooled
     assert not device_data.fits_device(30000, (196, 2048))  # 48 GB spatial
+
+
+def test_device_style_epoch_paper_trainer(data, tmp_path):
+    """PaperRegimeTrainer's text-only style passes over a device-resident
+    corpus (``from_styled``): one scan per emotion epoch, params matching
+    the host styled-loader loop bit-for-bit."""
+    from icee_tpu.data.pipeline import styled_caption_loader
+    from icee_tpu.train.loops import PaperRegimeTrainer
+
+    vocab, ds, feats = data
+    cfg = DecoderConfig(vocab_size=len(vocab), embed_size=16,
+                        hidden_size=24, factored_size=24, dropout=0.0,
+                        max_seq_length=10)
+    tcfg = TrainConfig(mode="happy", lr_caption=5e-3, lr_language=5e-3,
+                       teacher_forcing_ratio=1.0, log_step=10_000,
+                       log_step_emotion=10_000)
+    style_ids = [e.caption_ids for e in ds]
+
+    def run_seeded(device):
+        fl_fac = caption_dataset_loader(
+            ds, batch_size=B, max_len=MAXLEN,
+            image_provider=lambda n: feats[n], shuffle=True, seed=11,
+            prefetch=0)
+        tr = PaperRegimeTrainer(
+            cfg, tcfg, vocab, fl.init_params(jax.random.PRNGKey(0), cfg),
+            enc_mod.init_head_params(
+                jax.random.PRNGKey(1),
+                EncoderConfig(embed_size=16, feature_size=FEAT)),
+            model_dir=str(tmp_path / f"pp{device}"), data_name="dev")
+        if device:
+            mk = lambda: device_data.from_styled(  # noqa: E731
+                style_ids, batch_size=B, max_len=MAXLEN, seed=13)
+        else:
+            mk = lambda: styled_caption_loader(  # noqa: E731
+                style_ids, batch_size=B, max_len=MAXLEN, seed=13, prefetch=0)
+        tr.train(fl_fac, {"happy": mk(), "sad": mk()}, num_epochs=1)
+        return tr
+
+    tr_h = run_seeded(False)
+    tr_d = run_seeded(True)
+    for (path, a), (_, b) in zip(
+            jax.tree_util.tree_flatten_with_path(tr_h.dec)[0],
+            jax.tree_util.tree_flatten_with_path(tr_d.dec)[0]):
+        np.testing.assert_allclose(
+            np.asarray(b), np.asarray(a), rtol=1e-6, atol=1e-7,
+            err_msg=f"param mismatch at {jax.tree_util.keystr(path)}")
+
+
+def test_device_epoch_seq2seq_trainer(data, tmp_path):
+    """Seq2SeqTrainer: device-resident factual + emotion train epochs and
+    both validation passes match the host loops (params + metrics)."""
+    from icee_tpu.core.config import Seq2SeqConfig
+    from icee_tpu.models import seq2seq as s2s
+    from icee_tpu.train.loops import Seq2SeqTrainer
+
+    vocab, ds, feats = data
+    scfg = Seq2SeqConfig(vocab_size=len(vocab), embed_size=16,
+                         hidden_size=24, num_layers=1, dropout=0.0,
+                         max_seq_length=10)
+    tcfg = TrainConfig(lr_caption=5e-3, lr_language=5e-3,
+                       teacher_forcing_ratio=1.0)
+
+    def mk_loader(device, seed, shuffle=True):
+        if device:
+            return device_data.from_examples(
+                ds, batch_size=B, max_len=MAXLEN,
+                image_provider=lambda n: feats[n], shuffle=shuffle,
+                seed=seed)
+        return caption_dataset_loader(
+            ds, batch_size=B, max_len=MAXLEN,
+            image_provider=lambda n: feats[n], shuffle=shuffle, seed=seed,
+            prefetch=0)
+
+    def run(device):
+        params = s2s.init_params(jax.random.PRNGKey(0), scfg)
+        head = enc_mod.init_head_params(
+            jax.random.PRNGKey(1), EncoderConfig(embed_size=16,
+                                                 feature_size=FEAT))
+        tr = Seq2SeqTrainer(scfg, tcfg, vocab, params, head)
+        tr.train(mk_loader(device, 21),
+                 {"happy": mk_loader(device, 22)}, num_epochs=1)
+        vf = tr.validate_factual(mk_loader(device, 0, shuffle=False))
+        ve = tr.validate_emotion(mk_loader(device, 0, shuffle=False), 0)
+        return tr, vf, ve
+
+    tr_h, vf_h, ve_h = run(False)
+    tr_d, vf_d, ve_d = run(True)
+    np.testing.assert_allclose(vf_d, vf_h, rtol=1e-6)
+    np.testing.assert_allclose(ve_d, ve_h, rtol=1e-6)
+    for tree_h, tree_d, tag in ((tr_h.params, tr_d.params, "params"),
+                                (tr_h.head, tr_d.head, "head")):
+        for (path, a), (_, b) in zip(
+                jax.tree_util.tree_flatten_with_path(tree_h)[0],
+                jax.tree_util.tree_flatten_with_path(tree_d)[0]):
+            np.testing.assert_allclose(
+                np.asarray(b), np.asarray(a), rtol=1e-6, atol=1e-7,
+                err_msg=f"{tag} mismatch at {jax.tree_util.keystr(path)}")

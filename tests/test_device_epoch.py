@@ -411,3 +411,50 @@ def test_device_epoch_seq2seq_trainer(data, tmp_path):
             np.testing.assert_allclose(
                 np.asarray(b), np.asarray(a), rtol=1e-6, atol=1e-7,
                 err_msg=f"{tag} mismatch at {jax.tree_util.keystr(path)}")
+
+
+def test_device_epoch_seq2seq_on_mesh(data, tmp_path):
+    """Seq2Seq device-resident epochs under the 8-device DP mesh match the
+    single-device device-epoch run (gathered batches reshard over the data
+    axis; GSPMD inserts the gradient psum)."""
+    from icee_tpu.core.config import Seq2SeqConfig
+    from icee_tpu.models import seq2seq as s2s
+    from icee_tpu.train.loops import Seq2SeqTrainer
+
+    vocab, ds, feats = data
+    scfg = Seq2SeqConfig(vocab_size=len(vocab), embed_size=16,
+                         hidden_size=24, num_layers=1, dropout=0.0,
+                         max_seq_length=10)
+    tcfg = TrainConfig(lr_caption=5e-3, lr_language=5e-3,
+                       teacher_forcing_ratio=1.0)
+
+    def run(mesh):
+        params = s2s.init_params(jax.random.PRNGKey(0), scfg)
+        head = enc_mod.init_head_params(
+            jax.random.PRNGKey(1), EncoderConfig(embed_size=16,
+                                                 feature_size=FEAT))
+        tr = Seq2SeqTrainer(scfg, tcfg, vocab, params, head, mesh=mesh)
+        dl = device_data.from_examples(
+            ds, batch_size=8, max_len=MAXLEN,
+            image_provider=lambda n: feats[n], shuffle=True, seed=4,
+            mesh=mesh)
+        el = device_data.from_examples(
+            ds, batch_size=8, max_len=MAXLEN,
+            image_provider=lambda n: feats[n], shuffle=True, seed=5,
+            mesh=mesh)
+        tr.train(dl, {"happy": el}, num_epochs=1)
+        vl = device_data.from_examples(
+            ds, batch_size=8, max_len=MAXLEN,
+            image_provider=lambda n: feats[n], shuffle=False, seed=0,
+            mesh=mesh)
+        return tr, tr.validate_factual(vl)
+
+    tr_s, vf_s = run(None)
+    tr_m, vf_m = run(make_mesh((8, 1)))
+    np.testing.assert_allclose(vf_m, vf_s, rtol=2e-3, atol=1e-5)
+    for (path, a), (_, b) in zip(
+            jax.tree_util.tree_flatten_with_path(tr_s.params)[0],
+            jax.tree_util.tree_flatten_with_path(tr_m.params)[0]):
+        np.testing.assert_allclose(
+            np.asarray(b), np.asarray(a), rtol=2e-3, atol=5e-4,
+            err_msg=f"param mismatch at {jax.tree_util.keystr(path)}")

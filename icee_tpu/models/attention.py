@@ -291,9 +291,11 @@ def factored_att_forward_hiddens(
         if fused_scan and b_eff % 8 == 0:
             from icee_tpu.ops.pallas_att_train import fused_att_scan
 
+            from icee_tpu.ops.pallas_att_train import teacher_tiles
+
             cell, katt = _factored_kernel_params(params, att, style,
                                                   cfg.embed_size)
-            tiles = (16 if b_eff % 16 == 0 else 8, 8)
+            tiles = teacher_tiles(b_eff)
             fn = lambda cl, at, es, a1, fe, h, c: fused_att_scan(  # noqa: E731
                 cl, at, es, a1, fe, h, c, "factored", tiles)
             fn = _maybe_shard_map(fn, mesh, (False, False, True, True,
@@ -319,12 +321,11 @@ def factored_att_forward_hiddens(
 
         cell, katt = _factored_kernel_params(params, att, style,
                                               cfg.embed_size)
+        from icee_tpu.ops.pallas_att_train import sampled_tiles
+
         head = {"C_w": params["C_w"], "C_b": params["C_b"],
                 "B": params["B"]}
-        # sampled keeps the 8-row forward tile: the in-kernel head (C_w,
-        # 16.8MB) + raw embedding matrix (9.8MB) push the 16-row tile's
-        # scoped VMEM past the 128MiB chip budget (measured OOM on v5e)
-        tiles = (8, 8)
+        tiles = sampled_tiles(b_eff)
         fn = lambda cl, at, hd, es, er, a1, fe, h, c, co: (  # noqa: E731
             fused_att_scan_sampled(cl, at, hd, es, er, a1, fe, h, c, co,
                                    "factored", tiles))
@@ -467,8 +468,10 @@ def rnn_att_forward_hiddens(
         if fused_scan and b_eff % 8 == 0:
             from icee_tpu.ops.pallas_att_train import fused_att_scan
 
+            from icee_tpu.ops.pallas_att_train import teacher_tiles
+
             cell, katt = _lstm_kernel_params(params, att, cfg.embed_size)
-            tiles = (16 if b_eff % 16 == 0 else 8, 8)
+            tiles = teacher_tiles(b_eff)
             fn = lambda cl, at, es, a1, fe, h, c: fused_att_scan(  # noqa: E731
                 cl, at, es, a1, fe, h, c, "lstm", tiles)
             fn = _maybe_shard_map(fn, mesh, (False, False, True, True,
@@ -492,11 +495,12 @@ def rnn_att_forward_hiddens(
     if fused_scan and b_eff % 8 == 0:
         from icee_tpu.ops.pallas_att_train import fused_att_scan_sampled
 
+        from icee_tpu.ops.pallas_att_train import sampled_tiles
+
         cell, katt = _lstm_kernel_params(params, att, cfg.embed_size)
         head = {"C_w": params["linear_w"], "C_b": params["linear_b"],
                 "B": params["embed"]}
-        # 8-row forward tile only — see the factored sampled call above
-        tiles = (8, 8)
+        tiles = sampled_tiles(b_eff)
         fn = lambda cl, at, hd, es, er, a1, fe, h, c, co: (  # noqa: E731
             fused_att_scan_sampled(cl, at, hd, es, er, a1, fe, h, c, co,
                                    "lstm", tiles))

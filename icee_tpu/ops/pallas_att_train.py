@@ -24,9 +24,14 @@ from HBM ONCE per sequence:
 - ``_bwd_kernel``: REVERSED time index maps; recomputes the attention pass
   and gate activations from the saved (h_prev, c_prev, alpha) blocks
   (rematerialisation inside VMEM, where the re-reads are free), chains
-  (dh, dc) through scratch, accumulates ALL weight gradients and the
-  per-tile ``d_att1`` / per-step ``d_emb`` in VMEM, and emits them when
-  their blocks retire.
+  (dh, dc) through scratch, and accumulates the per-tile ``d_att1`` and
+  the P-deep ``full_w``/``full_b`` grads in VMEM.  Every OTHER weight
+  gradient would contract at K=tile_b depth in-kernel (~6% MXU utilization
+  at tile 8, and the resident grad accumulators cost ~37 MB of VMEM) — so
+  the kernel instead STREAMS the per-step factors out (dz, gctx, dpre_fb,
+  d_att2, and for the factored cell s_g/v_g; ~60-140 MB of HBM writes,
+  ~0.2 ms) and ``_bwd_impl`` computes each weight grad as ONE
+  (dim, T*B) x (T*B, dim) XLA matmul at full MXU depth.
 
 ``fused_att_scan`` wraps both in a ``jax.custom_vjp``.  The ``features``
 cotangent is intentionally ZERO: the attention trainers never differentiate
@@ -243,13 +248,20 @@ def _bwd_kernel(*refs, kind, f_dim, h_dim, seq_len, sampled):
     n_cell = 9 if kind == "factored" else 5
     cell = refs[k:k + n_cell]
     refs = refs[k + n_cell:]
-    n_extra = 1 if sampled else 0
-    (demb_ref, datt1_ref, dh0_ref, dc0_ref,
-     ddecw_ref, ddecb_ref, dfullw_ref, dfullb_ref, dfbw_ref, dfbb_ref
-     ) = refs[:10]
-    dsamp_ref = refs[10] if sampled else None
-    dcell = refs[10 + n_extra:10 + n_extra + n_cell]
-    dh_scr, dc_scr, datt2_scr = refs[10 + n_extra + n_cell:]
+    # weight gradients (except full_w/full_b, whose contraction over P is
+    # already MXU-deep) are NOT accumulated here: the per-step (dim, n) @
+    # (n, dim) accumulations run the MXU at K=tile_b depth (~6% utilization
+    # at tile 8).  Instead the per-step factors stream OUT and the weight
+    # grads are ONE (dim, T*B) @ (T*B, dim) XLA matmul each (see _bwd_impl)
+    (demb_ref, datt1_ref, dh0_ref, dc0_ref, dfullw_ref, dfullb_ref,
+     dz_out_ref, gctx_out_ref, dpre_out_ref, datt2_out_ref) = refs[:10]
+    refs = refs[10:]
+    if kind == "factored":
+        sg_out_ref, vg_out_ref = refs[:2]
+        refs = refs[2:]
+    dsamp_ref = refs[0] if sampled else None
+    refs = refs[1:] if sampled else refs
+    dh_scr, dc_scr, datt2_scr = refs
     bt = pl.program_id(0)
     g_idx = pl.program_id(1)
     s = seq_len - 1 - g_idx
@@ -258,9 +270,8 @@ def _bwd_kernel(*refs, kind, f_dim, h_dim, seq_len, sampled):
 
     @pl.when((bt == 0) & (g_idx == 0))
     def _init_wgrads():
-        for ref in (ddecw_ref, ddecb_ref, dfullw_ref, dfullb_ref,
-                    dfbw_ref, dfbb_ref) + tuple(dcell):
-            ref[:] = jnp.zeros_like(ref)
+        dfullw_ref[:] = jnp.zeros_like(dfullw_ref)
+        dfullb_ref[:] = jnp.zeros_like(dfullb_ref)
 
     @pl.when(g_idx == 0)
     def _init_tile():
@@ -322,11 +333,8 @@ def _bwd_kernel(*refs, kind, f_dim, h_dim, seq_len, sampled):
     d_g = dc_tot * i_t
     dc_scr[:] = dc_tot * f_t
 
-    hp_w = h_prev.astype(wdt)
     if kind == "factored":
         vwe, vwc, vb, sw, sb, uw, ub, ww, wb = cell
-        (dvwe_ref, dvwc_ref, dvb_ref, dsw_ref, dsb_ref, duw_ref, dub_ref,
-         dww_ref, dwb_ref) = dcell
         dz = [d_i * i_t * (1.0 - i_t),
               d_f * f_t * (1.0 - f_t),
               d_o * o_t * (1.0 - o_t),
@@ -336,64 +344,42 @@ def _bwd_kernel(*refs, kind, f_dim, h_dim, seq_len, sampled):
         d_gctx = jnp.zeros((n, gctx.shape[1]), jnp.float32)
         for g in range(4):
             dz_b = dz[g].astype(wdt)
-            duw_ref[g] += jnp.dot(s_gs[g].astype(wdt).T, dz_b,
-                                  preferred_element_type=jnp.float32)
-            dub_ref[g:g + 1, :] = (dub_ref[g:g + 1, :]
-                                   + jnp.sum(dz[g], axis=0, keepdims=True))
             ds = jnp.dot(dz_b, uw[g].T, preferred_element_type=jnp.float32)
-            ds_b = ds.astype(wdt)
-            dsw_ref[g] += jnp.dot(v_gs[g].astype(wdt).T, ds_b,
-                                  preferred_element_type=jnp.float32)
-            dsb_ref[g:g + 1, :] = (dsb_ref[g:g + 1, :]
-                                   + jnp.sum(ds, axis=0, keepdims=True))
-            dv = jnp.dot(ds_b, sw[g].T, preferred_element_type=jnp.float32)
+            dv = jnp.dot(ds.astype(wdt), sw[g].T,
+                         preferred_element_type=jnp.float32)
             dv_b = dv.astype(wdt)
             sl = slice(g * f_dim, (g + 1) * f_dim)
-            dvwe_ref[:, sl] += jnp.dot(emb.astype(wdt).T, dv_b,
-                                       preferred_element_type=jnp.float32)
-            dvwc_ref[:, sl] += jnp.dot(gctx.astype(wdt).T, dv_b,
-                                       preferred_element_type=jnp.float32)
-            dvb_ref[g:g + 1, :] = (dvb_ref[g:g + 1, :]
-                                   + jnp.sum(dv, axis=0, keepdims=True))
             d_emb += jnp.dot(dv_b, vwe[:, sl].T,
                              preferred_element_type=jnp.float32)
             d_gctx += jnp.dot(dv_b, vwc[:, sl].T,
                               preferred_element_type=jnp.float32)
             slh = slice(g * h_dim, (g + 1) * h_dim)
-            dww_ref[:, slh] += jnp.dot(hp_w.T, dz_b,
-                                       preferred_element_type=jnp.float32)
-            dwb_ref[g:g + 1, :] = (dwb_ref[g:g + 1, :]
-                                   + jnp.sum(dz[g], axis=0, keepdims=True))
             dh_prev += jnp.dot(dz_b, ww[:, slh].T,
                                preferred_element_type=jnp.float32)
+        dz_out_ref[0] = jnp.concatenate(dz, axis=1).astype(dz_out_ref.dtype)
+        sg_out_ref[0] = jnp.concatenate(s_gs, axis=1).astype(
+            sg_out_ref.dtype)
+        vg_out_ref[0] = jnp.concatenate(v_gs, axis=1).astype(
+            vg_out_ref.dtype)
     else:
         wihe, wihc, whh, bih, bhh = cell
-        dwihe_ref, dwihc_ref, dwhh_ref, dbih_ref, dbhh_ref = dcell
         dz = jnp.concatenate(
             [d_i * i_t * (1.0 - i_t),
              d_f * f_t * (1.0 - f_t),
              d_g * (1.0 - g_t * g_t),
              d_o * o_t * (1.0 - o_t)], axis=1)               # (n, 4H)
         dz_b = dz.astype(wdt)
-        dwihe_ref[:] += jnp.dot(emb.astype(wdt).T, dz_b,
-                                preferred_element_type=jnp.float32)
-        dwihc_ref[:] += jnp.dot(gctx.astype(wdt).T, dz_b,
-                                preferred_element_type=jnp.float32)
-        dwhh_ref[:] += jnp.dot(hp_w.T, dz_b,
-                               preferred_element_type=jnp.float32)
-        dbih_ref[:] = dbih_ref[:] + jnp.sum(dz, axis=0, keepdims=True)
-        dbhh_ref[:] = dbhh_ref[:] + jnp.sum(dz, axis=0, keepdims=True)
         d_emb = jnp.dot(dz_b, wihe[:].T, preferred_element_type=jnp.float32)
         d_gctx = jnp.dot(dz_b, wihc[:].T, preferred_element_type=jnp.float32)
         dh_prev = jnp.dot(dz_b, whh[:].T, preferred_element_type=jnp.float32)
+        dz_out_ref[0] = dz.astype(dz_out_ref.dtype)
+    gctx_out_ref[0] = gctx.astype(gctx_out_ref.dtype)
 
     # ---- attention backward ----
     d_gate = d_gctx * ctx
     d_ctx = d_gctx * gate
     dpre_fb = d_gate * gate * (1.0 - gate)
-    dfbw_ref[:] += jnp.dot(hp_w.T, dpre_fb.astype(wdt),
-                           preferred_element_type=jnp.float32)
-    dfbb_ref[:] = dfbb_ref[:] + jnp.sum(dpre_fb, axis=0, keepdims=True)
+    dpre_out_ref[0] = dpre_fb.astype(dpre_out_ref.dtype)
     dh_prev += jnp.dot(dpre_fb.astype(wdt), fbw_ref[:].T,
                        preferred_element_type=jnp.float32)
 
@@ -445,9 +431,7 @@ def _bwd_kernel(*refs, kind, f_dim, h_dim, seq_len, sampled):
             dimension_numbers=(((2,), (1,)), ((0,), (0,))),
             preferred_element_type=jnp.float32)[:, 0, :]
     d_att2 = datt2_scr[:]                                    # (n, A)
-    ddecw_ref[:] += jnp.dot(hp_w.T, d_att2.astype(wdt),
-                            preferred_element_type=jnp.float32)
-    ddecb_ref[:] = ddecb_ref[:] + jnp.sum(d_att2, axis=0, keepdims=True)
+    datt2_out_ref[0] = d_att2.astype(datt2_out_ref.dtype)
     dh_prev += jnp.dot(d_att2.astype(wdt), decw_ref[:].T,
                        preferred_element_type=jnp.float32)
 
@@ -482,6 +466,26 @@ def _dims(cell, kind):
     if kind == "factored":
         return cell["U_w"].shape[1], cell["W_w"].shape[0]
     return 0, cell["W_hh"].shape[0]
+
+
+def teacher_tiles(b_eff):
+    """Production (tile_fwd, tile_bwd) for the teacher-forced kernel.
+
+    (16, 16) measured fastest on v5e at B=128 (13.24 ms vs 15.15 at
+    (16, 8) and 15.26 at (8, 8), same-session); 32-row forward tiles OOM
+    scoped VMEM (the A-tiled relu-score pass's temps scale with rows)."""
+    return (16, 16) if b_eff % 16 == 0 else (8, 8)
+
+
+def sampled_tiles(b_eff):
+    """Production (tile_fwd, tile_bwd) for the scheduled-sampling kernel.
+
+    The forward is pinned to 8 rows: its extra VMEM residents (in-kernel
+    head C_w 16.8 MB + raw embedding matrix 9.8 MB) push the 16-row tile
+    past scoped VMEM regardless of ``vmem_limit_bytes`` (measured OOM on
+    v5e).  The backward carries neither resident, so it takes the same
+    16-row tile as the teacher-forced backward."""
+    return (8, 16) if b_eff % 16 == 0 else (8, 8)
 
 
 def _tile_pair(tile_b):
@@ -688,25 +692,27 @@ def _bwd_impl(cell, att, emb_seq, att1, features, h0, c0, h_t, c_t,
                 + [full(h_dim, a_dim), full(1, a_dim), full(a_dim, 1),
                    full(1, a_dim), full(1, 1), full(h_dim, fs), full(1, fs)]
                 + [full(*w.shape) for w in cell_t])
+    # per-step streams: the factors of every weight gradient whose in-kernel
+    # accumulation would contract at K=tile_b (see the kernel comment); the
+    # grads themselves are computed below as single (dim, T*B)-deep matmuls
+    stream_w = ((4 * h_dim, fs, fs, a_dim, 4 * f_dim, 4 * f_dim)
+                if kind == "factored" else (4 * h_dim, fs, fs, a_dim))
+    stream_specs = tuple(step(w, rev) for w in stream_w)
+    stream_shape = tuple(jax.ShapeDtypeStruct((seq_len, b, w), jnp.float32)
+                         for w in stream_w)
     out_specs = ((step(e_dim, rev), tile3(p_dim, a_dim),
                   tile2(h_dim), tile2(h_dim),
-                  full(h_dim, a_dim), full(1, a_dim), full(1, a_dim),
-                  full(1, 1), full(h_dim, fs), full(1, fs))
-                 + extra_out_specs
-                 + tuple(full(*w.shape) for w in cell_t))
+                  full(1, a_dim), full(1, 1))
+                 + stream_specs
+                 + extra_out_specs)
     out_shape = ((jax.ShapeDtypeStruct((seq_len, b, e_dim), jnp.float32),
                   jax.ShapeDtypeStruct((b, p_dim, a_dim), jnp.float32),
                   jax.ShapeDtypeStruct((b, h_dim), jnp.float32),
                   jax.ShapeDtypeStruct((b, h_dim), jnp.float32),
-                  jax.ShapeDtypeStruct((h_dim, a_dim), jnp.float32),
                   jax.ShapeDtypeStruct((1, a_dim), jnp.float32),
-                  jax.ShapeDtypeStruct((1, a_dim), jnp.float32),
-                  jax.ShapeDtypeStruct((1, 1), jnp.float32),
-                  jax.ShapeDtypeStruct((h_dim, fs), jnp.float32),
-                  jax.ShapeDtypeStruct((1, fs), jnp.float32))
-                 + extra_out_shape
-                 + tuple(jax.ShapeDtypeStruct(w.shape, jnp.float32)
-                         for w in cell_t))
+                  jax.ShapeDtypeStruct((1, 1), jnp.float32))
+                 + stream_shape
+                 + extra_out_shape)
     kernel = functools.partial(_bwd_kernel, kind=kind, f_dim=f_dim,
                                h_dim=h_dim, seq_len=seq_len,
                                sampled=samp is not None)
@@ -722,28 +728,85 @@ def _bwd_impl(cell, att, emb_seq, att1, features, h0, c0, h_t, c_t,
             pltpu.VMEM((tile_b, a_dim), jnp.float32),
         ],
         compiler_params=pltpu.CompilerParams(
-            vmem_limit_bytes=120 * 1024 * 1024),
+            # the 16-row tile's live set is 121.35M (measured): 120M blocks
+            # it for 1.35M, and v5e has 128M — run right at the ceiling
+            vmem_limit_bytes=127 * 1024 * 1024),
         interpret=interpret,
     )(emb_t, h_t, c_t, c_t, alpha_t, dh_t, dalpha_t, att1, features, h0, c0,
       *extra_ins,
       att["dec_w"], att["dec_b"].reshape(1, -1), fw_col, fw_row,
       att["full_b"].reshape(1, 1), att["fb_w"], att["fb_b"].reshape(1, -1),
       *cell_t)
-    (demb_t, datt1, dh0, dc0, ddecw, ddecb, dfullw, dfullb, dfbw, dfbb
-     ) = outs[:10]
-    n_extra = 1 if samp is not None else 0
-    dcell_t = outs[10 + n_extra:]
-    keys = _FACTORED_KEYS if kind == "factored" else _LSTM_KEYS
+    (demb_t, datt1, dh0, dc0, dfullw, dfullb, dz_t, gctx_t, dpre_t,
+     datt2_t) = outs[:10]
+    n_stream = 10
+    if kind == "factored":
+        sg_t, vg_t = outs[10:12]
+        n_stream = 12
+
+    # ---- weight gradients: ONE T*B-deep contraction each (plain XLA) ----
+    f32 = jnp.float32
+    flat = lambda a: a.reshape(-1, a.shape[-1]).astype(f32)   # noqa: E731
+    hp_f = flat(jnp.concatenate(
+        [jnp.broadcast_to(h0.astype(f32)[None], (1, b, h_dim)),
+         h_t[:-1].astype(f32)], axis=0))                      # h_{t-1} stream
+    if samp is not None:
+        coin3 = coins2.reshape(-1, 1, 1)
+        emb_f = flat(coin3 * emb_t.astype(f32)
+                     + (1.0 - coin3) * pe_used_t.astype(f32))
+    else:
+        emb_f = flat(emb_t)
+    dz_f, gctx_f = flat(dz_t), flat(gctx_t)
+    dpre_f, datt2_f = flat(dpre_t), flat(datt2_t)
+    if kind == "factored":
+        sg_f, vg_f = flat(sg_t), flat(vg_t)
+        uw, sw = cell["U_w"], cell["S_w"]
+        duw, dub, dsw, dsb, dvb, dwb, dv_cols = [], [], [], [], [], [], []
+        for g in range(4):
+            dz_g = dz_f[:, g * h_dim:(g + 1) * h_dim]
+            ds_g = jnp.dot(dz_g, uw[g].astype(f32).T)
+            dv_g = jnp.dot(ds_g, sw[g].astype(f32).T)
+            sl = slice(g * f_dim, (g + 1) * f_dim)
+            duw.append(jnp.dot(sg_f[:, sl].T, dz_g))
+            dub.append(jnp.sum(dz_g, axis=0))
+            dsw.append(jnp.dot(vg_f[:, sl].T, ds_g))
+            dsb.append(jnp.sum(ds_g, axis=0))
+            dv_cols.append(dv_g)
+            dvb.append(jnp.sum(dv_g, axis=0))
+            dwb.append(jnp.sum(dz_g, axis=0))
+        dv_f = jnp.concatenate(dv_cols, axis=1)               # (T*B, 4F)
+        grads = {
+            "V_we": jnp.dot(emb_f.T, dv_f),
+            "V_wc": jnp.dot(gctx_f.T, dv_f),
+            "V_b": jnp.stack(dvb),
+            "S_w": jnp.stack(dsw),
+            "S_b": jnp.stack(dsb),
+            "U_w": jnp.stack(duw),
+            "U_b": jnp.stack(dub),
+            "W_w": jnp.dot(hp_f.T, dz_f),
+            "W_b": jnp.stack(dwb),
+        }
+    else:
+        dz_sum = jnp.sum(dz_f, axis=0)
+        grads = {
+            "W_ihe": jnp.dot(emb_f.T, dz_f),
+            "W_ihc": jnp.dot(gctx_f.T, dz_f),
+            "W_hh": jnp.dot(hp_f.T, dz_f),
+            "b_ih": dz_sum,
+            "b_hh": dz_sum,
+        }
     dcell = {k: g.reshape(cell[k].shape).astype(cell[k].dtype)
-             for k, g in zip(keys, dcell_t)}
+             for k, g in grads.items()}
     datt = {
-        "dec_w": ddecw.astype(att["dec_w"].dtype),
-        "dec_b": ddecb.reshape(att["dec_b"].shape).astype(att["dec_b"].dtype),
+        "dec_w": jnp.dot(hp_f.T, datt2_f).astype(att["dec_w"].dtype),
+        "dec_b": jnp.sum(datt2_f, axis=0).reshape(
+            att["dec_b"].shape).astype(att["dec_b"].dtype),
         "full_w": jnp.swapaxes(dfullw, 0, 1).astype(att["full_w"].dtype),
         "full_b": dfullb.reshape(att["full_b"].shape).astype(
             att["full_b"].dtype),
-        "fb_w": dfbw.astype(att["fb_w"].dtype),
-        "fb_b": dfbb.reshape(att["fb_b"].shape).astype(att["fb_b"].dtype),
+        "fb_w": jnp.dot(hp_f.T, dpre_f).astype(att["fb_w"].dtype),
+        "fb_b": jnp.sum(dpre_f, axis=0).reshape(
+            att["fb_b"].shape).astype(att["fb_b"].dtype),
     }
     demb = jnp.swapaxes(demb_t, 0, 1).astype(emb_seq.dtype)
     common = (dcell, datt, demb, datt1.astype(att1.dtype),
@@ -754,7 +817,7 @@ def _bwd_impl(cell, att, emb_seq, att1, features, h0, c0, h_t, c_t,
     # sampled extras: scatter the sampled-step input grads into the raw
     # embedding matrix by the used-token trace; t=0's sampled share flows
     # through the emb_raw input instead (token = captions[:, 0])
-    dsamp_t = outs[10]                                       # (T, B, E)
+    dsamp_t = outs[n_stream]                                 # (T, B, E)
     head = samp["head"]
     toks = samp["pidx"][:-1, :, 0].reshape(-1)
     d_bemb = jnp.zeros_like(head["B"]).at[toks].add(

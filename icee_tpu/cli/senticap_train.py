@@ -79,7 +79,8 @@ def main(args) -> None:
         unigram = counts / max(counts.sum(), 1)
         params, _ = T.train_base(ds, len(w2i), conf,
                                  num_epochs=args.num_epochs,
-                                 unigram=unigram, seed=args.seed, mesh=mesh)
+                                 unigram=unigram, seed=args.seed, mesh=mesh,
+                                 device_epoch=args.device_resident)
         sio.save_model(args.model_out, params, conf, vocab=w2i)
         print(f"saved base model to {args.model_out}")
         print("val perplexity:", T.validation_perplexity(params, conf, ds))
@@ -123,7 +124,8 @@ def main(args) -> None:
         print(f"vocab {len(w2i)}, split {ds.X.shape}")
         params, _ = T.train_switched(
             ds, base_params, len(w2i), conf, num_epochs=args.num_epochs,
-            seed=args.seed, init_params_override=sw_params, mesh=mesh)
+            seed=args.seed, init_params_override=sw_params, mesh=mesh,
+            device_epoch=args.device_resident)
         sio.save_model(args.model_out, params, conf, vocab=w2i)
         print(f"saved switched model to {args.model_out}")
 
@@ -195,6 +197,11 @@ if __name__ == "__main__":
     parser.add_argument("--data_parallel", action="store_true",
                         help="shard minibatches over all devices "
                              "(params replicated, gradient psum over ICI)")
+    parser.add_argument("--device_resident", action="store_true",
+                        help="run each epoch as ONE jitted scan over the "
+                             "device-resident split (host ships only the "
+                             "int32 batch-index matrix; bit-matches the "
+                             "per-batch path)")
     parser.add_argument("--chunked_ce", choices=["auto", "on", "off"],
                         default="auto",
                         help="chunked (mixture) CE / perplexity — the "

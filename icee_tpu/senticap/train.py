@@ -130,6 +130,13 @@ def make_base_step(conf: dict, solver, mesh=None):
     computes the loss from hidden states in time chunks so the (B, T, V)
     distributions never materialize (``ops/chunked_loss.py``); only applies
     to ``SOFTMAX_OUT`` models."""
+    return jax.jit(_base_step_impl(conf, solver, mesh))
+
+
+def _base_step_impl(conf: dict, solver, mesh=None):
+    """Unjitted base-model step body — shared verbatim by the per-batch
+    jitted step (:func:`make_base_step`) and the whole-epoch scan
+    (:func:`make_base_epoch`), so the two paths cannot diverge."""
     use_chunked = (base_model.chunked_ce_requested(conf)
                    and conf.get("SOFTMAX_OUT", True))
     ndata = _data_shards(mesh)
@@ -137,7 +144,6 @@ def make_base_step(conf: dict, solver, mesh=None):
     # otherwise (the XLA scan and chunked losses shard cleanly there)
     use_sm = ndata > 1 and _fused_requested(conf)
 
-    @jax.jit
     def step(params, opt_state, data, idx, key):
         x = data["X"][idx]
         y = data["Y"][idx]
@@ -213,11 +219,15 @@ def make_switched_step(conf: dict, solver, mesh=None):
     auto: on for the TPU backend) computes the mixture CE from the two
     heads' hidden states in time chunks so neither (B, T, V) distribution
     materializes (``ops/chunked_loss.mixture_ce_from_hiddens``)."""
+    return jax.jit(_switched_step_impl(conf, solver, mesh))
+
+
+def _switched_step_impl(conf: dict, solver, mesh=None):
+    """Unjitted switched-model step body (see :func:`_base_step_impl`)."""
     use_chunked = base_model.chunked_ce_requested(conf)
     ndata = _data_shards(mesh)
     use_sm = ndata > 1 and _fused_requested(conf)
 
-    @jax.jit
     def step(params, opt_state, data, idx, key):
         x = data["X"][idx]
         y = data["Y"][idx]
@@ -277,6 +287,46 @@ def make_switched_step(conf: dict, solver, mesh=None):
     return step
 
 
+def _make_epoch(step_impl):
+    """Whole-epoch device-resident program: ONE jitted ``lax.scan`` over the
+    epoch's (n_batches, batch) index rows, each iteration running the same
+    step body as the per-batch path and splitting the carried key exactly
+    like the host loop (``key, k = split(key)`` per batch) — parameters,
+    optimizer state, and the key stream bit-match the per-batch dispatches.
+
+    The reference's whole epoch is N compiled ``train(indx)`` calls
+    (``mrnn.py:727-770``); at the TPU relay's per-dispatch floor that costs
+    more than the math, so the epoch collapses to a single dispatch (the
+    host ships only the int32 index matrix)."""
+
+    @jax.jit
+    def epoch(params, opt_state, data, idx_rows, key):
+        def body(carry, bidx):
+            params, opt_state, key = carry
+            key, k = jax.random.split(key)
+            params, opt_state, loss = step_impl(params, opt_state, data,
+                                                bidx, k)
+            return (params, opt_state, key), loss
+
+        (params, opt_state, key), losses = jax.lax.scan(
+            body, (params, opt_state, key), idx_rows)
+        return params, opt_state, key, losses
+
+    return epoch
+
+
+def make_base_epoch(conf: dict, solver, mesh=None):
+    """One-dispatch whole-epoch base-model training (see :func:`_make_epoch`)."""
+    return _make_epoch(_base_step_impl(conf, solver, mesh))
+
+
+def make_switched_epoch(conf: dict, solver, mesh=None):
+    """One-dispatch whole-epoch switch training; each index row must be
+    sentiment-pure (:func:`_epoch_indices_by_sentiment`) because the step
+    reads the batch-level ``senti[idx][0]``."""
+    return _make_epoch(_switched_step_impl(conf, solver, mesh))
+
+
 def train_base(
     dataset: sio.SentiDataset,
     vocab_size: int,
@@ -286,9 +336,12 @@ def train_base(
     callbacks: Optional[list] = None,
     seed: int = 0,
     mesh=None,
+    device_epoch: bool = False,
 ):
     """Base-model training loop (``train_complete``, ``mrnn.py:727-770``);
-    pass a ``("data","model")`` mesh to run minibatches data-parallel."""
+    pass a ``("data","model")`` mesh to run minibatches data-parallel;
+    ``device_epoch`` runs each epoch as ONE jitted scan (bit-matching the
+    per-batch path)."""
     conf = conf or senticap_conf()
     params = base_model.init_params(jax.random.PRNGKey(seed), vocab_size,
                                     conf, unigram)
@@ -298,19 +351,26 @@ def train_base(
 
         params = place_replicated(params, mesh)
     opt_state = solver.init(params)
-    step = make_base_step(conf, solver, mesh)
+    step = (make_base_epoch if device_epoch
+            else make_base_step)(conf, solver, mesh)
     data = sio.device_dataset(dataset)
     rng = np.random.default_rng(seed)
     key = jax.random.PRNGKey(seed)
     batch = min(conf["batch_size_val"], dataset.X.shape[0])
     for epoch in range(num_epochs):
         t0 = time.time()
-        losses = []
-        for idx in _epoch_indices(dataset.X.shape[0], batch, rng):
-            key, k = jax.random.split(key)
-            params, opt_state, loss = step(params, opt_state, data,
-                                           jnp.asarray(idx), k)
-            losses.append(float(loss))
+        idx_rows = _epoch_indices(dataset.X.shape[0], batch, rng)
+        if device_epoch:
+            params, opt_state, key, losses = step(
+                params, opt_state, data, jnp.asarray(idx_rows), key)
+            losses = list(np.asarray(losses, np.float64))
+        else:
+            losses = []
+            for idx in idx_rows:
+                key, k = jax.random.split(key)
+                params, opt_state, loss = step(params, opt_state, data,
+                                               jnp.asarray(idx), k)
+                losses.append(float(loss))
         print(f"[senticap base] epoch {epoch}: loss "
               f"{np.mean(losses):.3f} ({time.time() - t0:.1f}s)")
         for cb in callbacks or []:
@@ -328,13 +388,16 @@ def train_switched(
     seed: int = 0,
     init_params_override: Optional[dict] = None,
     mesh=None,
+    device_epoch: bool = False,
 ):
     """Switch training (``run_train_gap_filler``, ``train_joint.py:322-451``):
     seed both paths from the base model, train only the switch set.
 
     ``init_params_override``: a pre-built switched parameter set (e.g. after
     vocab surgery) used instead of re-initializing from ``base_params``.
-    ``mesh``: run minibatches data-parallel over the mesh's data axis."""
+    ``mesh``: run minibatches data-parallel over the mesh's data axis.
+    ``device_epoch``: each epoch as ONE jitted scan over the
+    sentiment-pure index rows (bit-matching the per-batch path)."""
     conf = conf or senticap_conf()
     if init_params_override is not None:
         params = init_params_override
@@ -347,19 +410,27 @@ def train_switched(
 
         params = place_replicated(params, mesh)
     opt_state = solver.init(params)
-    step = make_switched_step(conf, solver, mesh)
+    step = (make_switched_epoch if device_epoch
+            else make_switched_step)(conf, solver, mesh)
     data = sio.device_dataset(dataset)
     rng = np.random.default_rng(seed)
     key = jax.random.PRNGKey(seed)
     batch = min(conf["batch_size_val"], dataset.X.shape[0])
     for epoch in range(num_epochs):
         t0 = time.time()
-        losses = []
-        for idx in _epoch_indices_by_sentiment(dataset.senti, batch, rng):
-            key, k = jax.random.split(key)
-            params, opt_state, loss = step(params, opt_state, data,
-                                           jnp.asarray(idx), k)
-            losses.append(float(loss))
+        batches = _epoch_indices_by_sentiment(dataset.senti, batch, rng)
+        if device_epoch and batches:
+            params, opt_state, key, losses = step(
+                params, opt_state, data,
+                jnp.asarray(np.stack(batches)), key)
+            losses = list(np.asarray(losses, np.float64))
+        else:
+            losses = []
+            for idx in batches:
+                key, k = jax.random.split(key)
+                params, opt_state, loss = step(params, opt_state, data,
+                                               jnp.asarray(idx), k)
+                losses.append(float(loss))
         print(f"[senticap switch] epoch {epoch}: loss "
               f"{np.mean(losses):.3f} ({time.time() - t0:.1f}s)")
         for cb in callbacks or []:

@@ -72,9 +72,24 @@ def _resolve_interpret(interpret):
 
 def _a_tile_of(a_dim):
     # A-tiled score/mask passes keep the live (n, P, a_tile) temporaries
-    # small — the unrolled full-A form spills to scoped VMEM and caps the
-    # batch tile (same wall `pallas_att_decode._attend_block` documents)
-    return 128 if a_dim % 128 == 0 else a_dim
+    # small — the unrolled full-A form used to spill scoped VMEM and cap
+    # the batch tile (same wall `pallas_att_decode._attend_block`
+    # documents) when the backward still held ~37 MB of weight-grad
+    # accumulators.  With the streaming backward the full-A pass fits at
+    # every production tile and measures fastest (B=128 (16,16):
+    # a_tile 128 → 13.07, 256 → 12.83, 512 → 12.71 ms/step calibrated
+    # same-session; sampled tf=0.8 neutral 15.41 vs 15.36) — so run
+    # full-A up to A=512 and fall back to 128-tiling for larger A.
+    # ICEE_ATT_A_TILE overrides for hardware probes
+    # (scripts/bench_att_train_fused.py).
+    import os
+
+    t = int(os.environ.get("ICEE_ATT_A_TILE", "0"))
+    if t:
+        return t
+    if a_dim <= 512 or a_dim % 128 != 0:
+        return a_dim
+    return 128
 
 
 def _attend_step(h_prev, att1, feat, decw_ref, decb_ref, fullw_ref,

@@ -420,17 +420,18 @@ def bench_train_epoch_device(jax, jnp):
     dec = fl.init_params(jax.random.PRNGKey(0), cfg)
     head = enc_mod.init_head_params(
         jax.random.PRNGKey(1), EncoderConfig(embed_size=E))
-    trainer = MultitaskTrainer(
-        cfg, tcfg, vocab=None, dec_params=dec, head_params=head,
-        family="factored", sample_fn=lambda *a: [],
-        model_dir=tempfile.mkdtemp(prefix="icee_bench_"), data_name="bench")
+    with tempfile.TemporaryDirectory(prefix="icee_bench_") as model_dir:
+        trainer = MultitaskTrainer(
+            cfg, tcfg, vocab=None, dec_params=dec, head_params=head,
+            family="factored", sample_fn=lambda *a: [],
+            model_dir=model_dir, data_name="bench")
 
-    trainer._run_train(ddata, 0, 10 ** 9, "FAC")  # compile + warmup
-    times = []
-    for _ in range(3):
-        t0 = time.perf_counter()
-        trainer._run_train(ddata, 0, 10 ** 9, "FAC")
-        times.append(time.perf_counter() - t0)
+        trainer._run_train(ddata, 0, 10 ** 9, "FAC")  # compile + warmup
+        times = []
+        for _ in range(3):
+            t0 = time.perf_counter()
+            trainer._run_train(ddata, 0, 10 ** 9, "FAC")
+            times.append(time.perf_counter() - t0)
     return EPOCH_N / float(np.median(times))
 
 

@@ -13,6 +13,7 @@ trainers' validation BLEU which strips them).
 """
 
 import argparse
+import sys
 
 import numpy as np
 
@@ -151,7 +152,7 @@ def main(args) -> None:
         mesh = make_mesh()
     elif args.data_parallel:
         print("WARNING: --data_parallel needs >1 device; "
-              "decoding single-device")
+              "decoding single-device", file=sys.stderr)
 
     b1, b2, b3, b4 = evaluate(dec, head, cfg, vocab, dataset, provider,
                               mode_id(args.mode), batch_size=args.batch_size,

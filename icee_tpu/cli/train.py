@@ -79,6 +79,8 @@ def main(args) -> None:
             from icee_tpu.data import device as device_data
             import numpy as np
 
+            if not ds:
+                raise SystemExit(f"empty caption set: {path}")
             feat_shape = np.asarray(provider_eval(ds[0].image)).shape
             if device_data.fits_device(len(ds), feat_shape):
                 return device_data.from_examples(

@@ -60,10 +60,7 @@ _FACTORED_KEYS = ("V_we", "V_wc", "V_b", "S_w", "S_b", "U_w", "U_b",
 _LSTM_KEYS = ("W_ihe", "W_ihc", "W_hh", "b_ih", "b_hh")
 
 
-def _resolve_interpret(interpret):
-    if interpret is None:  # auto: compile on TPU, interpret elsewhere
-        return jax.default_backend() != "tpu"
-    return interpret
+from icee_tpu.ops.kernel_common import resolve_interpret as _resolve_interpret  # noqa: E501
 
 
 # --------------------------------------------------------------------------

@@ -197,10 +197,7 @@ def _specs_fwd(seq_len, b, e_dim, f_dim, h_dim):
     return in_specs, out_specs
 
 
-def _resolve_interpret(interpret):
-    if interpret is None:  # auto: compile on TPU, interpret elsewhere
-        return jax.default_backend() != "tpu"
-    return interpret
+from icee_tpu.ops.kernel_common import resolve_interpret as _resolve_interpret  # noqa: E501
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(2,))

@@ -40,19 +40,10 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 
-def _resolve_interpret(interpret):
-    if interpret is None:  # auto: compile on TPU, interpret elsewhere
-        return jax.default_backend() != "tpu"
-    return interpret
-
-
-def _auto_tile(b):
-    if b <= 128:
-        return b
-    for t in (128, 64, 32, 16, 8):
-        if b % t == 0:
-            return t
-    return b
+from icee_tpu.ops.kernel_common import (  # noqa: E501
+    auto_batch_tile as _auto_tile,
+    resolve_interpret as _resolve_interpret,
+)
 
 
 def _gates(x, h_prev, w_ref, h_dim, wdt):

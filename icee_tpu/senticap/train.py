@@ -526,13 +526,13 @@ def decode_split(params, conf, dataset: sio.SentiDataset, i2w: Dict[int, str],
     make = make_beam_step(params, conf, switched)
 
     if device:
-        dec_att = make_device_beam(make(1.0), width, beam_size, max_len,
-                                   with_attention=switched)
         dec_des = make_device_beam(make(-1.0), width, beam_size, max_len)
         v_all = jnp.asarray(dataset.V)
         d_sc, d_seq, d_len, _ = jax.jit(jax.vmap(dec_des.run))(v_all)
         d_seq, d_len = np.asarray(d_seq), np.asarray(d_len)
         if switched:
+            dec_att = make_device_beam(make(1.0), width, beam_size,
+                                       max_len, with_attention=True)
             _, p_seq, p_len, p_att = jax.jit(jax.vmap(dec_att.run))(v_all)
             p_seq, p_len, p_att = (np.asarray(p_seq), np.asarray(p_len),
                                    np.asarray(p_att))

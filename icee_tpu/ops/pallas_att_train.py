@@ -60,7 +60,7 @@ _FACTORED_KEYS = ("V_we", "V_wc", "V_b", "S_w", "S_b", "U_w", "U_b",
 _LSTM_KEYS = ("W_ihe", "W_ihc", "W_hh", "b_ih", "b_hh")
 
 
-from icee_tpu.ops.kernel_common import resolve_interpret as _resolve_interpret  # noqa: E501
+from icee_tpu.ops.kernel_common import resolve_interpret as _resolve_interpret
 
 
 # --------------------------------------------------------------------------

@@ -39,6 +39,8 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from icee_tpu.ops.kernel_common import resolve_interpret as _resolve_interpret
+
 
 def _gates(x, h_prev, vw, vb, sw, sb, uw, ub, ww, wb, f_dim, h_dim, wdt):
     """Recompute pre-activations and gate values for one step (f32)."""
@@ -196,8 +198,6 @@ def _specs_fwd(seq_len, b, e_dim, f_dim, h_dim):
     out_specs = (step(h_dim), step(h_dim))
     return in_specs, out_specs
 
-
-from icee_tpu.ops.kernel_common import resolve_interpret as _resolve_interpret  # noqa: E501
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(2,))

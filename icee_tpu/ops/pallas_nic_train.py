@@ -40,7 +40,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 
-from icee_tpu.ops.kernel_common import (  # noqa: E501
+from icee_tpu.ops.kernel_common import (
     auto_batch_tile as _auto_tile,
     resolve_interpret as _resolve_interpret,
 )

@@ -131,6 +131,46 @@ def import_nic_decoder_state_dict(sd: Mapping, dtype=jnp.float32) -> dict:
     }
 
 
+def _seq2seq_half(sd: Mapping, prefix: str, dtype) -> dict:
+    """One ``EncoderRNN``/``DecoderRNN`` half (``seq2seq/model.py:30-64,
+    125-144``): embedding + ``nn.LSTM`` layer stack + output linear.
+    ``nn.LSTM`` stores per-layer ``weight_ih_l{n}`` (4H, in) in torch's
+    [i, f, g, o] gate order — our cell layout transposed."""
+    layers = []
+    n = 0
+    while f"{prefix}.lstm.weight_ih_l{n}" in sd:
+        layers.append({
+            "W_ih": jnp.asarray(_np(sd[f"{prefix}.lstm.weight_ih_l{n}"]).T, dtype),
+            "W_hh": jnp.asarray(_np(sd[f"{prefix}.lstm.weight_hh_l{n}"]).T, dtype),
+            "b_ih": jnp.asarray(_np(sd[f"{prefix}.lstm.bias_ih_l{n}"]), dtype),
+            "b_hh": jnp.asarray(_np(sd[f"{prefix}.lstm.bias_hh_l{n}"]), dtype),
+        })
+        n += 1
+    if not layers:
+        raise KeyError(f"no {prefix}.lstm.weight_ih_l0 in state_dict")
+    return {
+        "embed": jnp.asarray(_np(sd[f"{prefix}.embed.weight"]), dtype),
+        "lstm": layers,
+        "linear_w": jnp.asarray(_linear_w(sd, f"{prefix}.linear"), dtype),
+        "linear_b": jnp.asarray(_linear_b(sd, f"{prefix}.linear"), dtype),
+    }
+
+
+def import_seq2seq_state_dict(sd: Mapping, dtype=jnp.float32) -> dict:
+    """``Seq2Seq`` state_dict (``seq2seq/model.py:220-254``) -> our pytree:
+    encoder half + the three per-emotion decoders stacked on axis 0 in
+    (happy, sad, angry) order (``models/seq2seq.py`` emotion ids)."""
+    import jax
+
+    decoders = [_seq2seq_half(sd, f"decoder_{m}", dtype)
+                for m in ("happy", "sad", "angry")]
+    return {
+        "encoder": _seq2seq_half(sd, "encoder", dtype),
+        "decoders": jax.tree_util.tree_map(
+            lambda *xs: jnp.stack(xs), *decoders),
+    }
+
+
 def import_encoder_head_state_dict(sd: Mapping, dtype=jnp.float32) -> dict:
     """``EncoderCNN`` head (linear + bn) state_dict (stylenet/model.py:19-20).
     The ResNet trunk goes through

@@ -2,8 +2,10 @@
 
 Parity target: ``EncoderRNN`` / ``DecoderRNN`` / ``Seq2Seq``
 (``seq2seq/model.py:30-301``, SURVEY.md M8): an LSTM encoder over the factual
-caption prefixed by the image feature, and one decoder LSTM per emotion that
-continues from the encoder's final (h, c).
+caption prefixed by the image feature, and one decoder LSTM per emotion.  The
+encoder's final (h, c) reaches the emotion decoders only at SAMPLE time —
+the reference's ``DecoderRNN.forward`` takes the states argument but zeroes
+its own h/c (``model.py:168-176``), a quirk this rebuild reproduces.
 
 TPU design: the three per-emotion decoders are one stacked parameter set
 ``(3, ...)`` selected by a traced emotion id, so a single compiled graph
@@ -148,13 +150,22 @@ def decode_emotion(
     train: bool = True,
     return_hiddens: bool = False,
 ) -> jax.Array:
-    """Per-emotion DecoderRNN.forward from the encoder's final state
-    (``seq2seq/model.py:162-191``)."""
+    """Per-emotion DecoderRNN.forward (``seq2seq/model.py:162-191``).
+
+    Reference quirk preserved: ``DecoderRNN.forward`` accepts the encoder's
+    final ``states`` but never reads them — it builds fresh zero h/c
+    (``seq2seq/model.py:168-176``), so the emotion decoder TRAINS from a zero
+    state and only ``sample`` threads the encoder state.  ``state`` is kept
+    in the signature for parity with the reference call shape, and ignored
+    exactly like the reference does.  Verified against the reference's own
+    module in ``tests/test_reference_modules.py``.
+    """
+    del state  # dead in the reference's training forward (model.py:168-176)
     if rng is None:
         rng = jax.random.PRNGKey(0)
     half = select_decoder(params, jnp.asarray(emotion))
     out, _ = _scheduled_rnn(
-        half, cfg, dst_tokens, None, state, teacher_forcing_ratio, rng, train,
+        half, cfg, dst_tokens, None, None, teacher_forcing_ratio, rng, train,
         return_hiddens,
     )
     return out

@@ -359,14 +359,14 @@ def make_seq2seq_steps(
             p["decoders"] = decoders
             feats, _ = enc_mod.encode_global_from_pooled(head, pooled, True)
             if use_chunked:
-                # same rng split as s2s.forward; the encoder pass's logits
-                # also stay unmaterialized (only its state feeds the loss)
-                k_enc, k_dec = jax.random.split(rng)
-                _, state = s2s.encode(p, cfg, feats, captions_src,
-                                      tcfg.teacher_forcing_ratio, k_enc,
-                                      True, return_hiddens=True)
+                # same rng split as s2s.forward; the encoder pass is skipped
+                # outright — the reference's DecoderRNN.forward zeroes its
+                # state (seq2seq/model.py:168-176), so the encoder output is
+                # dead in the emotion loss (XLA DCEs it on the s2s.forward
+                # path; here we just don't build it)
+                _k_enc, k_dec = jax.random.split(rng)
                 hiddens = s2s.decode_emotion(
-                    p, cfg, state, captions_dst[:, :-1], emotion,
+                    p, cfg, None, captions_dst[:, :-1], emotion,
                     tcfg.teacher_forcing_ratio, k_dec, True,
                     return_hiddens=True)
                 half = s2s.select_decoder(p, emotion)

@@ -10,7 +10,9 @@ Subcommands mirror the reference CLI (``train_joint.py:453-491``:
   (``run_train_gap_filler``): REUSES the base model's vocabulary, appending
   new sentiment words with nearest-embedding vocab surgery
   (``mrnn_switched.py:480-518``; spacy vectors are unavailable offline, so
-  the closest-word fallback copies from the most frequent base word)
+  closeness is cosine over the base model's own trained ``wemb``: a new
+  word's vector is the mean embedding of its in-vocab context words in the
+  sentiment corpus — ``switched.make_embedding_closest_fn``)
 - ``test``   — beam-decode the styled and descriptive sentence per image
   with switch-attention traces (``run_load_gap_filler``), using the sizes
   and vocabulary SAVED IN the model pickle
@@ -110,13 +112,17 @@ def main(args) -> None:
             __import__("jax").random.PRNGKey(args.seed), len(base_w2i), conf,
             base=base_params)
         if added:
-            # offline closest-word fallback: seed new words from the first
-            # non-STOP base word (build_vocab orders by first occurrence, not
-            # frequency); plug a spacy-backed closest_fn here when word
-            # vectors are available (the reference's ClosestWordFinder)
-            fallback = min(1, len(base_w2i) - 1)
-            sw_params = sw_model.grow_vocab(
-                sw_params, added, closest_fn=lambda w: fallback)
+            # ClosestWordFinder analogue (mrnn_switched.py:31-73) without
+            # spacy: each new sentiment word adopts the base word whose
+            # trained embedding is cosine-nearest to the mean embedding of
+            # the new word's in-vocab context words in this corpus
+            closest = sw_model.make_embedding_closest_fn(
+                base_params["wemb"], base_w2i, _tokens(records, sio))
+            for w, _ in added:
+                ci = closest(w)
+                print(f"  {w} -> {[k for k, v in base_w2i.items() if v == ci][0]}")
+            sw_params = sw_model.grow_vocab(sw_params, added,
+                                            closest_fn=closest)
             print(f"vocab surgery: +{len(added)} sentiment words")
         ds = sio.make_split(records, features, w2i,
                             max_len=conf["MAX_SENTENCE_LEN"],

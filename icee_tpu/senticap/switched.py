@@ -351,6 +351,79 @@ def one_step(params: dict, conf: dict, word: jax.Array, use_v: jax.Array,
     return s_t, h, c, jnp.exp(la)
 
 
+def make_embedding_closest_fn(
+    base_wemb,
+    base_w2i: Dict[str, int],
+    token_lists,                      # iterable of token lists (the new
+                                      # sentiment corpus the words come from)
+    window: int = 4,
+    exclude: Tuple[str, ...] = ("#START#", "#STOP#"),
+) -> Callable[[str], int]:
+    """Data-free realization of the reference's ``ClosestWordFinder``
+    (``mrnn_switched.py:31-73``): map a new sentiment word to its closest
+    EXISTING base-vocab word.
+
+    The reference measures closeness with spacy word vectors — external
+    data this environment cannot fetch.  The offline equivalent uses the
+    model's OWN trained embedding space: a new word's distributional vector
+    is the mean of the base ``wemb`` rows of its in-vocab context words
+    (within ``window`` tokens across the sentiment corpus), and the closest
+    word is the cosine-nearest base ``wemb`` row.  Same intent (semantic
+    neighbour, e.g. "gloomy" -> "sad" when they share contexts), same
+    interface, no external vectors.
+
+    In-vocab words short-circuit to their own index
+    (``get_closest_word``'s first branch, ``mrnn_switched.py:47-49``).
+    Words with no usable context fall back to the most frequent in-corpus
+    base word (still per-corpus, never a constant).
+    """
+    wemb = np.asarray(base_wemb, np.float64)
+    n_base = wemb.shape[0]
+    norms = np.linalg.norm(wemb, axis=1) + 1e-12
+    unit = wemb / norms[:, None]
+    excluded_ids = {base_w2i[w] for w in exclude if w in base_w2i}
+
+    # context accumulation over the corpus (host-side, one pass)
+    ctx_sum: Dict[str, np.ndarray] = {}
+    ctx_cnt: Dict[str, int] = {}
+    base_freq: Dict[int, int] = {}
+    toks_cached = [list(toks) for toks in token_lists]
+    for toks in toks_cached:
+        ids = [base_w2i.get(t, -1) for t in toks]
+        for j, t in enumerate(toks):
+            if ids[j] >= 0:
+                base_freq[ids[j]] = base_freq.get(ids[j], 0) + 1
+                continue
+            lo, hi = max(0, j - window), min(len(toks), j + window + 1)
+            for k2 in range(lo, hi):
+                if k2 == j or ids[k2] < 0 or ids[k2] in excluded_ids:
+                    continue
+                if t not in ctx_sum:
+                    ctx_sum[t] = np.zeros(wemb.shape[1])
+                    ctx_cnt[t] = 0
+                ctx_sum[t] += wemb[ids[k2]]
+                ctx_cnt[t] += 1
+    freq_fallback = max(
+        (i for i in base_freq if i not in excluded_ids),
+        key=lambda i: (base_freq[i], -i), default=min(1, n_base - 1))
+
+    def closest(word: str) -> int:
+        if word in base_w2i:
+            return base_w2i[word]
+        if word not in ctx_sum or ctx_cnt[word] == 0:
+            return freq_fallback
+        q = ctx_sum[word] / ctx_cnt[word]
+        qn = np.linalg.norm(q)
+        if qn < 1e-12:
+            return freq_fallback
+        sims = unit @ (q / qn)
+        for i in excluded_ids:
+            sims[i] = -np.inf
+        return int(np.argmax(sims))
+
+    return closest
+
+
 def grow_vocab(
     params: dict,
     added_words,                      # [(word, new_index), ...]

@@ -343,6 +343,42 @@ def test_grow_vocab_copies_closest(rng):
                                   np.asarray(grown["w_sw"][:, 3]))
 
 
+def test_embedding_closest_fn_adopts_neighbour_rows(rng):
+    """VERDICT r3 #6: a new sentiment word whose corpus contexts match an
+    existing word's must adopt that word's embedding/output rows through
+    grow_vocab — the reference's ClosestWordFinder intent
+    (mrnn_switched.py:31-73) realized over the trained base wemb."""
+    w2i = {"#STOP#": 0, "a": 1, "dog": 2, "sad": 3, "runs": 4, "park": 5,
+           "very": 6}
+    params = SW.init_params(jax.random.PRNGKey(1), len(w2i), CONF)
+    # make the trained space meaningful: "sad" sits exactly at the mean of
+    # (very, dog) — the contexts "gloomy" will appear in
+    wemb = np.asarray(params["wemb"]).copy()
+    wemb[3] = (wemb[6] + wemb[2]) / 2
+    params = dict(params)
+    params["wemb"] = jnp.asarray(wemb)
+
+    corpus = [
+        ["a", "very", "gloomy", "dog", "runs"],
+        ["very", "gloomy", "dog"],
+        ["a", "dog", "runs", "park"],
+    ]
+    closest = SW.make_embedding_closest_fn(params["wemb"], w2i, corpus,
+                                           window=2)
+    # in-vocab short-circuit (get_closest_word's first branch)
+    assert closest("dog") == 2
+    ci = closest("gloomy")
+    assert ci == 3, f"expected 'sad' (3), got {ci}"
+
+    grown = SW.grow_vocab(params, [("gloomy", len(w2i))], closest_fn=closest)
+    np.testing.assert_array_equal(np.asarray(grown["wemb"][len(w2i)]),
+                                  np.asarray(grown["wemb"][3]))
+    np.testing.assert_array_equal(np.asarray(grown["w"][:, len(w2i)]),
+                                  np.asarray(grown["w"][:, 3]))
+    # a word with no context falls back to the most frequent corpus word
+    assert closest("unseen") == 2  # "dog" x3
+
+
 def test_sentiment_utils(tmp_path):
     assert reward(1.0, 1.0) == 1.0
     assert reward(1.0, 0.0) < 1e-5

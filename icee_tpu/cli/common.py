@@ -84,6 +84,13 @@ def add_train_flags(p: argparse.ArgumentParser) -> None:
                    help="chunked training CE (ops/chunked_loss.py, the "
                         "(B,T,V) logits never materialize); auto = on for "
                         "the TPU backend")
+    p.add_argument("--progress_chunk", type=int, default=0,
+                   help="with --device_resident: run each epoch as chunks "
+                        "of this many batch rows and write a mid-epoch "
+                        "progress checkpoint after every chunk "
+                        "(checkpoint/progress.py) — a preempted run "
+                        "resumes INSIDE the epoch, bit-identically; "
+                        "0 = whole-epoch single dispatch")
 
 
 def add_data_flags(p: argparse.ArgumentParser) -> None:
@@ -145,6 +152,7 @@ def train_config(args) -> TrainConfig:
             getattr(args, "fused_scan", "auto")],
         chunked_ce={"auto": None, "on": True, "off": False}[
             getattr(args, "chunked_ce", "auto")],
+        progress_chunk=getattr(args, "progress_chunk", 0),
     )
 
 

@@ -149,3 +149,15 @@ class TrainConfig:
     # (measured 10.5 vs 47.3 ms fwd+bwd at B=512/T=25/V=8192), off
     # elsewhere to keep CPU test baselines bitwise-stable.
     chunked_ce: Optional[bool] = None
+    # Mid-epoch preemption safety for device-resident training (beyond the
+    # reference, whose host loop can only resume at epoch boundaries,
+    # train_multitask.py:169-177): when > 0, each whole-epoch device scan
+    # of the captioner trainers (Multitask / Transfer / factual-only) runs
+    # as ceil(n_batches / progress_chunk) dispatches of ``progress_chunk``
+    # batch rows, and a progress checkpoint (params, both optimizer states,
+    # the in-scan RNG carry, epoch/pass/row and the partial loss trace) is
+    # written after every chunk (checkpoint/progress.py).  A killed run
+    # resumes INSIDE the epoch, bit-identically
+    # (tests/test_progress_resume.py).  0 (default) = whole-epoch single
+    # dispatch.
+    progress_chunk: int = 0

@@ -201,11 +201,14 @@ class MultitaskTrainer:
         return k
 
     def _run_train(self, loader, style: Optional[int], log_step: int,
-                   tag: str) -> EpochStats:
+                   tag: str, epoch: Optional[int] = None, pass_idx: int = 0,
+                   start_row: int = 0, loss_prefix=None) -> EpochStats:
         from icee_tpu.data.device import DeviceCaptionData
 
         if isinstance(loader, DeviceCaptionData):
-            return self._run_train_device(loader, style, log_step, tag)
+            return self._run_train_device(
+                loader, style, log_step, tag, epoch=epoch, pass_idx=pass_idx,
+                start_row=start_row, loss_prefix=loss_prefix)
         losses = AverageMeter()
         t0 = time.time()
         for i, batch in enumerate(loader):
@@ -309,31 +312,147 @@ class MultitaskTrainer:
         return fn
 
     def _run_train_device(self, ddata, style: Optional[int], log_step: int,
-                          tag: str) -> EpochStats:
-        """One training epoch over a :class:`DeviceCaptionData` split."""
+                          tag: str, epoch: Optional[int] = None,
+                          pass_idx: int = 0, start_row: int = 0,
+                          loss_prefix=None) -> EpochStats:
+        """One training epoch over a :class:`DeviceCaptionData` split.
+
+        With ``tcfg.progress_chunk > 0`` (and an ``epoch`` to label the
+        record) the epoch runs as chunks of that many batch rows — one
+        dispatch each, sequentially equivalent to the single whole-epoch
+        scan — and a mid-epoch progress checkpoint
+        (``checkpoint/progress.py``) is written after every chunk.
+        ``start_row``/``loss_prefix`` restart a preempted pass at the last
+        completed chunk boundary with its loss trace intact.
+        """
         t0 = time.time()
         factual = style is None or style == 0
         idx, valid = ddata.epoch_indices()
         fn = self._device_epoch_fn(factual)
-        opt_state = self.opt_state if factual else self.lang_opt_state
-        dec, head, opt_state, self.rng, losses, ntoks = fn(
-            self.dec, self.head, opt_state, self.rng,
-            ddata.images, ddata.captions, ddata.lengths,
-            jnp.asarray(idx), jnp.asarray(valid),
-            jnp.asarray(style if style is not None else 0))
-        self.dec, self.head = dec, head
-        if factual:
-            self.opt_state = opt_state
+        style_arr = jnp.asarray(style if style is not None else 0)
+        chunk = getattr(self.tcfg, "progress_chunk", 0)
+        nb = idx.shape[0]
+        if chunk and epoch is not None:
+            losses = np.zeros(nb, np.float64)
+            ntoks = np.zeros(nb, np.float64)
+            if loss_prefix is not None:
+                pl_, pn_ = loss_prefix
+                losses[:start_row] = np.asarray(pl_, np.float64)[:start_row]
+                ntoks[:start_row] = np.asarray(pn_, np.float64)[:start_row]
+            for r0 in range(start_row, nb, chunk):
+                r1 = min(r0 + chunk, nb)
+                opt_state = self.opt_state if factual else self.lang_opt_state
+                dec, head, opt_state, self.rng, ls, nt = fn(
+                    self.dec, self.head, opt_state, self.rng,
+                    ddata.images, ddata.captions, ddata.lengths,
+                    jnp.asarray(idx[r0:r1]), jnp.asarray(valid[r0:r1]),
+                    style_arr)
+                self.dec, self.head = dec, head
+                if factual:
+                    self.opt_state = opt_state
+                else:
+                    self.lang_opt_state = opt_state
+                losses[r0:r1] = np.asarray(ls, np.float64)
+                ntoks[r0:r1] = np.asarray(nt, np.float64)
+                self._save_progress(epoch, pass_idx, r1, losses, ntoks)
         else:
-            self.lang_opt_state = opt_state
-        losses = np.asarray(losses, np.float64)
-        ntoks = np.asarray(ntoks, np.float64)
+            opt_state = self.opt_state if factual else self.lang_opt_state
+            dec, head, opt_state, self.rng, losses, ntoks = fn(
+                self.dec, self.head, opt_state, self.rng,
+                ddata.images, ddata.captions, ddata.lengths,
+                jnp.asarray(idx), jnp.asarray(valid), style_arr)
+            self.dec, self.head = dec, head
+            if factual:
+                self.opt_state = opt_state
+            else:
+                self.lang_opt_state = opt_state
+            losses = np.asarray(losses, np.float64)
+            ntoks = np.asarray(ntoks, np.float64)
         for i in range(0, len(losses), max(log_step, 1)):
             print(f"Step [{i}/{len(losses)}], [{tag}], "
                   f"Loss: {float(losses[i]):.4f}")
         total = float(ntoks.sum())
         avg = float((losses * ntoks).sum() / total) if total else 0.0
         return EpochStats(loss=avg, batch_time=time.time() - t0)
+
+    # -- mid-epoch progress (checkpoint/progress.py) ------------------------
+
+    def _save_progress(self, epoch: int, pass_idx: int, row: int,
+                       losses, ntoks) -> None:
+        from icee_tpu.checkpoint import progress as prog_mod
+
+        record = prog_mod.make_record(
+            epoch=epoch, pass_idx=pass_idx, row=row, rng=self.rng,
+            params={"decoder": self.dec, "head": self.head},
+            opt_states={"optimizer": self.opt_state,
+                        "lang_optimizer": self.lang_opt_state},
+            losses=losses, ntoks=ntoks,
+            epochs_since_improvement=self.epochs_since_improvement,
+            best_bleu4=self.best_bleu4)
+        prog_mod.save_progress(self.model_dir, self.data_name, record)
+        hook = getattr(self, "_progress_hook", None)
+        if hook is not None:
+            hook(epoch, pass_idx, row)
+
+    def _clear_progress(self) -> None:
+        """Drop the mid-epoch record once a train loop runs to completion —
+        a later fresh run in the same model_dir must not 'resume' past it."""
+        if getattr(self.tcfg, "progress_chunk", 0):
+            from icee_tpu.checkpoint import progress as prog_mod
+
+            prog_mod.clear_progress(self.model_dir, self.data_name)
+
+    def _resume_progress(self, loaders_by_pass: dict) -> Optional[dict]:
+        """If a progress record exists, restore full training state from it
+        and return ``{"epoch", "pass_idx", "row", "losses", "ntoks"}``.
+
+        ``loaders_by_pass`` maps pass_idx -> the TRAIN loader of that pass;
+        the in-flight pass's loader sizes the loss-trace template, and every
+        shuffling train loader is fast-forwarded one ``epoch_indices()``
+        call per COMPLETED epoch so the resumed epoch's shuffle matches the
+        killed run's (``DeviceCaptionData`` is deterministic from its seed).
+        """
+        from icee_tpu.checkpoint import progress as prog_mod
+        from icee_tpu.data.device import DeviceCaptionData
+
+        raw = prog_mod.peek_progress(self.model_dir, self.data_name)
+        if raw is None:
+            return None
+        epoch = int(raw["epoch"])
+        pass_idx = int(raw["pass_idx"])
+        row = int(raw["row"])
+        nb = int(np.asarray(raw["losses"]).shape[0])
+        template = prog_mod.make_record(
+            epoch=0, pass_idx=0, row=0, rng=self.rng,
+            params={"decoder": self.dec, "head": self.head},
+            opt_states={"optimizer": self.opt_state,
+                        "lang_optimizer": self.lang_opt_state},
+            losses=np.zeros(nb, np.float32), ntoks=np.zeros(nb, np.float32),
+            epochs_since_improvement=self.epochs_since_improvement,
+            best_bleu4=self.best_bleu4)
+        rec = prog_mod.load_progress(self.model_dir, self.data_name, template)
+        self.dec = rec["params"]["decoder"]
+        self.head = rec["params"]["head"]
+        self.opt_state = rec["opt_states"]["optimizer"]
+        self.lang_opt_state = rec["opt_states"]["lang_optimizer"]
+        self.rng = jnp.asarray(rec["rng"])
+        if self.mesh is not None:
+            self._place_params()
+        self.epochs_since_improvement = {
+            k: int(v) for k, v in rec["epochs_since_improvement"].items()}
+        self.best_bleu4 = {
+            k: float(v) for k, v in rec["best_bleu4"].items()}
+        self.start_epoch = epoch
+        for _ in range(epoch):           # completed epochs
+            for ld in loaders_by_pass.values():
+                if isinstance(ld, DeviceCaptionData) and ld.shuffle:
+                    ld.epoch_indices()
+        _log(self.log_path,
+             f"RESUMING mid-epoch: epoch {epoch}, pass {pass_idx}, "
+             f"row {row}/{nb}")
+        return {"epoch": epoch, "pass_idx": pass_idx, "row": row,
+                "losses": np.asarray(rec["losses"]),
+                "ntoks": np.asarray(rec["ntoks"])}
 
     def _val_epoch_fn(self):
         """Jitted WHOLE-EPOCH validation program for a device-resident
@@ -460,43 +579,81 @@ class MultitaskTrainer:
         tcfg = self.tcfg
         num_epochs = num_epochs or tcfg.num_epochs
         emo = mode_id(tcfg.mode)
+        prog = None
+        if getattr(tcfg, "progress_chunk", 0):
+            prog = self._resume_progress({0: data_loader, 1: emotion_loader})
         for epoch in range(self.start_epoch, num_epochs):
-            imp_fac = self.epochs_since_improvement["factual"]
-            imp_emo = self.epochs_since_improvement["emotion"]
-            if imp_fac >= tcfg.early_stop_patience and \
-                    imp_emo >= tcfg.early_stop_patience:
-                break
-            if imp_fac > 0 and imp_fac % tcfg.lr_decay_patience == 0:
-                lr = optim.decay_lr(self.opt_state, tcfg.lr_decay_factor)
-                _log(self.log_path, f"DECAYING learning rate to {lr:f}")
-            if imp_emo > 0 and imp_emo % tcfg.lr_decay_patience == 0:
-                lr = optim.decay_lr(self.lang_opt_state, tcfg.lr_decay_factor)
-                _log(self.log_path, f"DECAYING language learning rate to {lr:f}")
+            # mid-epoch resume: passes before prog["pass_idx"] already ran
+            # (their validation too — the record's counters include it), the
+            # in-flight pass restarts at prog["row"].  The epoch-start
+            # decay/early-stop block also already ran in the killed run
+            # (captured in the record's opt states), so it must not re-run.
+            resuming = prog is not None and prog["epoch"] == epoch
+            if not resuming:
+                imp_fac = self.epochs_since_improvement["factual"]
+                imp_emo = self.epochs_since_improvement["emotion"]
+                if imp_fac >= tcfg.early_stop_patience and \
+                        imp_emo >= tcfg.early_stop_patience:
+                    break
+                if imp_fac > 0 and imp_fac % tcfg.lr_decay_patience == 0:
+                    lr = optim.decay_lr(self.opt_state, tcfg.lr_decay_factor)
+                    _log(self.log_path, f"DECAYING learning rate to {lr:f}")
+                if imp_emo > 0 and imp_emo % tcfg.lr_decay_patience == 0:
+                    lr = optim.decay_lr(self.lang_opt_state,
+                                        tcfg.lr_decay_factor)
+                    _log(self.log_path,
+                         f"DECAYING language learning rate to {lr:f}")
 
             # factual track
-            tr = self._run_train(data_loader, 0, tcfg.log_step, "FAC")
-            va = self._run_val(val_loader, 0)
-            _log(self.log_path,
-                 f"Epoch [{epoch}/{num_epochs}], [FAC], "
-                 f"Batch Time: {tr.batch_time + va.batch_time:.3f}, "
-                 f"Top-5 Acc: {va.top5:.3f}, BLEU-4 Score: {va.bleu4}\n"
-                 f"\tTrain Loss: {tr.loss:.4f} | "
-                 f"Train Perplexity: {perplexity(tr.loss):5.4f}\n"
-                 f"\tVal   Loss: {va.loss:.4f} | "
-                 f"Val   Perplexity: {perplexity(va.loss):5.4f}")
-            self.metrics.log("epoch_factual", epoch=epoch, train_loss=tr.loss,
-                             val_loss=va.loss, top5=va.top5, bleu4=va.bleu4,
-                             lr=optim.get_lr(self.opt_state))
-            is_best_fac = va.bleu4 > self.best_bleu4["factual"]
-            self.best_bleu4["factual"] = max(va.bleu4,
-                                             self.best_bleu4["factual"])
-            self.epochs_since_improvement["factual"] = (
-                0 if is_best_fac
-                else self.epochs_since_improvement["factual"] + 1)
+            if resuming and prog["pass_idx"] > 0:
+                # complete (validated, counted) — burn its shuffle draw so
+                # later epochs' batch composition matches the killed run
+                from icee_tpu.data.device import DeviceCaptionData
+
+                if isinstance(data_loader, DeviceCaptionData) and \
+                        data_loader.shuffle:
+                    data_loader.epoch_indices()
+                _log(self.log_path,
+                     f"Epoch [{epoch}/{num_epochs}], [FAC], resumed past "
+                     "(completed before preemption)")
+            else:
+                fac_kw = {}
+                if resuming:
+                    fac_kw = dict(start_row=prog["row"],
+                                  loss_prefix=(prog["losses"], prog["ntoks"]))
+                tr = self._run_train(data_loader, 0, tcfg.log_step, "FAC",
+                                     epoch=epoch, pass_idx=0, **fac_kw)
+                va = self._run_val(val_loader, 0)
+                _log(self.log_path,
+                     f"Epoch [{epoch}/{num_epochs}], [FAC], "
+                     f"Batch Time: {tr.batch_time + va.batch_time:.3f}, "
+                     f"Top-5 Acc: {va.top5:.3f}, BLEU-4 Score: {va.bleu4}\n"
+                     f"\tTrain Loss: {tr.loss:.4f} | "
+                     f"Train Perplexity: {perplexity(tr.loss):5.4f}\n"
+                     f"\tVal   Loss: {va.loss:.4f} | "
+                     f"Val   Perplexity: {perplexity(va.loss):5.4f}")
+                self.metrics.log("epoch_factual", epoch=epoch,
+                                 train_loss=tr.loss,
+                                 val_loss=va.loss, top5=va.top5,
+                                 bleu4=va.bleu4,
+                                 lr=optim.get_lr(self.opt_state))
+                is_best_fac = va.bleu4 > self.best_bleu4["factual"]
+                self.best_bleu4["factual"] = max(va.bleu4,
+                                                 self.best_bleu4["factual"])
+                self.epochs_since_improvement["factual"] = (
+                    0 if is_best_fac
+                    else self.epochs_since_improvement["factual"] + 1)
 
             # emotion track (single --mode emotion, train_multitask.py:139-147)
+            emo_kw = {}
+            if resuming and prog["pass_idx"] == 1:
+                emo_kw = dict(start_row=prog["row"],
+                              loss_prefix=(prog["losses"], prog["ntoks"]))
+            if resuming:
+                prog = None            # consumed; later epochs run normally
             tr_e = self._run_train(emotion_loader, emo, tcfg.log_step_emotion,
-                                   tcfg.mode[:3].upper())
+                                   tcfg.mode[:3].upper(), epoch=epoch,
+                                   pass_idx=1, **emo_kw)
             va_e = self._run_val(val_emotion_loader, emo)
             _log(self.log_path,
                  f"Epoch [{epoch}/{num_epochs}], [{tcfg.mode[:3].upper()}], "
@@ -517,6 +674,7 @@ class MultitaskTrainer:
                 else self.epochs_since_improvement["emotion"] + 1)
 
             self.save(epoch, is_best_emo)
+        self._clear_progress()
         return {"best_bleu4": self.best_bleu4}
 
     def train_factual_only(self, data_loader, val_loader,
@@ -525,13 +683,24 @@ class MultitaskTrainer:
         produces the FAC_BEST checkpoint the transfer stage resumes from."""
         tcfg = self.tcfg
         num_epochs = num_epochs or tcfg.num_epochs
+        prog = None
+        if getattr(tcfg, "progress_chunk", 0):
+            prog = self._resume_progress({0: data_loader})
         for epoch in range(self.start_epoch, num_epochs):
-            imp = self.epochs_since_improvement["factual"]
-            if imp >= tcfg.early_stop_patience:
-                break
-            if imp > 0 and imp % tcfg.lr_decay_patience == 0:
-                optim.decay_lr(self.opt_state, tcfg.lr_decay_factor)
-            tr = self._run_train(data_loader, 0, tcfg.log_step, "FAC")
+            resuming = prog is not None and prog["epoch"] == epoch
+            fac_kw = {}
+            if resuming:
+                fac_kw = dict(start_row=prog["row"],
+                              loss_prefix=(prog["losses"], prog["ntoks"]))
+                prog = None
+            else:
+                imp = self.epochs_since_improvement["factual"]
+                if imp >= tcfg.early_stop_patience:
+                    break
+                if imp > 0 and imp % tcfg.lr_decay_patience == 0:
+                    optim.decay_lr(self.opt_state, tcfg.lr_decay_factor)
+            tr = self._run_train(data_loader, 0, tcfg.log_step, "FAC",
+                                 epoch=epoch, pass_idx=0, **fac_kw)
             va = self._run_val(val_loader, 0)
             _log(self.log_path,
                  f"Epoch [{epoch}/{num_epochs}], [FAC], Top-5 Acc: "
@@ -543,6 +712,7 @@ class MultitaskTrainer:
             self.epochs_since_improvement["factual"] = (
                 0 if is_best else self.epochs_since_improvement["factual"] + 1)
             self.save(epoch, is_best, mode_tag="FAC")
+        self._clear_progress()
         return {"best_bleu4": self.best_bleu4}
 
     def restore(self, path: str) -> None:
@@ -624,14 +794,25 @@ class TransferTrainer(MultitaskTrainer):
         tcfg = self.tcfg
         num_epochs = num_epochs or tcfg.num_epochs
         emo = mode_id(tcfg.mode)
+        prog = None
+        if getattr(tcfg, "progress_chunk", 0):
+            prog = self._resume_progress({0: emotion_loader})
         for epoch in range(self.start_epoch, num_epochs):
-            imp = self.epochs_since_improvement["emotion"]
-            if imp >= tcfg.early_stop_patience:
-                break
-            if imp > 0 and imp % tcfg.lr_decay_patience == 0:
-                optim.decay_lr(self.lang_opt_state, tcfg.lr_decay_factor)
+            resuming = prog is not None and prog["epoch"] == epoch
+            emo_kw = {}
+            if resuming:
+                emo_kw = dict(start_row=prog["row"],
+                              loss_prefix=(prog["losses"], prog["ntoks"]))
+                prog = None
+            else:
+                imp = self.epochs_since_improvement["emotion"]
+                if imp >= tcfg.early_stop_patience:
+                    break
+                if imp > 0 and imp % tcfg.lr_decay_patience == 0:
+                    optim.decay_lr(self.lang_opt_state, tcfg.lr_decay_factor)
             tr = self._run_train(emotion_loader, emo, tcfg.log_step_emotion,
-                                 tcfg.mode[:3].upper())
+                                 tcfg.mode[:3].upper(), epoch=epoch,
+                                 pass_idx=0, **emo_kw)
             va = self._run_val(val_emotion_loader, emo)
             _log(self.log_path,
                  f"Epoch [{epoch}/{num_epochs}], [{tcfg.mode[:3].upper()}], "
@@ -643,6 +824,7 @@ class TransferTrainer(MultitaskTrainer):
             self.epochs_since_improvement["emotion"] = (
                 0 if is_best else self.epochs_since_improvement["emotion"] + 1)
             self.save(epoch, is_best)
+        self._clear_progress()
         return {"best_bleu4": self.best_bleu4}
 
 

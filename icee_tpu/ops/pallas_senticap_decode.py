@@ -14,8 +14,9 @@ This kernel runs the WHOLE search for a block of images inside one
 
 - w_lstm / head / embedding have constant index maps: DMA'd from HBM once
   per launch, VMEM-resident across all steps,
-- rows are beam-major per block (row ``p*n_img + i`` = beam slot ``p`` of
-  image ``i``) so all cross-beam work is static slices + masked sums,
+- rows are beam-major per stream per block (row ``s*rows2 + p*n2 + i`` =
+  beam slot ``p`` of stream-local image ``i``) so all cross-beam work is
+  static slices + masked sums,
 - step 0 consumes the visual pseudo-word ``v @ wvm + bmv``
   (``mrnn.py:390-391``; computed outside the kernel, one batched matmul),
   with only beam 0 live (``lp0 = [0, inf, ...]`` — no special-casing),
@@ -23,19 +24,25 @@ This kernel runs the WHOLE search for a block of images inside one
   [i, f, o, cellcand] and the ``hh = og * cc`` quirk (``mrnn.py:404-440``),
 - scoring is ``-log2(softmax(logits) + 1e-37)`` accumulated per word; the
   head runs in TWO passes so the top-k keys are the exact nll values the
-  host uses: pass A computes vocab-tiled logits into a VMEM stash plus the
-  streaming (max, sumexp); pass B converts the stash to nll and takes the
-  per-row top-``beam`` with lowest-index tie-break.  Selecting by raw
-  logits would misorder saturation ties — every token with
-  ``p < ~1e-38`` collapses to the same nll ``-log2(1e-37)``, and the host
-  breaks those ties by index, not by logit,
+  host uses: pass A computes vocab-tiled ``exp(logit - max)`` into a VMEM
+  stash plus the streaming (max, sumexp); pass B converts the stash to nll
+  and takes the per-row top-``beam`` with lowest-index tie-break.
+  Selecting by raw logits would misorder nll ties — every token with
+  ``p < ~1e-38`` collapses to the same ``-log2(1e-37)`` plateau, and the
+  host breaks those ties by index, not by logit,
 - completed candidates (STOP token, or ``t == max_len``) update the
   per-image running best by length-normalized score ``lp / (t+1)`` with
   strict-< improvement and insertion-order (row-major, then rank)
   tie-break; survivors are the ``beam`` lowest accumulated-nll non-stop
   candidates (ties -> lowest candidate index),
 - the next-token embedding is the exact one-hot matmul trick of
-  ``ops/pallas_beam.py``.
+  ``ops/pallas_beam.py``,
+- ``n_streams=2`` splits each block into two independent image halves and
+  emits their phases interleaved — stream A's nll top-k / beam select
+  (VPU) sits adjacent to stream B's head / embedding matmuls (MXU), which
+  the Mosaic scheduler overlaps (the ``ops/pallas_beam.py`` probe: the
+  f32 head + one-hot embedding matmuls and the 20-deep top-k are the two
+  cost centers, and they run on different units).
 
 Not covered (kept on the XLA device-beam path): the switched two-LSTM
 variant (its mixture head + attention trace; ``senticap/switched.py``) and
@@ -44,8 +51,14 @@ caller cannot silently get wrong math.
 
 Token/score-exact equivalence against ``make_device_beam`` (itself
 token-equivalent to the host ``beam_decode`` oracle) is tested in interpret
-mode in ``tests/test_pallas_senticap_decode.py``; hardware token-exactness
-is checked by ``scripts/check_senticap_mega.py``.
+mode in ``tests/test_pallas_senticap_decode.py`` — interpret mode shares
+XLA's matmul arithmetic, so this proves the ALGORITHM is exact.  On
+hardware the Mosaic f32 matmul accumulates in a different order than XLA's,
+so a rank tie deeper than ~1e-6 in accumulated nll can legitimately flip
+winners (a random-init model repeats its single best word, whose margin to
+the runner-up can sit exactly in that window); ``scripts/
+check_senticap_mega.py`` therefore checks margin-aware equivalence: tokens
+may differ only where the two beams' scores agree within f32 rounding.
 """
 
 from __future__ import annotations
@@ -63,15 +76,191 @@ BIG = 2**30
 INF = float(np.inf)  # python float: a jnp scalar would be a captured const
 
 
+def _stream_head(hh_s, w_ref, b_ref, e_scr, *, row0, rows2, v_tile, n_vt):
+    """Pass A for one stream: vocab-tiled logits -> exp(l - m) stash +
+    streaming (max, sumexp).  Single-tile default = exactly
+    ``jax.nn.softmax``'s (max, sum, exp) tensors, so ``p = e / se``
+    reproduces the XLA beam's probabilities bit-for-bit."""
+    run_m = jnp.full((rows2, 1), -INF, jnp.float32)
+    run_se = jnp.zeros((rows2, 1), jnp.float32)
+    if n_vt == 1:
+        logits = (jnp.dot(hh_s, w_ref[:], preferred_element_type=jnp.float32)
+                  + b_ref[0, :])
+        run_m = jnp.max(logits, axis=1, keepdims=True)
+        e = jnp.exp(logits - run_m)
+        e_scr[row0:row0 + rows2, :] = e
+        run_se = jnp.sum(e, axis=1, keepdims=True)
+        return run_m, run_se, True
+    for j in range(n_vt):
+        logits = (jnp.dot(hh_s, w_ref[:, j * v_tile:(j + 1) * v_tile],
+                          preferred_element_type=jnp.float32)
+                  + b_ref[0, j * v_tile:(j + 1) * v_tile])
+        # tiled case: stash raw logits (the running max shifts per tile)
+        e_scr[row0:row0 + rows2, j * v_tile:(j + 1) * v_tile] = logits
+        m_new = jnp.maximum(run_m, jnp.max(logits, axis=1, keepdims=True))
+        run_se = run_se * jnp.exp(run_m - m_new) + jnp.sum(
+            jnp.exp(logits - m_new), axis=1, keepdims=True)
+        run_m = m_new
+    return run_m, run_se, False
+
+
+def _stream_topk(e_scr, run_m, run_se, stash_is_exp, *, row0, rows2, beam,
+                 v_tile, n_vt):
+    """Pass B for one stream: exact per-row top-``beam`` of -nll where
+    ``nll = -log2(p + 1e-37)``; ties -> lowest token index (lax.top_k)."""
+    col_t = jax.lax.broadcasted_iota(jnp.int32, (rows2, v_tile), 1)
+    best_v = best_i = None
+    for j in range(n_vt):
+        stash = e_scr[row0:row0 + rows2, j * v_tile:(j + 1) * v_tile]
+        if stash_is_exp:
+            p = stash / run_se
+        else:
+            p = jnp.exp(stash - run_m) / run_se
+        neg_nll = jnp.log2(p + 1e-37)                      # higher = better
+        cur, colj = neg_nll, col_t + j * v_tile
+        tv, ti = [], []
+        for it in range(beam):
+            m = jnp.max(cur, axis=1, keepdims=True)
+            idx = jnp.min(jnp.where(cur == m, colj, BIG), axis=1,
+                          keepdims=True)
+            tv.append(m)
+            ti.append(idx)
+            if it + 1 < beam:
+                cur = jnp.where(colj == idx, -INF, cur)
+        tv = jnp.concatenate(tv, 1)                        # (rows2, beam)
+        ti = jnp.concatenate(ti, 1)
+        if best_v is None:
+            best_v, best_i = tv, ti
+        else:                                              # merge tiles
+            cv = jnp.concatenate([best_v, tv], axis=1)
+            ci = jnp.concatenate([best_i, ti], axis=1)
+            pos = jax.lax.broadcasted_iota(jnp.int32, cv.shape, 1)
+            mv, mi = [], []
+            for it in range(beam):
+                m = jnp.max(cv, axis=1, keepdims=True)
+                # value ties -> lowest token index (per-tile lists are
+                # index-sorted within equal values, tiles ordered by base)
+                iw = jnp.min(jnp.where(cv == m, ci, BIG), axis=1,
+                             keepdims=True)
+                pk = jnp.min(jnp.where((cv == m) & (ci == iw), pos, BIG),
+                             axis=1, keepdims=True)
+                mv.append(m)
+                mi.append(iw)
+                if it + 1 < beam:
+                    cv = jnp.where(pos == pk, -INF, cv)
+            best_v, best_i = jnp.concatenate(mv, 1), jnp.concatenate(mi, 1)
+    return -best_v, best_i                                 # (nll, token)
+
+
+def _stream_select(t, nll_top, idx_top, hh_s, cc_s,
+                   tok_ref, len_ref, score_ref,
+                   h_scr, c_scr, seqs_scr, lp_scr,
+                   *, beam, n2, h_dim, seq_len, max_len, stop_token,
+                   row0, img0):
+    """Beam bookkeeping for one stream: candidate merge, best-completed
+    tracking, survivor selection, state/sequence gather.  Returns the
+    selected next words (n2, beam)."""
+    i1 = img0 + n2
+    parts_s, parts_w = [], []
+    for p in range(beam):
+        nl = nll_top[p * n2:(p + 1) * n2, :]               # (n2, beam)
+        iw = idx_top[p * n2:(p + 1) * n2, :]
+        parts_s.append(lp_scr[img0:i1, p:p + 1] + nl)      # inf for dead
+        parts_w.append(iw)
+    totals = jnp.concatenate(parts_s, axis=1)              # (n2, beam^2)
+    cand_w = jnp.concatenate(parts_w, axis=1)
+    k2 = beam * beam
+    cand_iota = jax.lax.broadcasted_iota(jnp.int32, (n2, k2), 1)
+
+    is_stop = (cand_w == stop_token) | (t == max_len)
+    norm = totals / (t + 1).astype(jnp.float32)
+
+    # best-completed: min normalized score, strict <, first (lowest
+    # candidate index) tie-break — the host argmin order
+    comp = jnp.where(is_stop, norm, INF)
+    best_val = jnp.min(comp, axis=1, keepdims=True)        # (n2, 1)
+    ci_best = jnp.min(jnp.where(comp == best_val, cand_iota, BIG), axis=1,
+                      keepdims=True)
+    best_word = jnp.sum(jnp.where(cand_iota == ci_best, cand_w, 0), axis=1,
+                        keepdims=True)
+    improves = best_val < score_ref[img0:i1]
+    col_l = jax.lax.broadcasted_iota(jnp.int32, (n2, seq_len), 1)
+    best_seq = jnp.zeros((n2, seq_len), jnp.int32)
+    for p in range(beam):                                  # parent's prefix
+        sel = ((ci_best // beam) == p).astype(jnp.int32)
+        best_seq = best_seq + sel * seqs_scr[row0 + p * n2:
+                                             row0 + (p + 1) * n2, :]
+    best_seq = jnp.where(col_l == t, best_word, best_seq)
+    tok_ref[img0:i1] = jnp.where(improves, best_seq, tok_ref[img0:i1])
+    len_ref[img0:i1] = jnp.where(improves, t + 1, len_ref[img0:i1])
+    score_ref[img0:i1] = jnp.where(improves, best_val, score_ref[img0:i1])
+
+    # survivors: `beam` lowest accumulated nll among non-stop candidates,
+    # ties -> lowest candidate index (lax.top_k(-live))
+    live = jnp.where(is_stop, INF, totals)
+    new_lp, picks, words = [], [], []
+    cur = live
+    for _ in range(beam):
+        m = jnp.min(cur, axis=1, keepdims=True)
+        pick = jnp.min(jnp.where(cur == m, cand_iota, BIG), axis=1,
+                       keepdims=True)
+        word = jnp.sum(jnp.where(cand_iota == pick, cand_w, 0), axis=1,
+                       keepdims=True)
+        new_lp.append(m)
+        picks.append(pick)
+        words.append(word)
+        cur = jnp.where(cand_iota == pick, INF, cur)
+    new_lp = jnp.concatenate(new_lp, axis=1)               # (n2, beam)
+    prev = jnp.concatenate(picks, axis=1) // beam
+    words = jnp.concatenate(words, axis=1)                 # (n2, beam)
+
+    # state/sequence gather by parent slot — as ONE one-hot selection-matrix
+    # matmul per tensor instead of beam^2 masked-sum passes (the probe
+    # measured the 400-iteration masked-sum loop at ~31% of the whole
+    # kernel; the (rows2, rows2) @ (rows2, H) dot is trivial MXU work).
+    # Row layout is slot-major (slot p of local image i at row p*n2 + i),
+    # so new row q*n2+i takes old row prev[i, q]*n2 + i.
+    # Mosaic note: the flat (rows2, 1) vectors are built by masked-sum
+    # lane reduction THEN sublane concat — sublane-concat of lane-OFFSET
+    # slices (prev[:, q:q+1]) is the known-unsupported pattern.
+    rows2 = n2 * beam
+    rank = jax.lax.broadcasted_iota(jnp.int32, (n2, beam), 1)
+    parent_slot = jnp.concatenate(
+        [jnp.sum(jnp.where(rank == q, prev, 0), axis=1, keepdims=True)
+         for q in range(beam)], axis=0)                    # (rows2, 1)
+    flat_words = jnp.concatenate(
+        [jnp.sum(jnp.where(rank == q, words, 0), axis=1, keepdims=True)
+         for q in range(beam)], axis=0)                    # (rows2, 1)
+    col_r = jax.lax.broadcasted_iota(jnp.int32, (rows2, rows2), 1)
+    row_img = jax.lax.broadcasted_iota(jnp.int32, (rows2, 1), 0) % n2
+    sel = (col_r == parent_slot * n2 + row_img).astype(jnp.float32)
+    new_h = jnp.dot(sel, hh_s, preferred_element_type=jnp.float32)
+    new_c = jnp.dot(sel, cc_s, preferred_element_type=jnp.float32)
+    # token ids < 2^24: exact through the f32 one-hot matmul
+    old_seqs = seqs_scr[row0:row0 + rows2, :].astype(jnp.float32)
+    new_seqs = jnp.dot(sel, old_seqs,
+                       preferred_element_type=jnp.float32).astype(jnp.int32)
+    col_lr = jax.lax.broadcasted_iota(jnp.int32, (rows2, seq_len), 1)
+    new_seqs = jnp.where(col_lr == t, flat_words, new_seqs)
+    r1 = row0 + rows2
+    seqs_scr[row0:r1] = new_seqs
+    h_scr[row0:r1] = new_h
+    c_scr[row0:r1] = new_c
+    lp_scr[img0:i1] = new_lp
+    return flat_words
+
+
 def _kernel(x0_ref, emb_ref, wl_ref, w_ref, b_ref,
             tok_ref, len_ref, score_ref,
-            h_scr, c_scr, x_scr, seqs_scr, lp_scr, logits_scr,
+            h_scr, c_scr, x_scr, seqs_scr, lp_scr, e_scr,
             *, beam: int, n_img: int, e_dim: int, h_dim: int,
-            v_tile: int, vocab: int, max_len: int, stop_token: int):
+            v_tile: int, vocab: int, max_len: int, stop_token: int,
+            n_streams: int, profile: str = "full"):
     t = pl.program_id(1)
-    rows = n_img * beam
     n_vt = vocab // v_tile
     seq_len = max_len + 1
+    n2 = n_img // n_streams
+    rows2 = n2 * beam
 
     @pl.when(t == 0)
     def _init():
@@ -97,161 +286,70 @@ def _kernel(x0_ref, emb_ref, wl_ref, w_ref, b_ref,
     cc = fg * c_scr[:] + ig * jnp.tanh(z[:, 3 * h_dim:])
     hh = og * cc                                           # quirk: no tanh
 
-    # --- head pass A: vocab-tiled logits into the VMEM stash + streaming
-    # (row max, sum-exp).  With the default single tile this is exactly
-    # jax.nn.softmax's (max, sum) pair, so probs match the XLA beam
-    # bit-for-bit.
-    run_m = jnp.full((rows, 1), -INF, jnp.float32)
-    run_se = jnp.zeros((rows, 1), jnp.float32)
-    for j in range(n_vt):
-        logits = (jnp.dot(hh, w_ref[:, j * v_tile:(j + 1) * v_tile],
-                          preferred_element_type=jnp.float32)
-                  + b_ref[0, j * v_tile:(j + 1) * v_tile])
-        logits_scr[:, j * v_tile:(j + 1) * v_tile] = logits
-        m_new = jnp.maximum(run_m, jnp.max(logits, axis=1, keepdims=True))
-        run_se = run_se * jnp.exp(run_m - m_new) + jnp.sum(
-            jnp.exp(logits - m_new), axis=1, keepdims=True)
-        run_m = m_new
+    # --- pass A for every stream first: the head matmuls queue on the MXU
+    # so stream s+1's head overlaps stream s's (VPU) top-k below
+    heads = []
+    for s in range(n_streams):
+        r0 = s * rows2
+        heads.append(_stream_head(
+            hh[r0:r0 + rows2], w_ref, b_ref, e_scr,
+            row0=r0, rows2=rows2, v_tile=v_tile, n_vt=n_vt))
 
-    # --- head pass B: exact per-row top-`beam` of the nll surface
-    # nll = -log2(p + 1e-37); ties (incl. the saturated-p plateau) ->
-    # lowest token index, matching lax.top_k over -nll.
-    col_t = jax.lax.broadcasted_iota(jnp.int32, (rows, v_tile), 1)
-    best_v = None
-    for j in range(n_vt):
-        p = jnp.exp(logits_scr[:, j * v_tile:(j + 1) * v_tile] - run_m) \
-            / run_se
-        neg_nll = jnp.log2(p + 1e-37)                     # higher = better
-        cur, colj = neg_nll, col_t + j * v_tile
-        tv, ti = [], []
-        for it in range(beam):
-            m = jnp.max(cur, axis=1, keepdims=True)
-            idx = jnp.min(jnp.where(cur == m, colj, BIG), axis=1,
-                          keepdims=True)
-            tv.append(m)
-            ti.append(idx)
-            if it + 1 < beam:
-                cur = jnp.where(colj == idx, -INF, cur)
-        tv = jnp.concatenate(tv, 1)                        # (rows, beam)
-        ti = jnp.concatenate(ti, 1)
-        if best_v is None:
-            best_v, best_i = tv, ti
-        else:                                              # merge tiles
-            cv = jnp.concatenate([best_v, tv], axis=1)
-            ci = jnp.concatenate([best_i, ti], axis=1)
-            pos = jax.lax.broadcasted_iota(jnp.int32, cv.shape, 1)
-            mv, mi = [], []
-            for it in range(beam):
-                m = jnp.max(cv, axis=1, keepdims=True)
-                # value ties -> lowest token index (per-tile lists are
-                # index-sorted within equal values, tiles ordered by base)
-                iw = jnp.min(jnp.where(cv == m, ci, BIG), axis=1,
-                             keepdims=True)
-                pk = jnp.min(jnp.where((cv == m) & (ci == iw), pos, BIG),
-                             axis=1, keepdims=True)
-                mv.append(m)
-                mi.append(iw)
-                if it + 1 < beam:
-                    cv = jnp.where(pos == pk, -INF, cv)
-            best_v, best_i = jnp.concatenate(mv, 1), jnp.concatenate(mi, 1)
-    nll_top = -best_v                                      # (rows, beam)
-    idx_top = best_i
+    for s in range(n_streams):
+        r0 = s * rows2
+        run_m, run_se, stash_is_exp = heads[s]
+        if profile == "no_topk":
+            # perf probe: stub pass B with cheap data-dependent junk
+            nll_top = run_m + run_se * 1e-30 + jax.lax.broadcasted_iota(
+                jnp.int32, (rows2, beam), 1).astype(jnp.float32)
+            idx_top = (jax.lax.broadcasted_iota(
+                jnp.int32, (rows2, beam), 1) + 3
+                + (run_se * 1e-30).astype(jnp.int32))
+        else:
+            nll_top, idx_top = _stream_topk(
+                e_scr, run_m, run_se, stash_is_exp,
+                row0=r0, rows2=rows2, beam=beam, v_tile=v_tile, n_vt=n_vt)
+        if profile == "no_select":
+            flat_w = (idx_top[:, :1] % (e_scr.shape[1] - 1))
+            h_scr[r0:r0 + rows2] = hh[r0:r0 + rows2] * 1.0
+            c_scr[r0:r0 + rows2] = cc[r0:r0 + rows2] * 1.0
+            lp_scr[s * n2:(s + 1) * n2, :] = nll_top[:n2, :]
+            tok_ref[s * n2:(s + 1) * n2, :] = (
+                tok_ref[s * n2:(s + 1) * n2, :] + idx_top[:n2, :1] % 2)
+        else:
+            flat_w = _stream_select(
+                t, nll_top, idx_top, hh[r0:r0 + rows2],
+                cc[r0:r0 + rows2],
+                tok_ref, len_ref, score_ref, h_scr, c_scr, seqs_scr, lp_scr,
+                beam=beam, n2=n2, h_dim=h_dim, seq_len=seq_len,
+                max_len=max_len, stop_token=stop_token, row0=r0, img0=s * n2)
 
-    # --- per-image candidate merge: index p*beam + q (row-major, the
-    # reshape(-1) order of senticap/beam.py's (B, K) candidates)
-    parts_s, parts_w = [], []
-    for p in range(beam):
-        nl = nll_top[p * n_img:(p + 1) * n_img, :]         # (n_img, beam)
-        iw = idx_top[p * n_img:(p + 1) * n_img, :]
-        parts_s.append(lp_scr[:, p:p + 1] + nl)            # inf for dead
-        parts_w.append(iw)
-    totals = jnp.concatenate(parts_s, axis=1)              # (n_img, beam^2)
-    cand_w = jnp.concatenate(parts_w, axis=1)
-    k2 = beam * beam
-    cand_iota = jax.lax.broadcasted_iota(jnp.int32, (n_img, k2), 1)
-
-    is_stop = (cand_w == stop_token) | (t == max_len)
-    norm = totals / (t + 1).astype(jnp.float32)
-
-    # --- best-completed tracking: min normalized score, strict <,
-    # first (lowest candidate index) tie-break (host argmin order)
-    comp = jnp.where(is_stop, norm, INF)
-    best_val = jnp.min(comp, axis=1, keepdims=True)        # (n_img, 1)
-    ci_best = jnp.min(jnp.where(comp == best_val, cand_iota, BIG), axis=1,
-                      keepdims=True)
-    best_word = jnp.sum(jnp.where(cand_iota == ci_best, cand_w, 0), axis=1,
-                        keepdims=True)
-    improves = best_val < score_ref[:]
-    col_l = jax.lax.broadcasted_iota(jnp.int32, (n_img, seq_len), 1)
-    best_seq = jnp.zeros((n_img, seq_len), jnp.int32)
-    for p in range(beam):                                  # parent's prefix
-        sel = ((ci_best // beam) == p).astype(jnp.int32)
-        best_seq = best_seq + sel * seqs_scr[p * n_img:(p + 1) * n_img, :]
-    best_seq = jnp.where(col_l == t, best_word, best_seq)
-    tok_ref[:] = jnp.where(improves, best_seq, tok_ref[:])
-    len_ref[:] = jnp.where(improves, t + 1, len_ref[:])
-    score_ref[:] = jnp.where(improves, best_val, score_ref[:])
-
-    # --- survivors: `beam` lowest accumulated nll among non-stop
-    # candidates, ties -> lowest candidate index (lax.top_k(-live))
-    live = jnp.where(is_stop, INF, totals)
-    new_lp, picks, words = [], [], []
-    cur = live
-    for _ in range(beam):
-        m = jnp.min(cur, axis=1, keepdims=True)
-        pick = jnp.min(jnp.where(cur == m, cand_iota, BIG), axis=1,
-                       keepdims=True)
-        word = jnp.sum(jnp.where(cand_iota == pick, cand_w, 0), axis=1,
-                       keepdims=True)
-        new_lp.append(m)
-        picks.append(pick)
-        words.append(word)
-        cur = jnp.where(cand_iota == pick, INF, cur)
-    new_lp = jnp.concatenate(new_lp, axis=1)               # (n_img, beam)
-    prev = jnp.concatenate(picks, axis=1) // beam
-    words = jnp.concatenate(words, axis=1)                 # (n_img, beam)
-
-    # --- state/sequence gather by parent slot (masked sums) ---
-    rank = jax.lax.broadcasted_iota(jnp.int32, (n_img, beam), 1)
-    new_seqs, new_h, new_c = [], [], []
-    for q in range(beam):
-        sq = jnp.zeros((n_img, seq_len), jnp.int32)
-        hq = jnp.zeros((n_img, h_dim), jnp.float32)
-        cq = jnp.zeros((n_img, h_dim), jnp.float32)
-        for p in range(beam):
-            sel_i = (prev[:, q:q + 1] == p).astype(jnp.int32)
-            sel_f = sel_i.astype(jnp.float32)
-            sq = sq + sel_i * seqs_scr[p * n_img:(p + 1) * n_img, :]
-            hq = hq + sel_f * hh[p * n_img:(p + 1) * n_img, :]
-            cq = cq + sel_f * cc[p * n_img:(p + 1) * n_img, :]
-        sq = jnp.where(col_l == t, words[:, q:q + 1], sq)
-        new_seqs.append(sq)
-        new_h.append(hq)
-        new_c.append(cq)
-    seqs_scr[:] = jnp.concatenate(new_seqs, axis=0)
-    h_scr[:] = jnp.concatenate(new_h, axis=0)
-    c_scr[:] = jnp.concatenate(new_c, axis=0)
-    lp_scr[:] = new_lp
-
-    # --- next input: x = onehot(words) @ wemb, vocab-tiled (exact) ---
-    flat_w = jnp.concatenate(
-        [jnp.sum(jnp.where(rank == q, words, 0), axis=1, keepdims=True)
-         for q in range(beam)], axis=0)                    # (rows, 1)
-    x_new = jnp.zeros((rows, e_dim), jnp.float32)
-    for j in range(n_vt):
-        col_v = j * v_tile + jax.lax.broadcasted_iota(
-            jnp.int32, (rows, v_tile), 1)
-        onehot = (col_v == flat_w).astype(jnp.float32)
-        x_new = x_new + jnp.dot(
-            onehot, emb_ref[j * v_tile:(j + 1) * v_tile, :],
-            preferred_element_type=jnp.float32)
-    x_scr[:] = x_new
+        if profile == "no_embed":
+            x_scr[r0:r0 + rows2] = (
+                x_scr[r0:r0 + rows2]
+                + jnp.sum(flat_w.astype(jnp.float32)) * 1e-30)
+            continue
+        # next input: x = onehot(words) @ wemb, vocab-tiled.  Exact: the
+        # f32 dot's split-accumulate reconstructs the single selected row
+        # bit-for-bit (one 1.0 times the row).  MXU work that overlaps the
+        # NEXT stream's top-k/select.  flat_w is the already-flattened
+        # (rows2, 1) slot-major word column from _stream_select.
+        x_new = jnp.zeros((rows2, e_dim), jnp.float32)
+        for j in range(n_vt):
+            col_v = j * v_tile + jax.lax.broadcasted_iota(
+                jnp.int32, (rows2, v_tile), 1)
+            onehot = (col_v == flat_w).astype(jnp.float32)
+            x_new = x_new + jnp.dot(
+                onehot, emb_ref[j * v_tile:(j + 1) * v_tile, :],
+                preferred_element_type=jnp.float32)
+        x_scr[r0:r0 + rows2] = x_new
 
 
 @functools.partial(
     jax.jit,
     static_argnames=("batch", "beam_size", "max_len", "stop_token",
-                     "n_img_block", "v_tile", "interpret"))
+                     "n_img_block", "v_tile", "n_streams", "interpret",
+                     "_profile"))
 def mega_senticap_beam_decode(
     params: dict,
     v_feats: jax.Array,          # (B, visual) image features
@@ -261,7 +359,9 @@ def mega_senticap_beam_decode(
     stop_token: int = 0,
     n_img_block: int = 16,
     v_tile: int = 0,             # 0 -> one tile spanning the padded vocab
+    n_streams: int = 1,
     interpret: bool = False,
+    _profile: str = "full",
 ) -> Tuple[jax.Array, jax.Array, jax.Array]:
     """Whole-search SentiCap beam decode for ``batch`` images (base mRNN,
     ``SOFTMAX_OUT`` softmax head, no BATCH_NORM — the COCO/test regime).
@@ -279,9 +379,12 @@ def mega_senticap_beam_decode(
     x0 = v_feats @ params["wvm"] + params["bmv"]           # (B, E)
 
     n_img_block = min(n_img_block, batch)
+    if n_img_block % n_streams:
+        n_streams = 1
     bp = -(-batch // n_img_block) * n_img_block
     n_blocks = bp // n_img_block
     rows_blk = n_img_block * beam_size
+    n2 = n_img_block // n_streams
 
     # pad vocab to a lane multiple; padded head bias -inf-like so padded
     # tokens get p=0 exactly (exp underflow) and never rank
@@ -297,16 +400,17 @@ def mega_senticap_beam_decode(
 
     if bp != batch:
         x0 = jnp.pad(x0, ((0, bp - batch), (0, 0)))
-    # beam-major rows per block: row p*n_img + i = slot p of local image i
+    # stream-beam-major rows per block: row s*rows2 + p*n2 + i = beam slot
+    # p of stream s's local image i
     x0 = jnp.broadcast_to(
-        x0.reshape(n_blocks, 1, n_img_block, e_dim),
-        (n_blocks, beam_size, n_img_block, e_dim)
+        x0.reshape(n_blocks, n_streams, 1, n2, e_dim),
+        (n_blocks, n_streams, beam_size, n2, e_dim)
     ).reshape(bp * beam_size, e_dim)
 
     kernel = functools.partial(
         _kernel, beam=beam_size, n_img=n_img_block, e_dim=e_dim,
         h_dim=h_dim, v_tile=v_tile, vocab=vp, max_len=max_len,
-        stop_token=stop_token)
+        stop_token=stop_token, n_streams=n_streams, profile=_profile)
 
     vmem = pltpu.VMEM
     full = lambda *shape: pl.BlockSpec(  # noqa: E731
@@ -342,7 +446,7 @@ def mega_senticap_beam_decode(
             pltpu.VMEM((rows_blk, e_dim), jnp.float32),     # x
             pltpu.VMEM((rows_blk, seq_len), jnp.int32),     # seqs
             pltpu.VMEM((n_img_block, beam_size), jnp.float32),  # lp
-            pltpu.VMEM((rows_blk, vp), jnp.float32),        # logits stash
+            pltpu.VMEM((rows_blk, vp), jnp.float32),        # e / logits
         ],
         out_shape=out_shape,
         compiler_params=compiler_params,

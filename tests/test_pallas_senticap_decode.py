@@ -26,11 +26,13 @@ def _setup(vocab=96, emb=16, hidden=16, visual=24, seed=0):
     return conf, params
 
 
-@pytest.mark.parametrize("beam,batch,max_len,n_img_block",
-                         [(5, 5, 6, 2),      # padding: 5 imgs in 2-blocks
-                          (20, 3, 8, 3),     # the reference beam width
-                          (5, 4, 4, 4)])
-def test_mega_matches_device_beam(beam, batch, max_len, n_img_block):
+@pytest.mark.parametrize("beam,batch,max_len,n_img_block,n_streams",
+                         [(5, 5, 6, 2, 1),   # padding: 5 imgs in 2-blocks
+                          (20, 3, 8, 3, 1),  # the reference beam width
+                          (5, 4, 4, 4, 2),   # two interleaved streams
+                          (5, 4, 4, 4, 1)])
+def test_mega_matches_device_beam(beam, batch, max_len, n_img_block,
+                                  n_streams):
     conf, params = _setup()
     rng = np.random.default_rng(7)
     v = jnp.asarray(rng.standard_normal((batch, conf["visual_size"])),
@@ -43,7 +45,7 @@ def test_mega_matches_device_beam(beam, batch, max_len, n_img_block):
 
     got_sc, got_seq, got_len = mega_senticap_beam_decode(
         params, v, batch, beam_size=beam, max_len=max_len,
-        n_img_block=n_img_block, interpret=True)
+        n_img_block=n_img_block, n_streams=n_streams, interpret=True)
 
     for i in range(batch):
         n = int(want_len[i])

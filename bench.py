@@ -51,13 +51,21 @@ TRAIN_B, TRAIN_T = 64, 25  # reference multitask regime batch/caption length
 
 def _median_per_batch(fn, stacked, n_inner):
     """Time ``fn(stacked)`` (one dispatch running ``n_inner`` batches
-    in-program); return (median, best) seconds per batch."""
+    in-program); return (median, best, per-rep times) seconds per batch."""
     times = []
     for _ in range(REPS):
         t0 = time.perf_counter()
         np.asarray(fn(stacked))
         times.append((time.perf_counter() - t0) / n_inner)
-    return float(np.median(times)), float(np.min(times))
+    return float(np.median(times)), float(np.min(times)), times
+
+
+def _spread_ms(times):
+    """p10/p50/p90 of per-rep seconds -> milliseconds (VERDICT r3 #3: a
+    single median per metric makes regressions indistinguishable from
+    session drift; the spread answers it from one file)."""
+    a = np.asarray(times) * 1e3
+    return [round(float(np.percentile(a, q)), 3) for q in (10, 50, 90)]
 
 
 def bench_calibration(jax, jnp):
@@ -142,8 +150,8 @@ def bench_decode(jax, jnp, dec, feats_stack, style):
             print(f"# decode path '{name}' unavailable "
                   f"({type(e).__name__}); falling back")
             continue
-        med, best = _median_per_batch(many, feats_stack, PIPELINE)
-        return name, med, best
+        med, best, times = _median_per_batch(many, feats_stack, PIPELINE)
+        return name, med, best, times
     raise RuntimeError("no decode path compiled")
 
 
@@ -175,8 +183,8 @@ def bench_att_decode(jax, jnp):
 
     many = jax.jit(lambda fs: jax.lax.map(run, fs))
     np.asarray(many(stack))  # compile + warmup
-    med, _ = _median_per_batch(many, stack, ATT_PIPELINE)
-    return med
+    med, _, times = _median_per_batch(many, stack, ATT_PIPELINE)
+    return med, times
 
 
 ATT_TRAIN_B = 128
@@ -231,7 +239,7 @@ def bench_att_train(jax, jnp, fused=None):
         t0 = time.perf_counter()
         np.asarray(many(dec, opt_state))
         times.append((time.perf_counter() - t0) / n_inner)
-    return float(np.median(times))
+    return float(np.median(times)), times
 
 
 BB_BATCH, BB_SIZE = 64, 224
@@ -312,7 +320,7 @@ def bench_train(jax, jnp, fused_scan, batch=TRAIN_B):
         t0 = time.perf_counter()
         np.asarray(many(dec, head, opt_state))
         times.append((time.perf_counter() - t0) / n_inner)
-    return float(np.median(times))
+    return float(np.median(times)), times
 
 
 EPOCH_N, EPOCH_B = 4096, 512
@@ -484,7 +492,7 @@ def bench_senticap(jax, jnp, fused=None):
         t0 = time.perf_counter()
         np.asarray(many(params, opt_state))
         times.append((time.perf_counter() - t0) / 16)
-    return float(np.median(times))
+    return float(np.median(times)), times
 
 
 def bench_senticap_switched(jax, jnp, fused=None):
@@ -535,42 +543,67 @@ def bench_senticap_switched(jax, jnp, fused=None):
         t0 = time.perf_counter()
         np.asarray(many(params, opt_state))
         times.append((time.perf_counter() - t0) / 16)
-    return float(np.median(times))
+    return float(np.median(times)), times
 
 
 SC_DECODE_N = 64
 
 
-def bench_senticap_decode(jax, jnp):
-    """SentiCap test-path decode throughput: the whole-search device beam
-    (``senticap/beam.make_device_beam``) vmapped over SC_DECODE_N images in
-    ONE dispatch (beam 20, max len 20, base mRNN at the COCO regime) —
-    captions/sec.  The reference drives its compiled one_step per beam per
-    token from Python (``mrnn_algorithms.py:159-209``)."""
+def bench_senticap_decode(jax, jnp, mega=True):
+    """SentiCap test-path decode throughput (beam 20, max len 20, base mRNN
+    at the COCO regime), captions/sec over SC_DECODE_N images.
+
+    ``mega=True``: the whole-search Pallas kernel
+    (``ops/pallas_senticap_decode.py``, VERDICT r3 #2) — weights
+    VMEM-resident across all steps.  ``mega=False``: the XLA comparator,
+    the vmapped whole-search device beam
+    (``senticap/beam.make_device_beam``).  The reference drives its
+    compiled one_step per beam per token from Python
+    (``mrnn_algorithms.py:159-209``)."""
     from icee_tpu.senticap import model as sc_model
-    from icee_tpu.senticap.beam import make_device_beam
     from icee_tpu.senticap.config import senticap_conf
-    from icee_tpu.senticap.train import make_beam_step
 
     conf = senticap_conf(emb_size=512, lstm_hidden_size=512)
     params = sc_model.init_params(jax.random.PRNGKey(0), SC_VOCAB, conf)
-    make = make_beam_step(params, conf, switched=False)
-    dec = make_device_beam(make(-1.0), conf["lstm_hidden_size"],
-                           beam_size=20, max_len=conf["MAX_SENTENCE_LEN"])
     rng = np.random.default_rng(0)
-    stack = jnp.asarray(
-        rng.standard_normal((4, SC_DECODE_N, conf["visual_size"])),
-        jnp.float32)
+    max_len = conf["MAX_SENTENCE_LEN"]
 
-    many = jax.jit(lambda vs: jax.lax.map(
-        lambda v: jax.vmap(dec.run)(v)[1], vs))
+    if mega:
+        from icee_tpu.ops.pallas_senticap_decode import (
+            mega_senticap_beam_decode,
+        )
+
+        stack = jnp.asarray(
+            rng.standard_normal((4, SC_DECODE_N, conf["visual_size"])),
+            jnp.float32)
+        # nib=32/ns=2 measured best on hardware across two sessions
+        # (34.08 ms/64 imgs vs 37.71 at nib=8; re-sweep: 38.45 at ns=2 vs
+        # 41.90 at nib=8, ns=4 within noise at 38.24 —
+        # scripts/check_senticap_mega.py)
+        many = jax.jit(lambda vs: jax.lax.map(
+            lambda v: mega_senticap_beam_decode(
+                params, v, SC_DECODE_N, beam_size=20, max_len=max_len,
+                n_img_block=32, n_streams=2)[1], vs))
+    else:
+        from icee_tpu.senticap.beam import make_device_beam
+        from icee_tpu.senticap.train import make_beam_step
+
+        make = make_beam_step(params, conf, switched=False)
+        dec = make_device_beam(make(-1.0), conf["lstm_hidden_size"],
+                               beam_size=20, max_len=max_len)
+        stack = jnp.asarray(
+            rng.standard_normal((4, SC_DECODE_N, conf["visual_size"])),
+            jnp.float32)
+        many = jax.jit(lambda vs: jax.lax.map(
+            lambda v: jax.vmap(dec.run)(v)[1], vs))
+
     np.asarray(many(stack))  # compile + warmup
     times = []
     for _ in range(REPS):
         t0 = time.perf_counter()
         np.asarray(many(stack))
         times.append((time.perf_counter() - t0) / 4)
-    return SC_DECODE_N / float(np.median(times))
+    return SC_DECODE_N / float(np.median(times)), times
 
 
 S2S_B = 64
@@ -619,12 +652,12 @@ def bench_seq2seq(jax, jnp):
         return losses[-1]
 
     np.asarray(many(params, head, opt_state))
-    times = []
+    step_times = []
     for _ in range(REPS):
         t0 = time.perf_counter()
         np.asarray(many(params, head, opt_state))
-        times.append((time.perf_counter() - t0) / n_inner)
-    step_ms = float(np.median(times)) * 1e3
+        step_times.append((time.perf_counter() - t0) / n_inner)
+    step_ms = float(np.median(step_times)) * 1e3
 
     # batched greedy decode: 8 in-jit batches via lax.map
     feats_emb, _ = enc_mod.encode_global_from_pooled(
@@ -644,7 +677,7 @@ def bench_seq2seq(jax, jnp):
         np.asarray(decode_many(stack))
         times.append((time.perf_counter() - t0) / 8)
     dec_cps = S2S_B / float(np.median(times))
-    return step_ms, dec_cps
+    return step_ms, step_times, dec_cps
 
 
 def main():
@@ -679,7 +712,8 @@ def main():
         rng.standard_normal((PIPELINE, BATCH, K, E)), jnp.bfloat16)
     style = jnp.asarray(1)
 
-    path, med, best = bench_decode(jax, jnp, dec, feats_stack, style)
+    path, med, best, dec_times = bench_decode(jax, jnp, dec, feats_stack,
+                                               style)
     cps = BATCH / med
 
     try:
@@ -691,23 +725,24 @@ def main():
     # cheap (seconds-compile) metrics run BEFORE the attention mega kernel,
     # whose compile time varies 1-20 min on the remote-compile service —
     # under a tight driver timeout only the most expensive figure is lost
-    train_fused_ms = None
+    train_fused_ms, train_fused_times = None, None
     if not over_budget("fused train"):
         try:
-            train_fused_ms = bench_train(jax, jnp, fused_scan=True) * 1e3
+            tm, train_fused_times = bench_train(jax, jnp, fused_scan=True)
+            train_fused_ms = tm * 1e3
         except Exception as e:
             print(f"# fused train scan unavailable ({type(e).__name__})")
     train_xla_ms = None
     if not over_budget("xla train"):
         try:
-            train_xla_ms = bench_train(jax, jnp, fused_scan=False) * 1e3
+            train_xla_ms = bench_train(jax, jnp, fused_scan=False)[0] * 1e3
         except Exception as e:
             print(f"# xla train step failed ({type(e).__name__})")
     train_b512_ms = None
     if not over_budget("b512 train"):
         try:
             train_b512_ms = bench_train(jax, jnp, fused_scan=None,
-                                        batch=512) * 1e3
+                                        batch=512)[0] * 1e3
         except Exception as e:
             print(f"# b512 train step failed ({type(e).__name__})")
     epoch_cps = None
@@ -722,52 +757,96 @@ def main():
             epoch_dev_cps = bench_train_epoch_device(jax, jnp)
         except Exception as e:
             print(f"# device epoch train failed ({type(e).__name__})")
-    att_train_ms = None
+    att_train_ms, att_train_times, att_train_xla_ms = None, None, None
     if not over_budget("attention train"):
         # auto = the sampled whole-scan kernel at tf=0.8; if its hardware
         # compile fails, the XLA-scan retry keeps the metric alive
         try:
-            att_train_ms = bench_att_train(jax, jnp) * 1e3
+            tm, att_train_times = bench_att_train(jax, jnp)
+            att_train_ms = tm * 1e3
         except Exception as e:
             print(f"# att-train fused failed ({type(e).__name__}); XLA retry")
             try:
-                att_train_ms = bench_att_train(jax, jnp, fused=False) * 1e3
+                tm, att_train_times = bench_att_train(jax, jnp, fused=False)
+                att_train_ms = tm * 1e3
             except Exception as e2:
                 print(f"# attention train step failed ({type(e2).__name__})")
-    senticap_ms = None
+    if att_train_ms is not None and not over_budget("attention train xla"):
+        # always-on XLA comparator (VERDICT r3 #3): the 16.65-vs-12.71
+        # question answers itself when both paths sit in one JSON
+        try:
+            att_train_xla_ms = bench_att_train(jax, jnp,
+                                               fused=False)[0] * 1e3
+        except Exception as e:
+            print(f"# attention train XLA comparator failed "
+                  f"({type(e).__name__})")
+    senticap_ms, senticap_times, senticap_xla_ms = None, None, None
     if not over_budget("senticap train"):
         # first try the whole-scan kernel (auto default); if its hardware
         # compile fails, fall back to the XLA scan so the metric survives
         try:
-            senticap_ms = bench_senticap(jax, jnp) * 1e3
+            tm, senticap_times = bench_senticap(jax, jnp)
+            senticap_ms = tm * 1e3
         except Exception as e:
             print(f"# senticap fused failed ({type(e).__name__}); XLA retry")
             try:
-                senticap_ms = bench_senticap(jax, jnp, fused=False) * 1e3
+                tm, senticap_times = bench_senticap(jax, jnp, fused=False)
+                senticap_ms = tm * 1e3
             except Exception as e2:
                 print(f"# senticap train step failed ({type(e2).__name__})")
-    senticap_sw_ms = None
+    if senticap_ms is not None and not over_budget("senticap train xla"):
+        try:
+            senticap_xla_ms = bench_senticap(jax, jnp, fused=False)[0] * 1e3
+        except Exception as e:
+            print(f"# senticap XLA comparator failed ({type(e).__name__})")
+    senticap_sw_ms, senticap_sw_times, senticap_sw_xla_ms = None, None, None
     if not over_budget("senticap switched train"):
         try:
-            senticap_sw_ms = bench_senticap_switched(jax, jnp) * 1e3
+            tm, senticap_sw_times = bench_senticap_switched(jax, jnp)
+            senticap_sw_ms = tm * 1e3
         except Exception as e:
             print(f"# switched fused failed ({type(e).__name__}); XLA retry")
             try:
-                senticap_sw_ms = bench_senticap_switched(
-                    jax, jnp, fused=False) * 1e3
+                tm, senticap_sw_times = bench_senticap_switched(
+                    jax, jnp, fused=False)
+                senticap_sw_ms = tm * 1e3
             except Exception as e2:
                 print("# senticap switched step failed "
                       f"({type(e2).__name__})")
-    senticap_dec_cps = None
-    if not over_budget("senticap decode"):
+    if senticap_sw_ms is not None and not over_budget("switched xla"):
         try:
-            senticap_dec_cps = bench_senticap_decode(jax, jnp)
+            senticap_sw_xla_ms = bench_senticap_switched(
+                jax, jnp, fused=False)[0] * 1e3
         except Exception as e:
-            print(f"# senticap decode failed ({type(e).__name__})")
-    s2s_step_ms = s2s_dec_cps = None
+            print(f"# switched XLA comparator failed ({type(e).__name__})")
+    senticap_dec_cps, senticap_dec_times = None, None
+    senticap_dec_xla_cps = None
+    if not over_budget("senticap decode"):
+        # the mega kernel (ops/pallas_senticap_decode.py) is primary; the
+        # XLA device beam falls in as the metric if the kernel fails
+        try:
+            senticap_dec_cps, senticap_dec_times = bench_senticap_decode(
+                jax, jnp, mega=True)
+        except Exception as e:
+            print(f"# senticap mega decode failed ({type(e).__name__}); "
+                  "XLA device-beam fallback")
+            try:
+                senticap_dec_cps, senticap_dec_times = bench_senticap_decode(
+                    jax, jnp, mega=False)
+            except Exception as e2:
+                print(f"# senticap decode failed ({type(e2).__name__})")
+    if senticap_dec_cps is not None and not over_budget(
+            "senticap decode xla comparator"):
+        try:
+            senticap_dec_xla_cps = bench_senticap_decode(
+                jax, jnp, mega=False)[0]
+        except Exception as e:
+            print(f"# senticap decode XLA comparator failed "
+                  f"({type(e).__name__})")
+    s2s_step_ms = s2s_dec_cps = s2s_step_times = None
     if not over_budget("seq2seq"):
         try:
-            s2s_step_ms, s2s_dec_cps = bench_seq2seq(jax, jnp)
+            s2s_step_ms, s2s_step_times, s2s_dec_cps = bench_seq2seq(jax, jnp)
         except Exception as e:
             print(f"# seq2seq bench failed ({type(e).__name__})")
 
@@ -778,10 +857,10 @@ def main():
         except Exception as e:
             print(f"# backbone bench failed ({type(e).__name__})")
 
-    att_cps = None
+    att_cps, att_dec_times = None, None
     if not over_budget("attention decode"):
         try:
-            att_med = bench_att_decode(jax, jnp)
+            att_med, att_dec_times = bench_att_decode(jax, jnp)
             att_cps = ATT_BATCH / att_med
         except Exception as e:
             print(f"# attention mega decode unavailable ({type(e).__name__})")
@@ -794,6 +873,7 @@ def main():
         "decode_path": path,
         "decode_ms": round(med * 1e3, 2),
         "decode_ms_best": round(best * 1e3, 2),
+        "decode_ms_spread": _spread_ms(dec_times),
         "calib_matmul_tflops": (None if calib_tflops is None
                                 else round(calib_tflops, 1)),
         # nominal = 165 TFLOP/s (84% of v5e bf16 peak), the calibration
@@ -804,10 +884,14 @@ def main():
                                             2)),
         "att_decode_captions_per_sec": (None if att_cps is None
                                         else round(att_cps, 2)),
+        "att_decode_ms_spread": (None if att_dec_times is None
+                                 else _spread_ms(att_dec_times)),
         "backbone_bf16_img_per_sec": (None if backbone_ips is None
                                       else round(backbone_ips, 1)),
         "train_step_ms_fused": (None if train_fused_ms is None
                                 else round(train_fused_ms, 2)),
+        "train_step_ms_spread": (None if train_fused_times is None
+                                 else _spread_ms(train_fused_times)),
         "train_step_ms_xla": (None if train_xla_ms is None
                               else round(train_xla_ms, 2)),
         "train_step_ms_b512": (None if train_b512_ms is None
@@ -821,18 +905,40 @@ def main():
             None if epoch_dev_cps is None else round(epoch_dev_cps, 1)),
         "att_train_step_ms": (None if att_train_ms is None
                               else round(att_train_ms, 2)),
+        "att_train_step_ms_xla": (None if att_train_xla_ms is None
+                                  else round(att_train_xla_ms, 2)),
+        "att_train_step_ms_spread": (None if att_train_times is None
+                                     else _spread_ms(att_train_times)),
         "att_train_captions_per_sec": (
             None if att_train_ms is None
             else round(ATT_TRAIN_B / (att_train_ms / 1e3), 1)),
         "senticap_train_step_ms": (None if senticap_ms is None
                                    else round(senticap_ms, 2)),
+        "senticap_train_step_ms_xla": (None if senticap_xla_ms is None
+                                       else round(senticap_xla_ms, 2)),
+        "senticap_train_step_ms_spread": (None if senticap_times is None
+                                          else _spread_ms(senticap_times)),
         "senticap_switched_step_ms": (None if senticap_sw_ms is None
                                       else round(senticap_sw_ms, 2)),
+        "senticap_switched_step_ms_xla": (
+            None if senticap_sw_xla_ms is None
+            else round(senticap_sw_xla_ms, 2)),
+        "senticap_switched_step_ms_spread": (
+            None if senticap_sw_times is None
+            else _spread_ms(senticap_sw_times)),
         "senticap_decode_captions_per_sec": (
             None if senticap_dec_cps is None
             else round(senticap_dec_cps, 1)),
+        "senticap_decode_captions_per_sec_xla": (
+            None if senticap_dec_xla_cps is None
+            else round(senticap_dec_xla_cps, 1)),
+        "senticap_decode_ms_spread": (
+            None if senticap_dec_times is None
+            else _spread_ms(senticap_dec_times)),
         "seq2seq_train_step_ms": (None if s2s_step_ms is None
                                   else round(s2s_step_ms, 2)),
+        "seq2seq_train_step_ms_spread": (None if s2s_step_times is None
+                                         else _spread_ms(s2s_step_times)),
         "seq2seq_decode_captions_per_sec": (
             None if s2s_dec_cps is None else round(s2s_dec_cps, 1)),
     }))

@@ -72,6 +72,11 @@ def add_train_flags(p: argparse.ArgumentParser) -> None:
     p.add_argument("--log_step", type=int, default=50)
     p.add_argument("--log_step_emotion", type=int, default=5)
     p.add_argument("--log_path", type=str, default="out.log")
+    p.add_argument("--metrics_path", type=str, default=None,
+                   help="append-only JSONL metrics file "
+                        "(utils/logging.MetricsLogger): one record per "
+                        "epoch/track with loss/ppl/top-5/BLEU-4/LR — the "
+                        "machine-readable companion to --log_path")
     p.add_argument("--model_path", type=str, default="models/")
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--fused_scan", choices=["auto", "on", "off"],

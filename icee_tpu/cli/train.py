@@ -140,7 +140,7 @@ def main(args) -> None:
     common_kw = dict(
         cfg=cfg, tcfg=tcfg, vocab=vocab, dec_params=dec, head_params=head,
         family=family, log_path=args.log_path, model_dir=args.model_path,
-        data_name=args.data_name, mesh=mesh)
+        data_name=args.data_name, metrics_path=args.metrics_path, mesh=mesh)
 
     if args.trainer in ("multitask", "multitask_att"):
         trainer = MultitaskTrainer(**common_kw)

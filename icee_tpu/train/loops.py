@@ -594,15 +594,21 @@ class MultitaskTrainer:
                 imp_emo = self.epochs_since_improvement["emotion"]
                 if imp_fac >= tcfg.early_stop_patience and \
                         imp_emo >= tcfg.early_stop_patience:
+                    self.metrics.log("early_stop", epoch=epoch,
+                                     imp_fac=imp_fac, imp_emo=imp_emo)
                     break
                 if imp_fac > 0 and imp_fac % tcfg.lr_decay_patience == 0:
                     lr = optim.decay_lr(self.opt_state, tcfg.lr_decay_factor)
                     _log(self.log_path, f"DECAYING learning rate to {lr:f}")
+                    self.metrics.log("lr_decay", epoch=epoch, track="factual",
+                                     lr=lr)
                 if imp_emo > 0 and imp_emo % tcfg.lr_decay_patience == 0:
                     lr = optim.decay_lr(self.lang_opt_state,
                                         tcfg.lr_decay_factor)
                     _log(self.log_path,
                          f"DECAYING language learning rate to {lr:f}")
+                    self.metrics.log("lr_decay", epoch=epoch, track="emotion",
+                                     lr=lr)
 
             # factual track
             if resuming and prog["pass_idx"] > 0:

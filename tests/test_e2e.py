@@ -118,6 +118,50 @@ def test_multitask_e2e(corpus_dir, tmp_path):
     assert np.isfinite(va.loss)
 
 
+def test_metrics_jsonl_and_plateau_events(corpus_dir, tmp_path):
+    """--metrics_path JSONL: one record per epoch/track plus lr_decay /
+    early_stop control-policy events (utils/logging.MetricsLogger)."""
+    import dataclasses
+    import json
+
+    from icee_tpu.utils.logging import MetricsLogger
+
+    vocab = build_vocab(str(corpus_dir / "train.txt"), threshold=1)
+    ds = load_caption_dataset(str(corpus_dir / "train.txt"), vocab)
+    ds_emo = load_caption_dataset(str(corpus_dir / "happy.txt"), vocab)
+    provider = _feature_provider()
+
+    def loader(data, bs):
+        return caption_dataset_loader(data, batch_size=bs, max_len=14,
+                                      image_provider=provider, shuffle=True,
+                                      seed=0, prefetch=0)
+
+    trainer = _make_trainer(vocab, tmp_path)
+    trainer.tcfg = dataclasses.replace(trainer.tcfg, lr_decay_patience=1,
+                                       early_stop_patience=2)
+    mpath = tmp_path / "metrics.jsonl"
+    trainer.metrics = MetricsLogger(str(mpath))
+    # pre-seed best BLEU so no epoch improves: the plateau counters then
+    # increment every epoch -> decay at imp=1,2 and early stop at imp>=2
+    trainer.best_bleu4 = {"factual": 1.0, "emotion": 1.0}
+    trainer.train(loader(ds, 4), loader(ds, 4), loader(ds_emo, 4),
+                  loader(ds_emo, 4), num_epochs=10)
+
+    recs = [json.loads(line) for line in mpath.read_text().splitlines()]
+    events = {r["event"] for r in recs}
+    assert {"epoch_factual", "epoch_emotion",
+            "lr_decay", "early_stop"} <= events
+    # early stop fired before the epoch cap
+    epochs = {r["epoch"] for r in recs if r["event"] == "epoch_factual"}
+    assert max(epochs) < 9
+    fac = next(r for r in recs if r["event"] == "epoch_factual")
+    assert {"train_loss", "val_loss", "top5", "bleu4", "lr"} <= set(fac)
+    decays = [r for r in recs if r["event"] == "lr_decay"]
+    assert {d["track"] for d in decays} == {"factual", "emotion"}
+    # decayed LR actually shrank from the configured base
+    assert any(d["lr"] < trainer.tcfg.lr_caption for d in decays)
+
+
 def test_transfer_trainer_updates_style_only(corpus_dir, tmp_path):
     vocab = build_vocab(str(corpus_dir / "train.txt"), threshold=1)
     ds_emo = load_caption_dataset(str(corpus_dir / "happy.txt"), vocab)

@@ -291,6 +291,15 @@ def _kernel(x0_ref, emb_ref, wl_ref, w_ref, b_ref,
     heads = []
     for s in range(n_streams):
         r0 = s * rows2
+        if profile == "no_head":
+            # perf probe: stub pass A (head matmul + exp stash + streaming
+            # max/sumexp) with cheap hh-dependent junk; pass B is stubbed
+            # too (it would read the unwritten stash), so full - no_head -
+            # (full - no_topk) isolates pass A
+            heads.append((jnp.max(hh[r0:r0 + rows2], 1, keepdims=True),
+                          jnp.sum(hh[r0:r0 + rows2], 1, keepdims=True),
+                          True))
+            continue
         heads.append(_stream_head(
             hh[r0:r0 + rows2], w_ref, b_ref, e_scr,
             row0=r0, rows2=rows2, v_tile=v_tile, n_vt=n_vt))
@@ -298,7 +307,7 @@ def _kernel(x0_ref, emb_ref, wl_ref, w_ref, b_ref,
     for s in range(n_streams):
         r0 = s * rows2
         run_m, run_se, stash_is_exp = heads[s]
-        if profile == "no_topk":
+        if profile in ("no_topk", "no_head"):
             # perf probe: stub pass B with cheap data-dependent junk
             nll_top = run_m + run_se * 1e-30 + jax.lax.broadcasted_iota(
                 jnp.int32, (rows2, beam), 1).astype(jnp.float32)

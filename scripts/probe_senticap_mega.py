@@ -30,7 +30,10 @@ def main():
     v = jnp.asarray(rng.standard_normal((N, conf["visual_size"])),
                     jnp.float32)
 
-    for profile in ("full", "no_topk", "no_embed", "no_select"):
+    import os
+    only = os.environ.get("PROFILES")
+    profiles = only.split(",") if only else ("full", "no_topk", "no_embed", "no_select")
+    for profile in profiles:
         try:
             t0 = time.time()
             np.asarray(mega_senticap_beam_decode(

@@ -55,6 +55,53 @@ def _row_topk_maskmax(tile, base, ktop, tile_max=None):
             m = jnp.max(cur, axis=1, keepdims=True)
     return jnp.concatenate(vals, 1), jnp.concatenate(idxs, 1)
 
+def _row_topk_twolevel(tile, base, ktop, tile_max=None, sub_w=256):
+    """Two-level exact top-k: per-subtile running maxima + winning-subtile
+    extraction.  Each iteration touches the full width only through the
+    2-op select-max accumulation (vs the reduce form's ~4-5 ops: full max
+    reduce + eq/where/min index find + mask); the per-iteration reduces run
+    on ``g = W/sub_w`` and ``sub_w`` widths.  Exclusion of already-extracted
+    elements is re-applied per iteration by global-index compare (prior
+    extractions in OTHER subtiles can never match — harmless).  Ties ->
+    lowest index: subtile winner = lowest subtile attaining the max, within
+    subtile = lowest column, which composes to the lowest global column."""
+    import jax
+    import jax.numpy as jnp
+
+    del tile_max
+    r, w = tile.shape
+    g = w // sub_w
+    assert g * sub_w == w
+    iota_g = jax.lax.broadcasted_iota(jnp.int32, (r, g), 1)
+    iota_w = jax.lax.broadcasted_iota(jnp.int32, (r, sub_w), 1)
+    subs = [tile[:, j * sub_w:(j + 1) * sub_w] for j in range(g)]
+    submax = jnp.concatenate(
+        [jnp.max(s, axis=1, keepdims=True) for s in subs], 1)     # (r, g)
+    vals, idxs, prior = [], [], []
+    for it in range(ktop):
+        m = jnp.max(submax, axis=1, keepdims=True)
+        gwin = jnp.min(jnp.where(submax == m, iota_g, jnp.int32(2**30)),
+                       axis=1, keepdims=True)
+        sel = None
+        for j in range(g):                      # winning subtile, 2 ops/elem
+            term = jnp.where(gwin == j, subs[j], NEG)
+            sel = term if sel is None else jnp.maximum(sel, term)
+        cand = gwin * sub_w + iota_w            # global columns of sel
+        for e in prior:                         # re-apply exclusions
+            sel = jnp.where(cand == e, NEG, sel)
+        iw = jnp.min(jnp.where(sel == m, iota_w, jnp.int32(2**30)),
+                     axis=1, keepdims=True)
+        gidx = gwin * sub_w + iw
+        vals.append(m)
+        idxs.append(gidx + base)
+        prior.append(gidx)
+        if it + 1 < ktop:
+            newmax = jnp.max(jnp.where(iota_w == iw, NEG, sel), axis=1,
+                             keepdims=True)
+            submax = jnp.where(iota_g == gwin, newmax, submax)
+    return jnp.concatenate(vals, 1), jnp.concatenate(idxs, 1)
+
+
 ROWS, H, V_TILE, N_VT, K = 640, 512, 2048, 4, 5
 REPS_IN = 256  # in-kernel repetitions via grid steps (amortizes the ~27 ms relay dispatch floor)
 REPS = 5
@@ -68,7 +115,11 @@ def _kernel(h_ref, cw_ref, cb_ref, out_v, out_i, *, variant):
             "running": _row_topk_running,
             "running256": functools.partial(_row_topk_running, chunk=256),
             "running512": functools.partial(_row_topk_running,
-                                            chunk=512)}[variant]
+                                            chunk=512),
+            "twolevel": _row_topk_twolevel,
+            "twolevel128": functools.partial(_row_topk_twolevel, sub_w=128),
+            "twolevel512": functools.partial(_row_topk_twolevel,
+                                             sub_w=512)}[variant]
     run_m = jnp.full((ROWS, 1), NEG, jnp.float32)
     run_se = jnp.zeros((ROWS, 1), jnp.float32)
     run_v = jnp.full((ROWS, K), NEG, jnp.float32)

@@ -82,7 +82,8 @@ def main(args) -> None:
             if not ds:
                 raise SystemExit(f"empty caption set: {path}")
             feat_shape = np.asarray(provider_eval(ds[0].image)).shape
-            if device_data.fits_device(len(ds), feat_shape):
+            n_unique = len({e.image for e in ds})
+            if device_data.fits_device(n_unique, feat_shape):
                 return device_data.from_examples(
                     ds, batch_size=bs, max_len=tcfg.max_caption_len,
                     image_provider=provider_eval, shuffle=train,

@@ -18,11 +18,15 @@ partial batch — so a device epoch and a host-loader epoch visit identical
 batches and (with matching RNG splits in the trainer) produce bit-identical
 parameters.
 
-Memory: pooled features are (N, 2048) f32 — the whole Flickr8k train split
-is ~66 MB, trivially HBM-resident.  Spatial attention features are
-(N, 196, 2048) — ~1.6 MB/image, so the same machinery is gated by
-``fits_device`` at the call site (flickr8k-scale splits fit; bigger ones
-keep the host loader).
+Memory: features are stored per UNIQUE image, not per example — Flickr-style
+splits carry 5 reference captions per image (``FlickrDataset`` D3), so the
+(N_examples, ...) feature array would be 5x larger than the data.  Each
+example keeps a host-side ``image_index`` into the unique-feature array and
+the epoch programs gather ``images[image_index[bidx]]`` — bit-identical to
+the undeduplicated gather.  Pooled features for the whole Flickr8k train
+split are ~13 MB; spatial attention features (U, 196, 2048) at ~1.6 MB per
+unique image are gated by ``fits_device`` at the call site (pass the
+UNIQUE-image count).
 """
 
 from __future__ import annotations
@@ -44,7 +48,8 @@ class DeviceCaptionData:
     (num_batches, batch_size) transfer, bytes not megabytes).
     """
 
-    images: object                # (N, ...) f32 device array (features)
+    images: object                # (U, ...) f32 device array (features of
+    #                               the UNIQUE images; U <= N)
     captions: object              # (N, T) int32 device array
     lengths: object               # (N,) int32 device array
     num_examples: int
@@ -55,6 +60,10 @@ class DeviceCaptionData:
     # ``FlickrDataset`` D3) — consumed by the BLEU side of the device val
     # epoch, never shipped to the device
     references: Optional[List[List[List[int]]]] = None
+    # host-side (N,) example -> unique-image row map (None for text-only
+    # styled corpora); translated per batch by :meth:`image_rows` so the
+    # device never holds the map
+    image_index: Optional[np.ndarray] = None
     _rng: np.random.Generator = dataclasses.field(init=False, repr=False)
 
     def __post_init__(self):
@@ -82,6 +91,13 @@ class DeviceCaptionData:
             valid[b, : len(chunk)] = True
         return out, valid
 
+    def image_rows(self, idx: np.ndarray) -> np.ndarray:
+        """Translate example-index batch rows (``epoch_indices`` output) to
+        unique-image gather rows for the ``images`` array."""
+        if self.image_index is None:
+            return np.asarray(idx, np.int32)
+        return self.image_index[idx].astype(np.int32)
+
 
 def from_examples(
     examples: List,
@@ -105,8 +121,14 @@ def from_examples(
 
     captions, lengths = pad_captions([e.caption_ids for e in examples],
                                      max_len)
-    images = np.stack([image_provider(e.image) for e in examples]).astype(
-        np.float32)
+    # features per UNIQUE image (5-ref splits would otherwise pin 5 copies)
+    uniq, order = {}, []
+    for e in examples:
+        if e.image not in uniq:
+            uniq[e.image] = len(order)
+            order.append(e.image)
+    image_index = np.asarray([uniq[e.image] for e in examples], np.int32)
+    images = np.stack([image_provider(n) for n in order]).astype(np.float32)
     if mesh is not None:
         from icee_tpu.parallel.mesh import replicated
 
@@ -123,6 +145,7 @@ def from_examples(
         shuffle=shuffle,
         seed=seed,
         references=[e.all_caption_ids for e in examples],
+        image_index=image_index,
     )
 
 
@@ -167,6 +190,8 @@ def fits_device(
     budget_bytes: int = 4 << 30,
 ) -> bool:
     """Conservative HBM gate for pinning a split (default 4 GiB of the
-    v5e's 16 GiB, leaving room for params/activations/compiler staging)."""
+    v5e's 16 GiB, leaving room for params/activations/compiler staging).
+    ``num_examples`` should be the UNIQUE-image count — features are
+    deduplicated by :func:`from_examples` (5-ref splits pin one copy)."""
     per = int(np.prod(feature_shape)) * 4
     return num_examples * per <= budget_bytes

@@ -266,15 +266,15 @@ class MultitaskTrainer:
             bsh = batch_sharding(mesh)
 
         def epoch(dec, head, opt_state, rng, images, captions, lengths,
-                  idx, valid, style):
+                  idx, img_rows, valid, style):
             def body(carry, xs):
                 dec, head, opt_state, rng = carry
-                bidx, bvalid = xs
+                bidx, b_img, bvalid = xs
                 rng, k = jax.random.split(rng)
                 # zero padded rows exactly like the host loader's batch
                 # padding (BatchNorm batch statistics see every row, so
                 # gather-padded features would perturb them)
-                feats = jnp.take(images, bidx, axis=0)
+                feats = jnp.take(images, b_img, axis=0)
                 feats = feats * bvalid.reshape(
                     (-1,) + (1,) * (feats.ndim - 1)).astype(feats.dtype)
                 caps = jnp.take(captions, bidx, axis=0) * bvalid[:, None]
@@ -304,7 +304,7 @@ class MultitaskTrainer:
                 return (dec, head, opt_state, rng), (loss, lens.sum())
 
             (dec, head, opt_state, rng), (losses, ntoks) = jax.lax.scan(
-                body, (dec, head, opt_state, rng), (idx, valid))
+                body, (dec, head, opt_state, rng), (idx, img_rows, valid))
             return dec, head, opt_state, rng, losses, ntoks
 
         fn = jax.jit(epoch)
@@ -328,6 +328,7 @@ class MultitaskTrainer:
         t0 = time.time()
         factual = style is None or style == 0
         idx, valid = ddata.epoch_indices()
+        img_rows = ddata.image_rows(idx)
         fn = self._device_epoch_fn(factual)
         style_arr = jnp.asarray(style if style is not None else 0)
         chunk = getattr(self.tcfg, "progress_chunk", 0)
@@ -345,8 +346,8 @@ class MultitaskTrainer:
                 dec, head, opt_state, self.rng, ls, nt = fn(
                     self.dec, self.head, opt_state, self.rng,
                     ddata.images, ddata.captions, ddata.lengths,
-                    jnp.asarray(idx[r0:r1]), jnp.asarray(valid[r0:r1]),
-                    style_arr)
+                    jnp.asarray(idx[r0:r1]), jnp.asarray(img_rows[r0:r1]),
+                    jnp.asarray(valid[r0:r1]), style_arr)
                 self.dec, self.head = dec, head
                 if factual:
                     self.opt_state = opt_state
@@ -360,7 +361,8 @@ class MultitaskTrainer:
             dec, head, opt_state, self.rng, losses, ntoks = fn(
                 self.dec, self.head, opt_state, self.rng,
                 ddata.images, ddata.captions, ddata.lengths,
-                jnp.asarray(idx), jnp.asarray(valid), style_arr)
+                jnp.asarray(idx), jnp.asarray(img_rows),
+                jnp.asarray(valid), style_arr)
             self.dec, self.head = dec, head
             if factual:
                 self.opt_state = opt_state
@@ -470,10 +472,11 @@ class MultitaskTrainer:
 
             bsh = batch_sharding(mesh)
 
-        def epoch(dec, head, images, captions, lengths, idx, valid, style):
+        def epoch(dec, head, images, captions, lengths, idx, img_rows,
+                  valid, style):
             def body(_, xs):
-                bidx, bvalid = xs
-                feats = jnp.take(images, bidx, axis=0)
+                bidx, b_img, bvalid = xs
+                feats = jnp.take(images, b_img, axis=0)
                 feats = feats * bvalid.reshape(
                     (-1,) + (1,) * (feats.ndim - 1)).astype(feats.dtype)
                 caps = jnp.take(captions, bidx, axis=0) * bvalid[:, None]
@@ -489,7 +492,7 @@ class MultitaskTrainer:
                                                  lens, bvalid, style)
                 return 0, (loss, top5, lens.sum(), preds)
 
-            _, out = jax.lax.scan(body, 0, (idx, valid))
+            _, out = jax.lax.scan(body, 0, (idx, img_rows, valid))
             return out
 
         self._dval_cache = jax.jit(epoch)
@@ -503,7 +506,8 @@ class MultitaskTrainer:
         fn = self._val_epoch_fn()
         losses, top5s, ntoks, preds = fn(
             self.dec, self.head, ddata.images, ddata.captions, ddata.lengths,
-            jnp.asarray(idx), jnp.asarray(valid), jnp.asarray(style))
+            jnp.asarray(idx), jnp.asarray(ddata.image_rows(idx)),
+            jnp.asarray(valid), jnp.asarray(style))
         losses = np.asarray(losses, np.float64)
         top5s = np.asarray(top5s, np.float64)
         ntoks = np.asarray(ntoks, np.float64)
@@ -528,7 +532,8 @@ class MultitaskTrainer:
         top5 = float((top5s * ntoks).sum() / total) if total else 0.0
         if self.sample_fn is not None:
             # the host loop samples from the first row of the last batch
-            feat = ddata.images[int(idx[-1, 0]):int(idx[-1, 0]) + 1]
+            ui = int(ddata.image_rows(idx[-1:, :1])[0, 0])
+            feat = ddata.images[ui:ui + 1]
             print(self.sample_fn(self.dec, self.head, feat, style))
         return EpochStats(loss=loss, top5=top5, bleu4=bleu4,
                           batch_time=time.time() - t0)
@@ -982,11 +987,12 @@ class Seq2SeqTrainer:
 
     # -- device-resident whole-epoch programs ------------------------------
 
-    def _gather_batch(self, images, captions, lengths, bidx, bvalid):
+    def _gather_batch(self, images, captions, lengths, bidx, b_img, bvalid):
         """Gather one minibatch from the pinned split inside a jitted epoch
         (padded rows zeroed exactly like the host loader's batch padding —
-        the encoder head's BatchNorm sees every row)."""
-        imgs = jnp.take(images, bidx, axis=0)
+        the encoder head's BatchNorm sees every row).  ``b_img`` holds the
+        unique-image gather rows (``DeviceCaptionData.image_rows``)."""
+        imgs = jnp.take(images, b_img, axis=0)
         imgs = imgs * bvalid[:, None].astype(imgs.dtype)
         caps = jnp.take(captions, bidx, axis=0) * bvalid[:, None]
         lens = jnp.where(bvalid, jnp.take(lengths, bidx, axis=0), 0)
@@ -1011,29 +1017,29 @@ class Seq2SeqTrainer:
         gather = self._gather_batch
 
         def fac_epoch(params, head, opt_state, rng, images, captions,
-                      lengths, idx, valid):
+                      lengths, idx, img_rows, valid):
             def body(carry, xs):
                 params, head, opt_state, rng = carry
-                bidx, bvalid = xs
+                bidx, b_img, bvalid = xs
                 rng, k = jax.random.split(rng)
                 imgs, caps, lens = gather(images, captions, lengths,
-                                          bidx, bvalid)
+                                          bidx, b_img, bvalid)
                 params, head, opt_state, loss = fac_step(
                     params, head, opt_state, imgs, caps, lens, bvalid, k)
                 return (params, head, opt_state, rng), (loss, lens.sum())
 
             (params, head, opt_state, rng), (losses, ntoks) = jax.lax.scan(
-                body, (params, head, opt_state, rng), (idx, valid))
+                body, (params, head, opt_state, rng), (idx, img_rows, valid))
             return params, head, opt_state, rng, losses, ntoks
 
         def emo_epoch(params, head, opt_state, rng, images, captions,
-                      lengths, idx, valid, eid):
+                      lengths, idx, img_rows, valid, eid):
             def body(carry, xs):
                 params, opt_state, rng = carry
-                bidx, bvalid = xs
+                bidx, b_img, bvalid = xs
                 rng, k = jax.random.split(rng)
                 imgs, caps, lens = gather(images, captions, lengths,
-                                          bidx, bvalid)
+                                          bidx, b_img, bvalid)
                 # dst = src (reference overwrite, seq2seq/train.py:316-317)
                 params, opt_state, loss = emo_step(
                     params, head, opt_state, imgs, caps, lens, caps, lens,
@@ -1041,34 +1047,34 @@ class Seq2SeqTrainer:
                 return (params, opt_state, rng), (loss, lens.sum())
 
             (params, opt_state, rng), (losses, ntoks) = jax.lax.scan(
-                body, (params, opt_state, rng), (idx, valid))
+                body, (params, opt_state, rng), (idx, img_rows, valid))
             return params, opt_state, rng, losses, ntoks
 
         def val_fac_epoch(params, head, images, captions, lengths, idx,
-                          valid):
+                          img_rows, valid):
             def body(_, xs):
-                bidx, bvalid = xs
+                bidx, b_img, bvalid = xs
                 imgs, caps, lens = gather(images, captions, lengths,
-                                          bidx, bvalid)
+                                          bidx, b_img, bvalid)
                 loss, top5, _ = val_fac(params, head, imgs, caps, lens,
                                         bvalid)
                 return 0, (loss, top5, lens.sum())
 
-            _, out = jax.lax.scan(body, 0, (idx, valid))
+            _, out = jax.lax.scan(body, 0, (idx, img_rows, valid))
             return out
 
         def val_emo_epoch(params, head, images, captions, lengths, idx,
-                          valid, eid):
+                          img_rows, valid, eid):
             def body(_, xs):
-                bidx, bvalid = xs
+                bidx, b_img, bvalid = xs
                 imgs, caps, lens = gather(images, captions, lengths,
-                                          bidx, bvalid)
+                                          bidx, b_img, bvalid)
                 loss, top5, _ = val_emo(params, head, imgs, caps, lens,
                                         caps, lens, bvalid, eid)
                 return 0, (loss, top5,
                            jnp.clip(lens - 1, 0, None).sum())
 
-            _, out = jax.lax.scan(body, 0, (idx, valid))
+            _, out = jax.lax.scan(body, 0, (idx, img_rows, valid))
             return out
 
         self._depoch_fns = (jax.jit(fac_epoch), jax.jit(emo_epoch),
@@ -1092,6 +1098,7 @@ class Seq2SeqTrainer:
                     self.params, self.head, self.opt_state, self.rng,
                     data_loader.images, data_loader.captions,
                     data_loader.lengths, jnp.asarray(idx),
+                    jnp.asarray(data_loader.image_rows(idx)),
                     jnp.asarray(valid))
                 for ls, nt in zip(np.asarray(ep_losses, np.float64),
                                   np.asarray(ep_ntoks, np.float64)):
@@ -1126,8 +1133,9 @@ class Seq2SeqTrainer:
                      ep_losses, ep_ntoks) = emo_epoch(
                         self.params, self.head, self.emotion_opt_state,
                         self.rng, loader.images, loader.captions,
-                        loader.lengths, jnp.asarray(idx), jnp.asarray(valid),
-                        jnp.asarray(eid))
+                        loader.lengths, jnp.asarray(idx),
+                        jnp.asarray(loader.image_rows(idx)),
+                        jnp.asarray(valid), jnp.asarray(eid))
                     for ls, nt in zip(np.asarray(ep_losses, np.float64),
                                       np.asarray(ep_ntoks, np.float64)):
                         e_losses.update(float(ls), int(nt))
@@ -1164,7 +1172,8 @@ class Seq2SeqTrainer:
             val_epoch = self._device_epoch_fns()[2]
             ep_losses, ep_top5s, ep_ntoks = val_epoch(
                 self.params, self.head, loader.images, loader.captions,
-                loader.lengths, jnp.asarray(idx), jnp.asarray(valid))
+                loader.lengths, jnp.asarray(idx),
+                jnp.asarray(loader.image_rows(idx)), jnp.asarray(valid))
             for ls, t5, nt in zip(np.asarray(ep_losses, np.float64),
                                   np.asarray(ep_top5s, np.float64),
                                   np.asarray(ep_ntoks, np.float64)):
@@ -1193,7 +1202,8 @@ class Seq2SeqTrainer:
             val_epoch = self._device_epoch_fns()[3]
             ep_losses, ep_top5s, ep_ntoks = val_epoch(
                 self.params, self.head, loader.images, loader.captions,
-                loader.lengths, jnp.asarray(idx), jnp.asarray(valid),
+                loader.lengths, jnp.asarray(idx),
+                jnp.asarray(loader.image_rows(idx)), jnp.asarray(valid),
                 jnp.asarray(emotion_id))
             for ls, t5, nt in zip(np.asarray(ep_losses, np.float64),
                                   np.asarray(ep_top5s, np.float64),

@@ -83,6 +83,24 @@ def attr_feature(rng_feat, sc, dim=2048, noise=0.1):
     return v + noise * rng_feat.standard_normal(dim).astype(np.float32)
 
 
+def spatial_feature(rng_feat, sc, grid=196, dim=2048, noise=0.1,
+                    occupancy=24):
+    """Spatial (P=196, 2048) variant for the attention families: each
+    attribute's direction occupies a per-image RANDOM subset of ~24 grid
+    positions (the rest is noise), so attention has genuine localization
+    signal to learn — the mean feature still carries the scene (coverage-
+    scaled), matching how the attention decoders init h/c from the mean."""
+    v = noise * rng_feat.standard_normal((grid, dim)).astype(np.float32)
+    for key in ("s", "v", "o", "p", "mod"):
+        h = abs(hash((key, sc[key]))) % (2**31)
+        r = np.random.default_rng(h)
+        d = r.standard_normal(dim).astype(np.float32)
+        d /= np.linalg.norm(d) / 6.0
+        pos = rng_feat.choice(grid, size=occupancy, replace=False)
+        v[pos] += d
+    return v
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--out", default="/tmp/icee_conv")
@@ -91,6 +109,9 @@ def main():
     ap.add_argument("--n_test", type=int, default=500)
     ap.add_argument("--refs", type=int, default=5)
     ap.add_argument("--n_styled", type=int, default=1500)
+    ap.add_argument("--spatial", action="store_true",
+                    help="write (196, 2048) spatial features for the "
+                         "attention families instead of pooled (2048,)")
     ap.add_argument("--seed", type=int, default=0)
     args = ap.parse_args()
     os.makedirs(args.out, exist_ok=True)
@@ -109,7 +130,9 @@ def main():
         with open(os.path.join(args.out, f"{name}.txt"), "w") as f:
             for i in range(lo, hi):
                 img = f"img{i:05d}.jpg"
-                feats[img] = attr_feature(rng_feat, scenes[i])
+                feats[img] = (spatial_feature(rng_feat, scenes[i])
+                              if args.spatial
+                              else attr_feature(rng_feat, scenes[i]))
                 for r in range(args.refs):
                     c = caption(rng, scenes[i])
                     vocab.update(c[:-1].split())

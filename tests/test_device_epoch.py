@@ -136,6 +136,66 @@ def test_device_epoch_matches_host_loop(data, tmp_path, style):
             err_msg=f"head mismatch at {jax.tree_util.keystr(path)}")
 
 
+def test_multiref_split_dedupes_features_and_matches_host(tmp_path):
+    """5-ref splits pin ONE feature copy per unique image (image_index
+    indirection, data/device.py) and the device epoch still bit-matches
+    the host-loader epoch on the same multi-ref corpus."""
+    lines = []
+    base = CORPUS.strip().splitlines()
+    for ln in base:
+        name, cap = ln.split("\t")
+        img = name.split("#")[0]
+        words = cap.split()
+        for r in range(5):  # 5 reference captions per image, all distinct
+            lines.append(f"{img}#{r}\t{' '.join(words[:len(words) - r % 3])}")
+    p = tmp_path / "multi.txt"
+    p.write_text("\n".join(lines) + "\n")
+    vocab = build_vocab(str(p), threshold=1)
+    ds = load_caption_dataset(str(p), vocab)
+    assert len(ds) == 50
+    rng = np.random.default_rng(1)
+    feats = {e.image: rng.standard_normal((FEAT,)).astype(np.float32)
+             for e in ds}
+
+    ddata = device_data.from_examples(
+        ds, batch_size=B, max_len=MAXLEN,
+        image_provider=lambda n: feats[n], shuffle=True, seed=3)
+    assert ddata.images.shape[0] == 10          # unique images, not 50
+    assert ddata.image_index.shape == (50,)
+    idx, _ = ddata.epoch_indices()
+    rows = ddata.image_rows(idx)
+    # translated gather reproduces the per-example features exactly
+    for b in range(idx.shape[0]):
+        for j in range(idx.shape[1]):
+            np.testing.assert_array_equal(
+                np.asarray(ddata.images)[rows[b, j]],
+                feats[ds[int(idx[b, j])].image])
+
+    def run(device):
+        tr = _trainer(vocab, tmp_path, tag=f"dedupe{device}")
+        if device:
+            src = device_data.from_examples(
+                ds, batch_size=B, max_len=MAXLEN,
+                image_provider=lambda n: feats[n], shuffle=True, seed=3)
+        else:
+            src = caption_dataset_loader(
+                ds, batch_size=B, max_len=MAXLEN,
+                image_provider=lambda n: feats[n], shuffle=True, seed=3,
+                prefetch=0)
+        st = tr._run_train(src, 0, 10_000, "T")
+        return tr, st
+
+    tr_h, st_h = run(False)
+    tr_d, st_d = run(True)
+    np.testing.assert_allclose(st_d.loss, st_h.loss, rtol=1e-6)
+    for (path, a), (_, b) in zip(
+            jax.tree_util.tree_flatten_with_path(tr_h.dec)[0],
+            jax.tree_util.tree_flatten_with_path(tr_d.dec)[0]):
+        np.testing.assert_allclose(
+            np.asarray(b), np.asarray(a), rtol=1e-6, atol=1e-7,
+            err_msg=f"param mismatch at {jax.tree_util.keystr(path)}")
+
+
 def test_device_epoch_attention_family(data, tmp_path):
     """The head-less attention families run the device epoch too (spatial
     features, emotion track)."""

@@ -83,11 +83,25 @@ def main(args) -> None:
                 raise SystemExit(f"empty caption set: {path}")
             feat_shape = np.asarray(provider_eval(ds[0].image)).shape
             n_unique = len({e.image for e in ds})
-            if device_data.fits_device(n_unique, feat_shape):
+            budget = int(args.device_budget_gb * (1 << 30))
+            if device_data.fits_device(n_unique, feat_shape,
+                                       budget_bytes=budget):
                 return device_data.from_examples(
                     ds, batch_size=bs, max_len=tcfg.max_caption_len,
                     image_provider=provider_eval, shuffle=train,
                     seed=args.seed, mesh=mesh)
+            if args.trainer in ("multitask", "multitask_att", "transfer_fac",
+                                "transfer"):
+                # HBM-oversized split (e.g. full-Flickr8k spatial features):
+                # stream fixed-capacity feature chunks instead of paying the
+                # per-batch host dispatch floor (data/device.py)
+                print(f"NOTE: {path} features exceed the device-resident "
+                      "budget; streaming per-chunk feature buffers "
+                      f"({args.device_budget_gb:g} GiB, double-buffered)")
+                return device_data.from_examples_streamed(
+                    ds, batch_size=bs, max_len=tcfg.max_caption_len,
+                    image_provider=provider_eval, shuffle=train,
+                    seed=args.seed, mesh=mesh, budget_bytes=budget)
             print(f"WARNING: {path} features exceed the device-resident "
                   "budget; falling back to the host loader")
         return caption_dataset_loader(
@@ -234,7 +248,13 @@ if __name__ == "__main__":
     parser.add_argument("--device_resident", action="store_true",
                         help="pin train splits on device and run each epoch "
                              "as ONE jitted scan (requires --no_augment or "
-                             "--feature_cache)")
+                             "--feature_cache); splits over the feature "
+                             "budget stream per-chunk buffers instead "
+                             "(multitask/transfer trainers)")
+    parser.add_argument("--device_budget_gb", type=float, default=4.0,
+                        help="HBM feature budget for --device_resident "
+                             "(pin if the split fits; otherwise stream "
+                             "double-buffered chunks of half this size)")
     parser.add_argument("--data_parallel", action="store_true",
                         help="train over all devices: ('data','model') mesh, "
                              "batch sharded over the data axis, gradient "

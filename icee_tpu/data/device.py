@@ -99,6 +99,86 @@ class DeviceCaptionData:
         return self.image_index[idx].astype(np.int32)
 
 
+@dataclasses.dataclass
+class StreamedCaptionData(DeviceCaptionData):
+    """A split whose features exceed the pin budget (`fits_device`):
+    captions/lengths live on device (int32, always tiny) but features stay
+    HOST-side and stream per chunk of batch rows.
+
+    The epoch composition (seeded shuffle, trailing partial batch) is
+    IDENTICAL to :class:`DeviceCaptionData`; the trainer runs the same
+    whole-epoch scan program per chunk — ``rows_per_chunk`` batch rows per
+    dispatch — with a compact per-chunk feature array (the chunk's unique
+    images, deduplicated and padded to the fixed ``capacity`` so every chunk
+    reuses ONE compiled program).  Host ``np.take`` + async ``device_put``
+    of chunk c+1 overlap the device compute of chunk c (double-buffered, so
+    ``capacity`` should be sized to HALF the HBM feature budget).  Parameters
+    after a streamed epoch are bit-identical to the pinned device epoch and
+    to the host ``BatchLoader`` loop (same batches, same RNG split order).
+
+    This replaces the host-loader fallback for HBM-oversized splits — e.g.
+    the full Flickr8k spatial-attention train split (~6k unique images x
+    1.6 MB), where the per-batch host path pays the ~27 ms relay dispatch
+    floor twice per batch and re-transfers duplicated features.
+    """
+
+    host_features: Optional[np.ndarray] = None   # (U, ...) f32 HOST array
+    capacity: int = 0                            # feature rows per chunk buf
+    mesh: object = None
+
+    def __post_init__(self):
+        super().__post_init__()
+        assert self.images is None, "streamed data keeps features on host"
+        self.capacity = max(self.capacity, self.batch_size)
+
+    @property
+    def rows_per_chunk(self) -> int:
+        """Batch rows per dispatch — conservative (no-dedup) bound so any
+        chunk's unique features fit ``capacity``."""
+        return max(self.capacity // self.batch_size, 1)
+
+    def chunk_features(
+        self, img_rows: np.ndarray
+    ) -> Tuple[np.ndarray, np.ndarray]:
+        """Compact one chunk's gather plan.
+
+        ``img_rows``: (rows, B) unique-image gather rows (``image_rows``
+        output for the chunk's slice).  Returns ``(features, remap)`` where
+        ``features`` is the (capacity, ...) host array holding the chunk's
+        deduplicated features in rows ``[0, n_uniq)`` (padding rows repeat
+        row 0 — never gathered, since ``remap`` only addresses real rows)
+        and ``remap`` is (rows, B) int32 into it.
+        """
+        flat = np.asarray(img_rows).ravel()
+        uniq, inv = np.unique(flat, return_inverse=True)
+        if len(uniq) > self.capacity:
+            raise ValueError(
+                f"chunk needs {len(uniq)} unique features > capacity "
+                f"{self.capacity} (rows_per_chunk is miscomputed)")
+        take = np.zeros(self.capacity, np.int64)
+        take[: len(uniq)] = uniq
+        feats = self.host_features[take]
+        remap = inv.astype(np.int32).reshape(np.asarray(img_rows).shape)
+        return feats, remap
+
+    def put_features(self, feats: np.ndarray):
+        """Async host->device transfer of one chunk buffer (replicated
+        across the mesh when training data-parallel)."""
+        import jax
+        import jax.numpy as jnp
+
+        if self.mesh is not None:
+            from icee_tpu.parallel.mesh import replicated
+
+            return jax.device_put(feats, replicated(self.mesh))
+        return jnp.asarray(feats)
+
+    def sample_feature(self, unique_row: int):
+        import jax.numpy as jnp
+
+        return jnp.asarray(self.host_features[unique_row:unique_row + 1])
+
+
 def from_examples(
     examples: List,
     batch_size: int,
@@ -121,14 +201,7 @@ def from_examples(
 
     captions, lengths = pad_captions([e.caption_ids for e in examples],
                                      max_len)
-    # features per UNIQUE image (5-ref splits would otherwise pin 5 copies)
-    uniq, order = {}, []
-    for e in examples:
-        if e.image not in uniq:
-            uniq[e.image] = len(order)
-            order.append(e.image)
-    image_index = np.asarray([uniq[e.image] for e in examples], np.int32)
-    images = np.stack([image_provider(n) for n in order]).astype(np.float32)
+    images, image_index = _pack_unique(examples, image_provider)
     if mesh is not None:
         from icee_tpu.parallel.mesh import replicated
 
@@ -146,6 +219,67 @@ def from_examples(
         seed=seed,
         references=[e.all_caption_ids for e in examples],
         image_index=image_index,
+    )
+
+
+def _pack_unique(examples, image_provider):
+    """Features per UNIQUE image + the (N,) example -> unique-row map
+    (5-ref splits would otherwise hold 5 copies of every feature)."""
+    uniq, order = {}, []
+    for e in examples:
+        if e.image not in uniq:
+            uniq[e.image] = len(order)
+            order.append(e.image)
+    image_index = np.asarray([uniq[e.image] for e in examples], np.int32)
+    images = np.stack([image_provider(n) for n in order]).astype(np.float32)
+    return images, image_index
+
+
+def from_examples_streamed(
+    examples: List,
+    batch_size: int,
+    max_len: int,
+    image_provider: Callable[[str], np.ndarray],
+    shuffle: bool = True,
+    seed: int = 0,
+    mesh=None,
+    budget_bytes: int = 4 << 30,
+) -> StreamedCaptionData:
+    """Pack a split that FAILS ``fits_device`` for chunk-streamed
+    whole-epoch training: captions/lengths pinned on device, features kept
+    host-side with per-chunk buffers sized to half the budget (the stream
+    double-buffers — chunk c+1 transfers while chunk c computes)."""
+    import jax
+    import jax.numpy as jnp
+
+    captions, lengths = pad_captions([e.caption_ids for e in examples],
+                                     max_len)
+    images, image_index = _pack_unique(examples, image_provider)
+    per = int(images[0].nbytes)
+    capacity = max(int((budget_bytes // 2) // per), batch_size)
+    # a chunk never needs more unique rows than the split has, or than one
+    # full-dedup chunk of rows_per_chunk batches can reference
+    capacity = min(capacity, images.shape[0])
+    if mesh is not None:
+        from icee_tpu.parallel.mesh import replicated
+
+        sh = replicated(mesh)
+        put = lambda a: jax.device_put(a, sh)  # noqa: E731
+    else:
+        put = jnp.asarray
+    return StreamedCaptionData(
+        images=None,
+        captions=put(captions),
+        lengths=put(lengths),
+        num_examples=len(examples),
+        batch_size=batch_size,
+        shuffle=shuffle,
+        seed=seed,
+        references=[e.all_caption_ids for e in examples],
+        image_index=image_index,
+        host_features=images,
+        capacity=capacity,
+        mesh=mesh,
     )
 
 

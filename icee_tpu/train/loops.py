@@ -325,6 +325,12 @@ class MultitaskTrainer:
         ``start_row``/``loss_prefix`` restart a preempted pass at the last
         completed chunk boundary with its loss trace intact.
         """
+        from icee_tpu.data.device import StreamedCaptionData
+
+        if isinstance(ddata, StreamedCaptionData):
+            return self._run_train_streamed(
+                ddata, style, log_step, tag, epoch=epoch, pass_idx=pass_idx,
+                start_row=start_row, loss_prefix=loss_prefix)
         t0 = time.time()
         factual = style is None or style == 0
         idx, valid = ddata.epoch_indices()
@@ -372,6 +378,80 @@ class MultitaskTrainer:
             ntoks = np.asarray(ntoks, np.float64)
         for i in range(0, len(losses), max(log_step, 1)):
             print(f"Step [{i}/{len(losses)}], [{tag}], "
+                  f"Loss: {float(losses[i]):.4f}")
+        total = float(ntoks.sum())
+        avg = float((losses * ntoks).sum() / total) if total else 0.0
+        return EpochStats(loss=avg, batch_time=time.time() - t0)
+
+    def _run_train_streamed(self, ddata, style: Optional[int], log_step: int,
+                            tag: str, epoch: Optional[int] = None,
+                            pass_idx: int = 0, start_row: int = 0,
+                            loss_prefix=None) -> EpochStats:
+        """One training epoch over a :class:`StreamedCaptionData` split
+        (features exceed the HBM pin budget — ``data/device.py``).
+
+        Same epoch composition and RNG split order as the pinned device
+        epoch (bit-identical parameters); the epoch runs as
+        ``rows_per_chunk``-row scan dispatches, each over a compact
+        fixed-``capacity`` feature buffer holding the chunk's deduplicated
+        unique images.  Host gather + async ``device_put`` of chunk c+1
+        overlap chunk c's device compute; loss traces are only materialized
+        after the last dispatch (unless mid-epoch progress checkpoints are
+        on, which must block per chunk anyway).
+        """
+        t0 = time.time()
+        factual = style is None or style == 0
+        idx, valid = ddata.epoch_indices()
+        img_rows = ddata.image_rows(idx)
+        fn = self._device_epoch_fn(factual)
+        style_arr = jnp.asarray(style if style is not None else 0)
+        nb = idx.shape[0]
+        R = ddata.rows_per_chunk
+        save_progress = bool(getattr(self.tcfg, "progress_chunk", 0)) \
+            and epoch is not None
+        losses = np.zeros(nb, np.float64)
+        ntoks = np.zeros(nb, np.float64)
+        if loss_prefix is not None:
+            pl_, pn_ = loss_prefix
+            losses[:start_row] = np.asarray(pl_, np.float64)[:start_row]
+            ntoks[:start_row] = np.asarray(pn_, np.float64)[:start_row]
+        bounds = [(r0, min(r0 + R, nb)) for r0 in range(start_row, nb, R)]
+        pending = []
+        nxt = None
+        if bounds:
+            f, remap = ddata.chunk_features(
+                img_rows[bounds[0][0]:bounds[0][1]])
+            nxt = (ddata.put_features(f), remap)
+        for ci, (r0, r1) in enumerate(bounds):
+            imgs, remap = nxt
+            opt_state = self.opt_state if factual else self.lang_opt_state
+            dec, head, opt_state, self.rng, ls, nt = fn(
+                self.dec, self.head, opt_state, self.rng,
+                imgs, ddata.captions, ddata.lengths,
+                jnp.asarray(idx[r0:r1]), jnp.asarray(remap),
+                jnp.asarray(valid[r0:r1]), style_arr)
+            self.dec, self.head = dec, head
+            if factual:
+                self.opt_state = opt_state
+            else:
+                self.lang_opt_state = opt_state
+            nxt = None
+            if ci + 1 < len(bounds):
+                # prepare + enqueue the next buffer while this chunk runs
+                n0, n1 = bounds[ci + 1]
+                f, remap = ddata.chunk_features(img_rows[n0:n1])
+                nxt = (ddata.put_features(f), remap)
+            if save_progress:
+                losses[r0:r1] = np.asarray(ls, np.float64)
+                ntoks[r0:r1] = np.asarray(nt, np.float64)
+                self._save_progress(epoch, pass_idx, r1, losses, ntoks)
+            else:
+                pending.append((r0, r1, ls, nt))
+        for r0, r1, ls, nt in pending:
+            losses[r0:r1] = np.asarray(ls, np.float64)
+            ntoks[r0:r1] = np.asarray(nt, np.float64)
+        for i in range(0, nb, max(log_step, 1)):
+            print(f"Step [{i}/{nb}], [{tag}], "
                   f"Loss: {float(losses[i]):.4f}")
         total = float(ntoks.sum())
         avg = float((losses * ntoks).sum() / total) if total else 0.0
@@ -500,18 +580,53 @@ class MultitaskTrainer:
 
     def _run_val_device(self, ddata, style: int) -> EpochStats:
         """Whole-split validation over a :class:`DeviceCaptionData` —
-        metrics identical to the host ``_run_val`` on the same split."""
+        metrics identical to the host ``_run_val`` on the same split.
+        :class:`StreamedCaptionData` splits run the same program per
+        feature chunk (``_run_train_streamed``'s plan) instead of one
+        whole-split dispatch."""
+        from icee_tpu.data.device import StreamedCaptionData
+
         t0 = time.time()
         idx, valid = ddata.epoch_indices()
         fn = self._val_epoch_fn()
-        losses, top5s, ntoks, preds = fn(
-            self.dec, self.head, ddata.images, ddata.captions, ddata.lengths,
-            jnp.asarray(idx), jnp.asarray(ddata.image_rows(idx)),
-            jnp.asarray(valid), jnp.asarray(style))
-        losses = np.asarray(losses, np.float64)
-        top5s = np.asarray(top5s, np.float64)
-        ntoks = np.asarray(ntoks, np.float64)
-        preds = np.asarray(preds)                      # (nb, B, T)
+        if isinstance(ddata, StreamedCaptionData):
+            img_rows = ddata.image_rows(idx)
+            R = ddata.rows_per_chunk
+            nb = idx.shape[0]
+            bounds = [(r0, min(r0 + R, nb)) for r0 in range(0, nb, R)]
+            outs, nxt = [], None
+            if bounds:
+                f, remap = ddata.chunk_features(
+                    img_rows[bounds[0][0]:bounds[0][1]])
+                nxt = (ddata.put_features(f), remap)
+            for ci, (r0, r1) in enumerate(bounds):
+                imgs, remap = nxt
+                outs.append(fn(
+                    self.dec, self.head, imgs, ddata.captions, ddata.lengths,
+                    jnp.asarray(idx[r0:r1]), jnp.asarray(remap),
+                    jnp.asarray(valid[r0:r1]), jnp.asarray(style)))
+                nxt = None
+                if ci + 1 < len(bounds):
+                    n0, n1 = bounds[ci + 1]
+                    f, remap = ddata.chunk_features(img_rows[n0:n1])
+                    nxt = (ddata.put_features(f), remap)
+            losses = np.concatenate(
+                [np.asarray(o[0], np.float64) for o in outs])
+            top5s = np.concatenate(
+                [np.asarray(o[1], np.float64) for o in outs])
+            ntoks = np.concatenate(
+                [np.asarray(o[2], np.float64) for o in outs])
+            preds = np.concatenate([np.asarray(o[3]) for o in outs], axis=0)
+        else:
+            losses, top5s, ntoks, preds = fn(
+                self.dec, self.head, ddata.images, ddata.captions,
+                ddata.lengths, jnp.asarray(idx),
+                jnp.asarray(ddata.image_rows(idx)),
+                jnp.asarray(valid), jnp.asarray(style))
+            losses = np.asarray(losses, np.float64)
+            top5s = np.asarray(top5s, np.float64)
+            ntoks = np.asarray(ntoks, np.float64)
+            preds = np.asarray(preds)                  # (nb, B, T)
         lens_host = np.asarray(ddata.lengths)[idx]     # (nb, B)
         start, end = self.vocab.start, self.vocab.end
         shift = 1 if self.attention else 0
@@ -533,7 +648,10 @@ class MultitaskTrainer:
         if self.sample_fn is not None:
             # the host loop samples from the first row of the last batch
             ui = int(ddata.image_rows(idx[-1:, :1])[0, 0])
-            feat = ddata.images[ui:ui + 1]
+            if isinstance(ddata, StreamedCaptionData):
+                feat = ddata.sample_feature(ui)
+            else:
+                feat = ddata.images[ui:ui + 1]
             print(self.sample_fn(self.dec, self.head, feat, style))
         return EpochStats(loss=loss, top5=top5, bleu4=bleu4,
                           batch_time=time.time() - t0)

@@ -680,8 +680,52 @@ def bench_seq2seq(jax, jnp):
     return step_ms, step_times, dec_cps
 
 
+def _wait_for_backend(max_wait_s: float = 330.0) -> None:
+    """Retry backend init with backoff for up to ~5.5 min (VERDICT r4 #2:
+    BENCH_r04 was lost to ONE transient relay refusal at minute zero; the
+    relay provably recovers on its own within minutes).  Raises only after
+    the full window fails."""
+    import jax
+    import jax.numpy as jnp
+
+    t0, attempt = time.time(), 0
+    while True:
+        attempt += 1
+        try:
+            jax.devices()
+            np.asarray(jnp.ones((8, 8)) @ jnp.ones((8, 8)))
+            return
+        except Exception as e:
+            waited = time.time() - t0
+            if waited > max_wait_s:
+                raise
+            delay = min(10.0 * attempt, 60.0)
+            print(f"# backend init failed (attempt {attempt}, "
+                  f"{type(e).__name__}: {e}); retrying in {delay:.0f}s "
+                  f"({waited:.0f}/{max_wait_s:.0f}s elapsed)", flush=True)
+            time.sleep(delay)
+
+
+PROGRESS_PATH = "bench_progress.json"
+
+
+def _flush_progress(out: dict) -> None:
+    """Atomically persist the metrics collected so far (VERDICT r4 #2b: a
+    mid-run crash must preserve everything measured)."""
+    import os
+
+    tmp = PROGRESS_PATH + ".tmp"
+    try:
+        with open(tmp, "w") as f:
+            json.dump(out, f)
+        os.replace(tmp, PROGRESS_PATH)
+    except OSError:
+        pass
+
+
 def main():
     import os
+    import signal
     import jax
     import jax.numpy as jnp
 
@@ -698,6 +742,22 @@ def main():
             return True
         return False
 
+    # the final JSON line always leads with the headline schema, populated
+    # incrementally so a partial run still yields a valid record
+    out = {"metric": "beam_decode_captions_per_sec", "value": None,
+           "unit": "captions/sec/chip", "vs_baseline": None}
+    _flush_progress(out)
+
+    def die_with_partial(signum, frame):
+        out["terminated_early"] = True
+        _flush_progress(out)
+        print(json.dumps(out), flush=True)
+        os._exit(0)
+
+    signal.signal(signal.SIGTERM, die_with_partial)
+
+    _wait_for_backend()
+
     from icee_tpu.core.config import DecoderConfig
     from icee_tpu.models import factored_lstm as fl
 
@@ -712,15 +772,41 @@ def main():
         rng.standard_normal((PIPELINE, BATCH, K, E)), jnp.bfloat16)
     style = jnp.asarray(1)
 
-    path, med, best, dec_times = bench_decode(jax, jnp, dec, feats_stack,
-                                               style)
-    cps = BATCH / med
+    try:
+        path, med, best, dec_times = bench_decode(jax, jnp, dec, feats_stack,
+                                                  style)
+        cps = BATCH / med
+        out.update({
+            "value": round(cps, 2),
+            "vs_baseline": round(cps / TORCH_CPU_BASELINE_CPS, 2),
+            "decode_path": path,
+            "decode_ms": round(med * 1e3, 2),
+            "decode_ms_best": round(best * 1e3, 2),
+            "decode_ms_spread": _spread_ms(dec_times),
+        })
+    except Exception as e:
+        print(f"# headline decode failed ({type(e).__name__}: {e}); "
+              "continuing with secondary metrics")
+        med = None
+    _flush_progress(out)
 
     try:
         calib_tflops = bench_calibration(jax, jnp)
     except Exception as e:
         print(f"# calibration matmul failed ({type(e).__name__})")
         calib_tflops = None
+    out["calib_matmul_tflops"] = (None if calib_tflops is None
+                                  else round(calib_tflops, 1))
+    # nominal = 165 TFLOP/s (84% of v5e bf16 peak), the calibration reading
+    # in the round-2 session that set the reference decode numbers
+    out["decode_ms_calibrated"] = (
+        None if calib_tflops is None or med is None
+        else round(med * 1e3 * calib_tflops / 165, 2))
+    _flush_progress(out)
+
+    def rec(**kw):
+        out.update(kw)
+        _flush_progress(out)
 
     # cheap (seconds-compile) metrics run BEFORE the attention mega kernel,
     # whose compile time varies 1-20 min on the remote-compile service —
@@ -732,12 +818,18 @@ def main():
             train_fused_ms = tm * 1e3
         except Exception as e:
             print(f"# fused train scan unavailable ({type(e).__name__})")
+    rec(train_step_ms_fused=(None if train_fused_ms is None
+                             else round(train_fused_ms, 2)),
+        train_step_ms_spread=(None if train_fused_times is None
+                              else _spread_ms(train_fused_times)))
     train_xla_ms = None
     if not over_budget("xla train"):
         try:
             train_xla_ms = bench_train(jax, jnp, fused_scan=False)[0] * 1e3
         except Exception as e:
             print(f"# xla train step failed ({type(e).__name__})")
+    rec(train_step_ms_xla=(None if train_xla_ms is None
+                           else round(train_xla_ms, 2)))
     train_b512_ms = None
     if not over_budget("b512 train"):
         try:
@@ -745,18 +837,27 @@ def main():
                                         batch=512)[0] * 1e3
         except Exception as e:
             print(f"# b512 train step failed ({type(e).__name__})")
+    rec(train_step_ms_b512=(None if train_b512_ms is None
+                            else round(train_b512_ms, 2)),
+        train_captions_per_sec_b512=(
+            None if train_b512_ms is None
+            else round(512 / (train_b512_ms / 1e3), 1)))
     epoch_cps = None
     if not over_budget("epoch train"):
         try:
             epoch_cps = bench_train_epoch(jax, jnp)
         except Exception as e:
             print(f"# epoch train failed ({type(e).__name__})")
+    rec(train_epoch_captions_per_sec=(None if epoch_cps is None
+                                      else round(epoch_cps, 1)))
     epoch_dev_cps = None
     if not over_budget("device epoch train"):
         try:
             epoch_dev_cps = bench_train_epoch_device(jax, jnp)
         except Exception as e:
             print(f"# device epoch train failed ({type(e).__name__})")
+    rec(train_epoch_device_captions_per_sec=(
+        None if epoch_dev_cps is None else round(epoch_dev_cps, 1)))
     att_train_ms, att_train_times, att_train_xla_ms = None, None, None
     if not over_budget("attention train"):
         # auto = the sampled whole-scan kernel at tf=0.8; if its hardware
@@ -780,6 +881,15 @@ def main():
         except Exception as e:
             print(f"# attention train XLA comparator failed "
                   f"({type(e).__name__})")
+    rec(att_train_step_ms=(None if att_train_ms is None
+                           else round(att_train_ms, 2)),
+        att_train_step_ms_xla=(None if att_train_xla_ms is None
+                               else round(att_train_xla_ms, 2)),
+        att_train_step_ms_spread=(None if att_train_times is None
+                                  else _spread_ms(att_train_times)),
+        att_train_captions_per_sec=(
+            None if att_train_ms is None
+            else round(ATT_TRAIN_B / (att_train_ms / 1e3), 1)))
     senticap_ms, senticap_times, senticap_xla_ms = None, None, None
     if not over_budget("senticap train"):
         # first try the whole-scan kernel (auto default); if its hardware
@@ -799,6 +909,12 @@ def main():
             senticap_xla_ms = bench_senticap(jax, jnp, fused=False)[0] * 1e3
         except Exception as e:
             print(f"# senticap XLA comparator failed ({type(e).__name__})")
+    rec(senticap_train_step_ms=(None if senticap_ms is None
+                                else round(senticap_ms, 2)),
+        senticap_train_step_ms_xla=(None if senticap_xla_ms is None
+                                    else round(senticap_xla_ms, 2)),
+        senticap_train_step_ms_spread=(None if senticap_times is None
+                                       else _spread_ms(senticap_times)))
     senticap_sw_ms, senticap_sw_times, senticap_sw_xla_ms = None, None, None
     if not over_budget("senticap switched train"):
         try:
@@ -819,6 +935,13 @@ def main():
                 jax, jnp, fused=False)[0] * 1e3
         except Exception as e:
             print(f"# switched XLA comparator failed ({type(e).__name__})")
+    rec(senticap_switched_step_ms=(None if senticap_sw_ms is None
+                                   else round(senticap_sw_ms, 2)),
+        senticap_switched_step_ms_xla=(None if senticap_sw_xla_ms is None
+                                       else round(senticap_sw_xla_ms, 2)),
+        senticap_switched_step_ms_spread=(
+            None if senticap_sw_times is None
+            else _spread_ms(senticap_sw_times)))
     senticap_dec_cps, senticap_dec_times = None, None
     senticap_dec_xla_cps = None
     if not over_budget("senticap decode"):
@@ -843,12 +966,27 @@ def main():
         except Exception as e:
             print(f"# senticap decode XLA comparator failed "
                   f"({type(e).__name__})")
+    rec(senticap_decode_captions_per_sec=(
+            None if senticap_dec_cps is None
+            else round(senticap_dec_cps, 1)),
+        senticap_decode_captions_per_sec_xla=(
+            None if senticap_dec_xla_cps is None
+            else round(senticap_dec_xla_cps, 1)),
+        senticap_decode_ms_spread=(
+            None if senticap_dec_times is None
+            else _spread_ms(senticap_dec_times)))
     s2s_step_ms = s2s_dec_cps = s2s_step_times = None
     if not over_budget("seq2seq"):
         try:
             s2s_step_ms, s2s_step_times, s2s_dec_cps = bench_seq2seq(jax, jnp)
         except Exception as e:
             print(f"# seq2seq bench failed ({type(e).__name__})")
+    rec(seq2seq_train_step_ms=(None if s2s_step_ms is None
+                               else round(s2s_step_ms, 2)),
+        seq2seq_train_step_ms_spread=(None if s2s_step_times is None
+                                      else _spread_ms(s2s_step_times)),
+        seq2seq_decode_captions_per_sec=(
+            None if s2s_dec_cps is None else round(s2s_dec_cps, 1)))
 
     backbone_ips = None
     if not over_budget("backbone"):
@@ -856,6 +994,8 @@ def main():
             backbone_ips = bench_backbone(jax, jnp)
         except Exception as e:
             print(f"# backbone bench failed ({type(e).__name__})")
+    rec(backbone_bf16_img_per_sec=(None if backbone_ips is None
+                                   else round(backbone_ips, 1)))
 
     att_cps, att_dec_times = None, None
     if not over_budget("attention decode"):
@@ -864,85 +1004,39 @@ def main():
             att_cps = ATT_BATCH / att_med
         except Exception as e:
             print(f"# attention mega decode unavailable ({type(e).__name__})")
+    rec(att_decode_captions_per_sec=(None if att_cps is None
+                                     else round(att_cps, 2)),
+        att_decode_ms_spread=(None if att_dec_times is None
+                              else _spread_ms(att_dec_times)))
 
-    print(json.dumps({
-        "metric": "beam_decode_captions_per_sec",
-        "value": round(cps, 2),
-        "unit": "captions/sec/chip",
-        "vs_baseline": round(cps / TORCH_CPU_BASELINE_CPS, 2),
-        "decode_path": path,
-        "decode_ms": round(med * 1e3, 2),
-        "decode_ms_best": round(best * 1e3, 2),
-        "decode_ms_spread": _spread_ms(dec_times),
-        "calib_matmul_tflops": (None if calib_tflops is None
-                                else round(calib_tflops, 1)),
-        # nominal = 165 TFLOP/s (84% of v5e bf16 peak), the calibration
-        # reading in the round-2 session that set the reference decode
-        # numbers: calibrated decode_ms ~ what a nominal session would show
-        "decode_ms_calibrated": (None if calib_tflops is None
-                                 else round(med * 1e3 * calib_tflops / 165,
-                                            2)),
-        "att_decode_captions_per_sec": (None if att_cps is None
-                                        else round(att_cps, 2)),
-        "att_decode_ms_spread": (None if att_dec_times is None
-                                 else _spread_ms(att_dec_times)),
-        "backbone_bf16_img_per_sec": (None if backbone_ips is None
-                                      else round(backbone_ips, 1)),
-        "train_step_ms_fused": (None if train_fused_ms is None
-                                else round(train_fused_ms, 2)),
-        "train_step_ms_spread": (None if train_fused_times is None
-                                 else _spread_ms(train_fused_times)),
-        "train_step_ms_xla": (None if train_xla_ms is None
-                              else round(train_xla_ms, 2)),
-        "train_step_ms_b512": (None if train_b512_ms is None
-                               else round(train_b512_ms, 2)),
-        "train_captions_per_sec_b512": (
-            None if train_b512_ms is None
-            else round(512 / (train_b512_ms / 1e3), 1)),
-        "train_epoch_captions_per_sec": (None if epoch_cps is None
-                                         else round(epoch_cps, 1)),
-        "train_epoch_device_captions_per_sec": (
-            None if epoch_dev_cps is None else round(epoch_dev_cps, 1)),
-        "att_train_step_ms": (None if att_train_ms is None
-                              else round(att_train_ms, 2)),
-        "att_train_step_ms_xla": (None if att_train_xla_ms is None
-                                  else round(att_train_xla_ms, 2)),
-        "att_train_step_ms_spread": (None if att_train_times is None
-                                     else _spread_ms(att_train_times)),
-        "att_train_captions_per_sec": (
-            None if att_train_ms is None
-            else round(ATT_TRAIN_B / (att_train_ms / 1e3), 1)),
-        "senticap_train_step_ms": (None if senticap_ms is None
-                                   else round(senticap_ms, 2)),
-        "senticap_train_step_ms_xla": (None if senticap_xla_ms is None
-                                       else round(senticap_xla_ms, 2)),
-        "senticap_train_step_ms_spread": (None if senticap_times is None
-                                          else _spread_ms(senticap_times)),
-        "senticap_switched_step_ms": (None if senticap_sw_ms is None
-                                      else round(senticap_sw_ms, 2)),
-        "senticap_switched_step_ms_xla": (
-            None if senticap_sw_xla_ms is None
-            else round(senticap_sw_xla_ms, 2)),
-        "senticap_switched_step_ms_spread": (
-            None if senticap_sw_times is None
-            else _spread_ms(senticap_sw_times)),
-        "senticap_decode_captions_per_sec": (
-            None if senticap_dec_cps is None
-            else round(senticap_dec_cps, 1)),
-        "senticap_decode_captions_per_sec_xla": (
-            None if senticap_dec_xla_cps is None
-            else round(senticap_dec_xla_cps, 1)),
-        "senticap_decode_ms_spread": (
-            None if senticap_dec_times is None
-            else _spread_ms(senticap_dec_times)),
-        "seq2seq_train_step_ms": (None if s2s_step_ms is None
-                                  else round(s2s_step_ms, 2)),
-        "seq2seq_train_step_ms_spread": (None if s2s_step_times is None
-                                         else _spread_ms(s2s_step_times)),
-        "seq2seq_decode_captions_per_sec": (
-            None if s2s_dec_cps is None else round(s2s_dec_cps, 1)),
-    }))
+    print(json.dumps(out))
+
+
+def run_with_recovery(body=None) -> int:
+    """Run the bench; on a crash after ANY metric landed, emit whatever
+    ``bench_progress.json`` collected and return 0 (VERDICT r4 #2c: one
+    transient failure must not lose the round's record).  Returns the
+    process exit code."""
+    import traceback
+
+    try:
+        (body or main)()
+        return 0
+    except Exception as e:
+        traceback.print_exc()
+        try:
+            with open(PROGRESS_PATH) as f:
+                partial = json.load(f)
+        except (OSError, ValueError):
+            partial = None
+        if partial is not None and any(
+                v is not None for k, v in partial.items()
+                if k not in ("metric", "unit")):
+            partial["crashed"] = f"{type(e).__name__}: {e}"
+            print(json.dumps(partial))
+            return 0
+        return 1
 
 
 if __name__ == "__main__":
-    main()
+    raise SystemExit(run_with_recovery())

@@ -113,8 +113,11 @@ class StreamedCaptionData(DeviceCaptionData):
     reuses ONE compiled program).  Host ``np.take`` + async ``device_put``
     of chunk c+1 overlap the device compute of chunk c (double-buffered, so
     ``capacity`` should be sized to HALF the HBM feature budget).  Parameters
-    after a streamed epoch are bit-identical to the pinned device epoch and
-    to the host ``BatchLoader`` loop (same batches, same RNG split order).
+    after a streamed epoch are numerically equivalent to the pinned device
+    epoch and the host ``BatchLoader`` loop (same batches, same RNG split
+    order; tested to 1e-6 — chunked dispatch boundaries change XLA fusion,
+    so bit-exactness vs the single-dispatch epoch is not claimed, while
+    kill/resume WITHIN the streamed path is bit-exact).
 
     This replaces the host-loader fallback for HBM-oversized splits — e.g.
     the full Flickr8k spatial-attention train split (~6k unique images x
@@ -174,9 +177,11 @@ class StreamedCaptionData(DeviceCaptionData):
         return jnp.asarray(feats)
 
     def sample_feature(self, unique_row: int):
-        import jax.numpy as jnp
-
-        return jnp.asarray(self.host_features[unique_row:unique_row + 1])
+        """One image's feature row, placed like the pinned path would place
+        it (mesh-replicated when training data-parallel, ADVICE r4 — the
+        jitted sample_fn must see the same sharding as a pinned slice)."""
+        return self.put_features(
+            self.host_features[unique_row:unique_row + 1])
 
 
 def from_examples(

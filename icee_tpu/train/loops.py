@@ -407,8 +407,9 @@ class MultitaskTrainer:
         style_arr = jnp.asarray(style if style is not None else 0)
         nb = idx.shape[0]
         R = ddata.rows_per_chunk
-        save_progress = bool(getattr(self.tcfg, "progress_chunk", 0)) \
-            and epoch is not None
+        prog_every = int(getattr(self.tcfg, "progress_chunk", 0) or 0)
+        save_progress = prog_every > 0 and epoch is not None
+        last_saved = start_row
         losses = np.zeros(nb, np.float64)
         ntoks = np.zeros(nb, np.float64)
         if loss_prefix is not None:
@@ -441,12 +442,19 @@ class MultitaskTrainer:
                 n0, n1 = bounds[ci + 1]
                 f, remap = ddata.chunk_features(img_rows[n0:n1])
                 nxt = (ddata.put_features(f), remap)
-            if save_progress:
-                losses[r0:r1] = np.asarray(ls, np.float64)
-                ntoks[r0:r1] = np.asarray(nt, np.float64)
+            pending.append((r0, r1, ls, nt))
+            # save only every progress_chunk rows (matching the pinned
+            # path's record granularity) — still aligned to streamed-chunk
+            # boundaries so resume stays valid; chunks between saves keep
+            # their loss transfers deferred to preserve the prefetch
+            # overlap (ADVICE r4)
+            if save_progress and (r1 - last_saved >= prog_every or r1 == nb):
+                for p0, p1, pls, pnt in pending:
+                    losses[p0:p1] = np.asarray(pls, np.float64)
+                    ntoks[p0:p1] = np.asarray(pnt, np.float64)
+                pending = []
+                last_saved = r1
                 self._save_progress(epoch, pass_idx, r1, losses, ntoks)
-            else:
-                pending.append((r0, r1, ls, nt))
         for r0, r1, ls, nt in pending:
             losses[r0:r1] = np.asarray(ls, np.float64)
             ntoks[r0:r1] = np.asarray(nt, np.float64)

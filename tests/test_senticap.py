@@ -380,8 +380,12 @@ def test_embedding_closest_fn_adopts_neighbour_rows(rng):
 
 
 def test_sentiment_utils(tmp_path):
-    assert reward(1.0, 1.0) == 1.0
-    assert reward(1.0, 0.0) < 1e-5
+    # reference formula (sentiment_utils.py:7-12): sigma=0.8 WITH prefactor
+    peak = 1.0 / (0.8 * np.sqrt(2.0 * np.pi))
+    np.testing.assert_allclose(reward(1.0, 1.0), peak, rtol=1e-12)
+    np.testing.assert_allclose(reward(1.0, 0.0),
+                               peak * np.exp(-1.0 / (2 * 0.8 ** 2)),
+                               rtol=1e-12)
     lex = tmp_path / "lex.tsv"
     lex.write_text("dog\thappy\t0.8\ndog\tangry\t-0.6\n")
     s = SentiScores(str(lex))
@@ -529,3 +533,113 @@ def test_batch_norm_training_updates_gamma_beta(rng):
     # mrnn.py:97-103)
     assert not np.allclose(np.asarray(params["gamma_h"]), 1.0)
     assert not np.allclose(np.asarray(params["beta_h"]), 0.0)
+
+
+# --- C9: goal-weighted ANP aggregation (sentiment_utils.py:22-170) ---------
+
+def _anp_lexicon(tmp_path):
+    lex = tmp_path / "lex.tsv"
+    lex.write_text("dog\thappy\t0.8\ndog\tangry\t-0.6\ncat\tcute\t0.5\n")
+    from icee_tpu.senticap.sentiment import SentiScores
+    return SentiScores(str(lex))
+
+
+def test_get_anp_to_score_goal_weighting(tmp_path):
+    from icee_tpu.senticap.sentiment import reward
+    s = _anp_lexicon(tmp_path)
+    m = s.get_anp_to_score(["dog", "cat", "tree"], goal=1.0)
+    # padding entry ('', 0.0) -> "_noun" key, for EVERY noun incl. unknown
+    assert "_dog" in m and "_cat" in m and "_tree" in m
+    np.testing.assert_allclose(m["happy_dog"], reward(1.0, 0.8), rtol=1e-12)
+    np.testing.assert_allclose(m["angry_dog"], reward(1.0, -0.6), rtol=1e-12)
+    np.testing.assert_allclose(m["_dog"], reward(1.0, 0.0), rtol=1e-12)
+    # hand-computed reference value: 1/(.8*sqrt(2pi)) * exp(-(1-.8)^2/1.28)
+    expect = (1.0 / (0.8 * np.sqrt(2 * np.pi))) * np.exp(-0.04 / 1.28)
+    np.testing.assert_allclose(m["happy_dog"], expect, rtol=1e-12)
+    # goal=None returns RAW scores
+    raw = s.get_anp_to_score(["dog"], goal=None)
+    assert raw["happy_dog"] == 0.8 and raw["_dog"] == 0.0
+    # cached per goal (sentiment_utils.py:40-41): same object back
+    assert s.get_anp_to_score(["dog"], goal=1.0) is m
+    # the lexicon itself is NOT mutated (deviation from the reference's
+    # in-place append, documented in the module docstring)
+    assert s.by_noun["dog"] == [("happy", 0.8), ("angry", -0.6)]
+
+
+def test_get_anp_score_from_noun(tmp_path):
+    from icee_tpu.senticap.sentiment import reward
+    s = _anp_lexicon(tmp_path)
+    anps, scores = s.get_anp_score_from_noun("dog", goal=-1.0)
+    assert anps == ["happy_dog", "angry_dog", "_dog"]
+    np.testing.assert_allclose(
+        scores, [reward(-1.0, 0.8), reward(-1.0, -0.6), reward(-1.0, 0.0)],
+        rtol=1e-12)
+    # unknown noun: ([], np.empty((1,))) — reference asymmetry kept
+    anps2, scores2 = s.get_anp_score_from_noun("tree")
+    assert anps2 == [] and scores2.shape == (1,)
+
+
+def test_anp_visual_scores_uniform_fallback(tmp_path):
+    from icee_tpu.senticap.sentiment import ANPVisualScores
+    import pickle
+    blob = {"anp_pred": np.array([[0.9, 0.1], [0.2, 0.8]]),
+            "anp_to_id": {"happy_dog": 0, "cute_cat": 1}}
+    p = tmp_path / "anp.pkl"
+    p.write_bytes(pickle.dumps(blob))
+    v = ANPVisualScores(str(p))
+    assert v.get_score(0, "happy_dog") == pytest.approx(0.9)
+    assert v.get_score(1, "cute_cat") == pytest.approx(0.8)
+    # unknown ANP -> uniform 1/len(anp_to_id) (sentiment_utils.py:28)
+    assert v.get_score(0, "sad_tree") == pytest.approx(0.5)
+
+
+def test_anp_joint_score(tmp_path):
+    from icee_tpu.senticap.sentiment import ANPVisualScores, anp_joint_score
+    import pickle
+    s = _anp_lexicon(tmp_path)
+    blob = {"anp_pred": np.array([[0.5, 0.5, 0.5]]),
+            "anp_to_id": {"happy_dog": 0, "angry_dog": 1, "_dog": 2}}
+    p = tmp_path / "anp.pkl"
+    p.write_bytes(pickle.dumps(blob))
+    v = ANPVisualScores(str(p))
+    # equal visual scores -> the goal-closest sentiment wins: goal +1 => happy
+    assert anp_joint_score(1.0, "dog", 0, s, v) == "happy"
+    assert anp_joint_score(-1.0, "dog", 0, s, v) == "angry"
+    # best_k path returns ranked (score, adj) pairs
+    ranked = anp_joint_score(1.0, "dog", 0, s, v, best_k=3)
+    assert [a for _, a in ranked][0] == "happy"
+    # unknown noun
+    assert anp_joint_score(1.0, "tree", 0, s, v) == ""
+    assert anp_joint_score(1.0, "tree", 0, s, v, best_k=2) == [(0.0, "")]
+
+
+def test_anp_joint_score_prob(tmp_path):
+    from icee_tpu.senticap.sentiment import (ANPVisualScores,
+                                             anp_joint_score_prob, reward)
+    s = _anp_lexicon(tmp_path)
+    v = ANPVisualScores()  # no file: C[0]=0 path uses uniform vis anyway
+    w2i = {"dog": 0, "cat": 1}
+    noun_pd = np.array([0.7, 0.3])
+    C = (0.0, 1.0, 1.0, 1.0)
+    best_anp, best_nlp = anp_joint_score_prob(1.0, w2i, noun_pd, 0, s, v, C)
+    # hand-compute: anps over {dog,cat} with padding; score =
+    # 1*log(noun_pd) + 1*log(reward) (+ const vis term identical across)
+    anps = {"happy_dog": (0.7, 0.8), "angry_dog": (0.7, -0.6),
+            "_dog": (0.7, 0.0), "cute_cat": (0.3, 0.5), "_cat": (0.3, 0.0)}
+    raw = {a: np.log(1.0 / 5) + np.log(pd) + np.log(reward(1.0, sc))
+           for a, (pd, sc) in anps.items()}
+    vals = np.array(list(raw.values()))
+    z = np.log(np.exp(vals).sum())
+    expect_best = max(raw, key=raw.get)
+    assert best_anp == expect_best
+    np.testing.assert_allclose(best_nlp, -(raw[expect_best] - z), rtol=1e-10)
+    ranked = anp_joint_score_prob(1.0, w2i, noun_pd, 0, s, v, C,
+                                  get_all_scores=True)
+    assert [a for a, _ in ranked] == sorted(raw, key=raw.get, reverse=True)
+
+
+def test_get_anp_reward(tmp_path):
+    from icee_tpu.senticap.sentiment import get_anp_reward, reward
+    out = get_anp_reward(1.0, {"happy_dog": 0.8, "angry_dog": -0.6})
+    np.testing.assert_allclose(out["happy_dog"], reward(1.0, 0.8), rtol=1e-12)
+    np.testing.assert_allclose(out["angry_dog"], reward(1.0, -0.6), rtol=1e-12)

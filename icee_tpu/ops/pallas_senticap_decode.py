@@ -104,18 +104,15 @@ def _stream_head(hh_s, w_ref, b_ref, e_scr, *, row0, rows2, v_tile, n_vt):
     return run_m, run_se, False
 
 
-def _stream_topk(e_scr, run_m, run_se, stash_is_exp, *, row0, rows2, beam,
-                 v_tile, n_vt):
-    """Pass B for one stream: exact per-row top-``beam`` of -nll where
-    ``nll = -log2(p + 1e-37)``; ties -> lowest token index (lax.top_k)."""
+def _topk_over_tiles(prob_tile_fn, *, rows2, beam, v_tile, n_vt):
+    """Exact per-row top-``beam`` of ``log2(p + 1e-37)`` over vocab tiles
+    (higher = better); value ties -> lowest token index.  ``prob_tile_fn(j)``
+    yields tile ``j``'s (rows2, v_tile) probabilities.  Shared by the base
+    and switched kernels (the switched one feeds mixture probabilities)."""
     col_t = jax.lax.broadcasted_iota(jnp.int32, (rows2, v_tile), 1)
     best_v = best_i = None
     for j in range(n_vt):
-        stash = e_scr[row0:row0 + rows2, j * v_tile:(j + 1) * v_tile]
-        if stash_is_exp:
-            p = stash / run_se
-        else:
-            p = jnp.exp(stash - run_m) / run_se
+        p = prob_tile_fn(j)
         neg_nll = jnp.log2(p + 1e-37)                      # higher = better
         cur, colj = neg_nll, col_t + j * v_tile
         tv, ti = [], []
@@ -152,14 +149,34 @@ def _stream_topk(e_scr, run_m, run_se, stash_is_exp, *, row0, rows2, beam,
     return -best_v, best_i                                 # (nll, token)
 
 
+def _stream_topk(e_scr, run_m, run_se, stash_is_exp, *, row0, rows2, beam,
+                 v_tile, n_vt):
+    """Pass B for one stream: top-``beam`` of the base model's nll."""
+    def prob_tile(j):
+        stash = e_scr[row0:row0 + rows2, j * v_tile:(j + 1) * v_tile]
+        if stash_is_exp:
+            return stash / run_se
+        return jnp.exp(stash - run_m) / run_se
+
+    return _topk_over_tiles(prob_tile, rows2=rows2, beam=beam,
+                            v_tile=v_tile, n_vt=n_vt)
+
+
 def _stream_select(t, nll_top, idx_top, hh_s, cc_s,
                    tok_ref, len_ref, score_ref,
                    h_scr, c_scr, seqs_scr, lp_scr,
                    *, beam, n2, h_dim, seq_len, max_len, stop_token,
-                   row0, img0):
+                   row0, img0, att_val=None, att_scr=None, att_ref=None):
     """Beam bookkeeping for one stream: candidate merge, best-completed
     tracking, survivor selection, state/sequence gather.  Returns the
-    selected next words (n2, beam)."""
+    selected next words (n2, beam).
+
+    With ``att_val`` ((rows2, 1) this step's switch gate per parent row),
+    ``att_scr`` ((rows, seq_len) gate-trace scratch) and ``att_ref`` (the
+    (n_img, seq_len) trace output) the switched model's per-step gate is
+    threaded through selection exactly like the token sequences — the trace
+    the reference's HTML highlighting consumes
+    (``mrnn_algorithms.py:159-209`` records ``att`` per emitted word)."""
     i1 = img0 + n2
     parts_s, parts_w = [], []
     for p in range(beam):
@@ -194,6 +211,17 @@ def _stream_select(t, nll_top, idx_top, hh_s, cc_s,
     tok_ref[img0:i1] = jnp.where(improves, best_seq, tok_ref[img0:i1])
     len_ref[img0:i1] = jnp.where(improves, t + 1, len_ref[img0:i1])
     score_ref[img0:i1] = jnp.where(improves, best_val, score_ref[img0:i1])
+    if att_val is not None:
+        # best candidate's gate trace: parent prefix + this step's gate
+        best_att = jnp.zeros((n2, seq_len), jnp.float32)
+        best_att_t = jnp.zeros((n2, 1), jnp.float32)
+        for p in range(beam):
+            sel_p = ((ci_best // beam) == p).astype(jnp.float32)
+            best_att = best_att + sel_p * att_scr[row0 + p * n2:
+                                                  row0 + (p + 1) * n2, :]
+            best_att_t = best_att_t + sel_p * att_val[p * n2:(p + 1) * n2, :]
+        best_att = jnp.where(col_l == t, best_att_t, best_att)
+        att_ref[img0:i1] = jnp.where(improves, best_att, att_ref[img0:i1])
 
     # survivors: `beam` lowest accumulated nll among non-stop candidates,
     # ties -> lowest candidate index (lax.top_k(-live))
@@ -243,6 +271,13 @@ def _stream_select(t, nll_top, idx_top, hh_s, cc_s,
     col_lr = jax.lax.broadcasted_iota(jnp.int32, (rows2, seq_len), 1)
     new_seqs = jnp.where(col_lr == t, flat_words, new_seqs)
     r1 = row0 + rows2
+    if att_val is not None:
+        # survivors inherit the parent's gate trace + this step's gate
+        # (exact: one 1.0 times the selected row)
+        new_att_tr = jnp.dot(sel, att_scr[row0:r1, :],
+                             preferred_element_type=jnp.float32)
+        att_sel = jnp.dot(sel, att_val, preferred_element_type=jnp.float32)
+        att_scr[row0:r1] = jnp.where(col_lr == t, att_sel, new_att_tr)
     seqs_scr[row0:r1] = new_seqs
     h_scr[row0:r1] = new_h
     c_scr[row0:r1] = new_c

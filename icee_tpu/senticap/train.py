@@ -503,9 +503,20 @@ def make_beam_step(params, conf, switched: bool):
     return make
 
 
+def _mega_eligible(conf, switched: bool) -> bool:
+    """The mega kernels cover the test regime: softmax head, no batch norm,
+    DA_SUM mixture (the switched kernel's mode)."""
+    from icee_tpu.senticap.config import DA_SUM
+
+    return (conf.get("SOFTMAX_OUT", True)
+            and not conf.get("BATCH_NORM", False)
+            and (not switched or conf.get("DOMAIN_ADAPT") == DA_SUM))
+
+
 def decode_split(params, conf, dataset: sio.SentiDataset, i2w: Dict[int, str],
                  switched: bool = True, beam_size: int = 20,
-                 device: bool = True):
+                 device: bool = True, mega: str = "auto",
+                 n_img_block: int = 8, n_streams: int = 1):
     """Test path (``run_load_gap_filler``, ``train_joint.py:91-320``): per
     image decode the styled (senti=+1) and descriptive (senti=-1) sentence
     with attention traces.
@@ -514,7 +525,17 @@ def decode_split(params, conf, dataset: sio.SentiDataset, i2w: Dict[int, str],
     device programs (:func:`icee_tpu.senticap.beam.make_device_beam`'s raw
     runner over the feature batch — one dispatch per sentiment instead of
     one per caption); ``device=False`` keeps the host-driven oracle loop
-    (the reference's per-token compiled-function protocol)."""
+    (the reference's per-token compiled-function protocol).
+
+    ``mega`` ("auto"/"on"/"off") selects the whole-search Pallas kernels
+    on top of ``device=True``: the styled decode runs
+    ``ops/pallas_senticap_switched_decode.mega_senticap_switched_decode``
+    (both weight sets VMEM-resident, gate mixture head, switch-gate trace)
+    and the descriptive decode runs the BASE mega kernel on the original
+    weight view (senti<=-0.5 outputs exactly the background distribution,
+    ``mrnn_switched.py:860-884``).  "auto" falls back to the XLA device
+    beam if the kernel fails to compile or the conf is outside the kernel
+    regime."""
     import jax
 
     from icee_tpu.senticap.beam import beam_decode, make_device_beam
@@ -526,16 +547,54 @@ def decode_split(params, conf, dataset: sio.SentiDataset, i2w: Dict[int, str],
     make = make_beam_step(params, conf, switched)
 
     if device:
-        dec_des = make_device_beam(make(-1.0), width, beam_size, max_len)
         v_all = jnp.asarray(dataset.V)
-        d_sc, d_seq, d_len, _ = jax.jit(jax.vmap(dec_des.run))(v_all)
-        d_seq, d_len = np.asarray(d_seq), np.asarray(d_len)
-        if switched:
-            dec_att = make_device_beam(make(1.0), width, beam_size,
-                                       max_len, with_attention=True)
-            _, p_seq, p_len, p_att = jax.jit(jax.vmap(dec_att.run))(v_all)
-            p_seq, p_len, p_att = (np.asarray(p_seq), np.asarray(p_len),
-                                   np.asarray(p_att))
+        n = int(v_all.shape[0])
+        done = False
+        interp = mega == "interpret"
+        mega_want = (mega == "on" or interp or
+                     (mega == "auto" and jax.default_backend() == "tpu"))
+        if mega_want and _mega_eligible(conf, switched):
+            try:
+                from icee_tpu.ops.pallas_senticap_decode import (
+                    mega_senticap_beam_decode,
+                )
+
+                orig = {k: params[k]
+                        for k in ("wemb", "w_lstm", "w", "b", "wvm", "bmv")}
+                _, d_seq, d_len = mega_senticap_beam_decode(
+                    orig, v_all, n, beam_size=beam_size, max_len=max_len,
+                    n_img_block=min(4 * n_img_block, max(n, 1)),
+                    n_streams=n_streams, interpret=interp)
+                if switched:
+                    from icee_tpu.ops.pallas_senticap_switched_decode import (
+                        mega_senticap_switched_decode,
+                    )
+
+                    _, p_seq, p_len, p_att = mega_senticap_switched_decode(
+                        params, v_all, n, beam_size=beam_size,
+                        max_len=max_len,
+                        n_img_block=min(n_img_block, max(n, 1)),
+                        n_streams=n_streams, interpret=interp)
+                    p_seq, p_len, p_att = (np.asarray(p_seq),
+                                           np.asarray(p_len),
+                                           np.asarray(p_att))
+                d_seq, d_len = np.asarray(d_seq), np.asarray(d_len)
+                done = True
+            except Exception as e:
+                if mega in ("on", "interpret"):
+                    raise
+                print(f"# mega decode unavailable ({type(e).__name__}); "
+                      "XLA device beam fallback")
+        if not done:
+            dec_des = make_device_beam(make(-1.0), width, beam_size, max_len)
+            d_sc, d_seq, d_len, _ = jax.jit(jax.vmap(dec_des.run))(v_all)
+            d_seq, d_len = np.asarray(d_seq), np.asarray(d_len)
+            if switched:
+                dec_att = make_device_beam(make(1.0), width, beam_size,
+                                           max_len, with_attention=True)
+                _, p_seq, p_len, p_att = jax.jit(jax.vmap(dec_att.run))(v_all)
+                p_seq, p_len, p_att = (np.asarray(p_seq), np.asarray(p_len),
+                                       np.asarray(p_att))
 
     for i in range(dataset.V.shape[0]):
         v_row = jnp.asarray(dataset.V[i])

@@ -106,3 +106,35 @@ def test_decode_split_device_matches_host(rng):
         assert g["descriptive"] == w["descriptive"]
         np.testing.assert_allclose(g["attention"], w["attention"],
                                    rtol=1e-5, atol=1e-6)
+
+
+def test_decode_split_mega_matches_host(rng):
+    """decode_split's mega path (switched kernel for pos, base kernel for
+    des — VERDICT r4 #1) produces identical captions + traces to the host
+    oracle loop (interpret mode on CPU)."""
+    from icee_tpu.senticap import io as sio
+    from icee_tpu.senticap.train import decode_split
+
+    params = SW.init_params(jax.random.PRNGKey(5), VOCAB, CONF)
+    # perturb the sentiment path so the mixture matters
+    params["w_sw"] = params["w_sw"] + 0.3 * jax.random.normal(
+        jax.random.PRNGKey(9), params["w_sw"].shape)
+    n = 3
+    ds = sio.SentiDataset(
+        X=np.zeros((n, 11), np.int32), Y=np.zeros((n, 11), np.int32),
+        Xlen=np.ones((n, 11), np.float32),
+        V=rng.standard_normal((n, 8)).astype(np.float32),
+        SW=np.zeros((n, 11), np.float32),
+        senti=np.ones((n,), np.float32),
+        ids=[f"im{i}" for i in range(n)])
+    i2w = {i: f"w{i}" for i in range(VOCAB)}
+
+    got = decode_split(params, CONF, ds, i2w, switched=True, beam_size=4,
+                       device=True, mega="interpret", n_img_block=2)
+    want = decode_split(params, CONF, ds, i2w, switched=True, beam_size=4,
+                        device=False)
+    for g, w in zip(got, want):
+        assert g["positive"] == w["positive"]
+        assert g["descriptive"] == w["descriptive"]
+        np.testing.assert_allclose(g["attention"], w["attention"],
+                                   rtol=1e-5, atol=1e-6)

@@ -733,8 +733,10 @@ def bench_senticap_switched_decode(jax, jnp, mega=True):
     return SC_DECODE_N / float(np.median(times)), times
 
 
-# switched-kernel block geometry (sweep: scripts/check_senticap_switched_mega)
-SC_SW_NIB, SC_SW_NS = 8, 1
+# switched-kernel block geometry (sweep: scripts/check_senticap_switched_mega
+# — nib=16 best; nib>=24 exceeds VMEM with both weight sets resident; ns=1
+# vs 2 within session noise after the combined-embedding merge)
+SC_SW_NIB, SC_SW_NS = 16, 1
 
 S2S_B = 64
 

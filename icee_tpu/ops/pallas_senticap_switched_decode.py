@@ -61,7 +61,7 @@ from icee_tpu.ops.pallas_senticap_decode import (
 )
 
 
-def _kernel(x0_ref, emb_o_ref, emb_n_ref, wl_o_ref, wl_n_ref,
+def _kernel(x0_ref, emb_ref, wl_o_ref, wl_n_ref,
             w_o_ref, w_n_ref, b_o_ref, b_n_ref, attw_ref, attb_ref,
             tok_ref, len_ref, score_ref, atttr_ref,
             h_scr, c_scr, x_scr, seqs_scr, lp_scr, att_scr,
@@ -218,20 +218,19 @@ def _kernel(x0_ref, emb_o_ref, emb_n_ref, wl_o_ref, wl_n_ref,
                 x_scr[r0:r0 + rows2, :]
                 + jnp.sum(flat_w.astype(jnp.float32)) * 1e-30)
             continue
-        # next inputs: one one-hot per stream, two embedding matmuls
-        x_o = jnp.zeros((rows2, e_dim), jnp.float32)
-        x_n = jnp.zeros((rows2, e_dim), jnp.float32)
+        # next inputs: ONE one-hot matmul against the horizontally
+        # concatenated [wemb | wemb_sw] (vp, 2E) — exact (a single 1.0
+        # times the selected row) and writes the [x_o | x_n] scratch
+        # layout directly, no per-path dots or concat
+        x_new = jnp.zeros((rows2, 2 * e_dim), jnp.float32)
         for j in range(n_vt):
             col_v = j * v_tile + jax.lax.broadcasted_iota(
                 jnp.int32, (rows2, v_tile), 1)
             onehot = (col_v == flat_w).astype(jnp.float32)
-            x_o = x_o + jnp.dot(
-                onehot, emb_o_ref[j * v_tile:(j + 1) * v_tile, :],
+            x_new = x_new + jnp.dot(
+                onehot, emb_ref[j * v_tile:(j + 1) * v_tile, :],
                 preferred_element_type=jnp.float32)
-            x_n = x_n + jnp.dot(
-                onehot, emb_n_ref[j * v_tile:(j + 1) * v_tile, :],
-                preferred_element_type=jnp.float32)
-        x_scr[r0:r0 + rows2, :] = jnp.concatenate([x_o, x_n], axis=1)
+        x_scr[r0:r0 + rows2, :] = x_new
 
 
 @functools.partial(
@@ -343,7 +342,7 @@ def mega_senticap_switched_decode(
         kernel,
         grid=(n_blocks, seq_len),
         in_specs=[row_spec,
-                  full(vp, e_dim), full(vp, e_dim),
+                  full(vp, 2 * e_dim),
                   full(e_dim + h_dim, 4 * h_dim),
                   full(e_dim + h_dim, 4 * h_dim),
                   full(h_dim, vp), full(h_dim, vp),
@@ -367,9 +366,10 @@ def mega_senticap_switched_decode(
         compiler_params=compiler_params,
         interpret=interpret,
     )
+    emb_cat = jnp.concatenate([emb_o, emb_n], axis=1)
     tokens, lengths, scores, att_tr = call(
         x0.astype(jnp.float32),
-        emb_o.astype(jnp.float32), emb_n.astype(jnp.float32),
+        emb_cat.astype(jnp.float32),
         wl_o.astype(jnp.float32), wl_n.astype(jnp.float32),
         w_o.astype(jnp.float32), w_n.astype(jnp.float32),
         b2_o, b2_n, attw, attb)

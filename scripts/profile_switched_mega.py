@@ -45,9 +45,11 @@ def main():
                  "no_cell2", "no_head"):
         t0 = time.time()
         try:
-            jax.block_until_ready(mega_senticap_switched_decode(
+            # np.asarray forces the transfer sync (block_until_ready alone
+            # returned instantly through the relay in the first run)
+            np.asarray(mega_senticap_switched_decode(
                 params, v, N, beam_size=BEAM, max_len=MAX_LEN,
-                n_img_block=NIB, n_streams=NS, _profile=prof))
+                n_img_block=NIB, n_streams=NS, _profile=prof)[1])
         except Exception as e:  # noqa: BLE001
             print(f"{prof}: FAILED {type(e).__name__}: {str(e)[:200]}")
             continue
@@ -55,9 +57,9 @@ def main():
         ts = []
         for _ in range(5):
             t0 = time.perf_counter()
-            jax.block_until_ready(mega_senticap_switched_decode(
+            np.asarray(mega_senticap_switched_decode(
                 params, v, N, beam_size=BEAM, max_len=MAX_LEN,
-                n_img_block=NIB, n_streams=NS, _profile=prof))
+                n_img_block=NIB, n_streams=NS, _profile=prof)[1])
             ts.append(time.perf_counter() - t0)
         ms = float(np.median(ts)) * 1e3
         results[prof] = ms

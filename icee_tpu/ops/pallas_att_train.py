@@ -89,6 +89,21 @@ def _a_tile_of(a_dim):
     return 128
 
 
+def _score_mm_dtype(wdt):
+    # VERDICT r4 #5(a) probe: ICEE_ATT_BF16_MM=1 casts ONLY the score
+    # (relu(att1+att2) @ full_w) and context (alpha @ feats) matmul
+    # operands — fwd and their bwd counterparts — to bf16 with f32
+    # accumulation, leaving every other op f32.  The full-param-bf16
+    # variant still crashes the remote Mosaic compile service (HTTP 500,
+    # probed twice); this localizes bf16 to the two matmuls the MFU
+    # analysis targets.  Measurement-only knob (changes numerics).
+    import os
+
+    if os.environ.get("ICEE_ATT_BF16_MM", "0") == "1":
+        return jnp.bfloat16
+    return wdt
+
+
 def _attend_step(h_prev, att1, feat, decw_ref, decb_ref, fullw_ref,
                  fullb_ref, fbw_ref, fbb_ref, wdt):
     """One Bahdanau step on a resident (n, P, A)/(n, P, FS) tile ->
@@ -99,6 +114,7 @@ def _attend_step(h_prev, att1, feat, decw_ref, decb_ref, fullw_ref,
     n, p_dim = h_prev.shape[0], att1.shape[1]
     a_dim = att1.shape[2]
     a_tile = _a_tile_of(a_dim)
+    sdt = _score_mm_dtype(wdt)
     att2 = jnp.dot(h_prev.astype(wdt), decw_ref[:],
                    preferred_element_type=jnp.float32) + decb_ref[0, :]
     fwb = jnp.broadcast_to(fullw_ref[:][None],
@@ -109,13 +125,13 @@ def _attend_step(h_prev, att1, feat, decw_ref, decb_ref, fullw_ref,
         r_t = jnp.maximum(att1[:, :, a0:a0 + a_tile]
                           + a2_t[:, None, :].astype(jnp.float32), 0.0)
         e = e + jax.lax.dot_general(
-            r_t.astype(wdt), fwb[:, a0:a0 + a_tile, :],
+            r_t.astype(sdt), fwb[:, a0:a0 + a_tile, :].astype(sdt),
             dimension_numbers=(((2,), (1,)), ((0,), (0,))),
             preferred_element_type=jnp.float32)
     e = e[:, :, 0] + fullb_ref[0, 0]
     alpha = jax.nn.softmax(e, axis=1)                        # (n, P)
     ctx = jax.lax.dot_general(
-        alpha[:, None, :].astype(wdt), feat,
+        alpha[:, None, :].astype(sdt), feat.astype(sdt),
         dimension_numbers=(((2,), (1,)), ((0,), (0,))),
         preferred_element_type=jnp.float32)[:, 0, :]         # (n, FS)
     gate = jax.nn.sigmoid(
@@ -316,11 +332,12 @@ def _bwd_kernel(*refs, kind, f_dim, h_dim, seq_len, sampled):
     gate = jax.nn.sigmoid(
         jnp.dot(h_prev.astype(wdt), fbw_ref[:],
                 preferred_element_type=jnp.float32) + fbb_ref[0, :])
+    sdt = _score_mm_dtype(wdt)
     alpha = alpha_ref[0].astype(jnp.float32)  # saved (bitwise forward value)
     # ctx is recomputed from the SAVED alpha so the backward sees exactly
     # the forward's values
     ctx = jax.lax.dot_general(
-        alpha[:, None, :].astype(wdt), feat,
+        alpha[:, None, :].astype(sdt), feat.astype(sdt),
         dimension_numbers=(((2,), (1,)), ((0,), (0,))),
         preferred_element_type=jnp.float32)[:, 0, :]
     gctx = gate * ctx
@@ -397,7 +414,7 @@ def _bwd_kernel(*refs, kind, f_dim, h_dim, seq_len, sampled):
 
     # ctx = alpha @ features (features cotangent intentionally dropped)
     d_alpha = jax.lax.dot_general(
-        d_ctx[:, None, :].astype(wdt), feat,
+        d_ctx[:, None, :].astype(sdt), feat.astype(sdt),
         dimension_numbers=(((2,), (2,)), ((0,), (0,))),
         preferred_element_type=jnp.float32)[:, 0, :]         # (n, P)
     d_alpha = d_alpha + dalpha_ref[0].astype(jnp.float32)
@@ -413,7 +430,7 @@ def _bwd_kernel(*refs, kind, f_dim, h_dim, seq_len, sampled):
     # VMEM and caps the batch tile)
     p_dim, a_dim = att1.shape[1], att1.shape[2]
     a_tile = _a_tile_of(a_dim)
-    ones_p = jnp.ones((n, 1, p_dim), wdt)
+    ones_p = jnp.ones((n, 1, p_dim), sdt)
     d_e3 = jnp.broadcast_to(d_e[:, :, None], (n, p_dim, a_tile))
     for a0 in range(0, a_dim, a_tile):
         sl = slice(a0, a0 + a_tile)
@@ -424,7 +441,7 @@ def _bwd_kernel(*refs, kind, f_dim, h_dim, seq_len, sampled):
         # d_full_w tile: sum_{n,P} r * d_e (batched contraction over P,
         # then n)
         dfw_t = jax.lax.dot_general(
-            d_e[:, None, :].astype(wdt), r_t.astype(wdt),
+            d_e[:, None, :].astype(sdt), r_t.astype(sdt),
             dimension_numbers=(((2,), (1,)), ((0,), (0,))),
             preferred_element_type=jnp.float32)[:, 0, :]     # (n, a_tile)
         dfullw_ref[:, sl] = (dfullw_ref[:, sl]
@@ -439,7 +456,7 @@ def _bwd_kernel(*refs, kind, f_dim, h_dim, seq_len, sampled):
         # sum over P as a batched contraction (middle-axis reduce_sum of a
         # 3-D vector is a Mosaic relayout trap)
         datt2_scr[:, sl] = jax.lax.dot_general(
-            ones_p, d_r_t.astype(wdt),
+            ones_p, d_r_t.astype(sdt),
             dimension_numbers=(((2,), (1,)), ((0,), (0,))),
             preferred_element_type=jnp.float32)[:, 0, :]
     d_att2 = datt2_scr[:]                                    # (n, A)

@@ -21,12 +21,16 @@ Usage: PYTHONPATH=/root/.axon_site:/root/repo \
         python scripts/probe_att_bf16_fused.py
 """
 
+import os
+import sys
 import time
 
 import numpy as np
 import jax
 import jax.numpy as jnp
 import optax
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 from icee_tpu.core.config import AttentionDecoderConfig, TrainConfig
 from icee_tpu.models import attention as att_mod
@@ -37,7 +41,10 @@ ATT_PIX, T = 196, 25
 REPS = 5
 
 
-def run_case(batch, dtype, fused=True):
+def run_case(batch, dtype, fused=True, bf16_mm=False):
+    # ICEE_ATT_BF16_MM is read at kernel TRACE time (each run_case builds
+    # and compiles fresh step fns), so toggling the env here is effective
+    os.environ["ICEE_ATT_BF16_MM"] = "1" if bf16_mm else "0"
     cfg = AttentionDecoderConfig(
         vocab_size=V, embed_size=E, hidden_size=H, factored_size=F,
         attention_size=512, feature_size=2048, dropout=0.0)
@@ -59,7 +66,10 @@ def run_case(batch, dtype, fused=True):
     n_inner = 8
 
     @jax.jit
-    def many(dec, opt_state):
+    def many(dec, opt_state, feats, captions, lengths, mask):
+        # arrays enter as jit ARGUMENTS: closure-captured jax.Arrays are
+        # baked into the program as constants, and the (B,196,2048) feats
+        # blow the remote-compile upload limit (HTTP 413) at B>=256
         def body(carry, _):
             d, o = carry
             d, o, loss = fac_step(d, o, feats, captions, lengths, mask, key)
@@ -69,12 +79,13 @@ def run_case(batch, dtype, fused=True):
         return losses[-1]
 
     t0 = time.time()
-    loss = float(np.asarray(many(dec, opt_state)))
+    loss = float(np.asarray(many(dec, opt_state, feats, captions,
+                                 lengths, mask)))
     compile_s = time.time() - t0
     times = []
     for _ in range(REPS):
         t0 = time.perf_counter()
-        np.asarray(many(dec, opt_state))
+        np.asarray(many(dec, opt_state, feats, captions, lengths, mask))
         times.append((time.perf_counter() - t0) / n_inner)
     med = float(np.median(times)) * 1e3
     return med, loss, compile_s
@@ -83,17 +94,23 @@ def run_case(batch, dtype, fused=True):
 def main():
     print("devices:", jax.devices())
     cases = [
-        ("B=128 f32 fused   (baseline)", 128, jnp.float32, True),
-        ("B=128 bf16 fused  (probe a)", 128, jnp.bfloat16, True),
-        ("B=256 f32 fused   (probe b)", 256, jnp.float32, True),
-        ("B=512 f32 fused   (probe b)", 512, jnp.float32, True),
-        ("B=512 bf16 fused  (a+b)", 512, jnp.bfloat16, True),
-        ("B=128 bf16 XLA    (r4 comparator)", 128, jnp.bfloat16, False),
+        ("B=128 f32 fused   (baseline)", 128, jnp.float32, True, False),
+        ("B=128 bf16 fused  (probe a)", 128, jnp.bfloat16, True, False),
+        ("B=128 bf16-score-mm fused (a')", 128, jnp.float32, True, True),
+        ("B=256 f32 fused   (probe b)", 256, jnp.float32, True, False),
+        ("B=512 f32 fused   (probe b)", 512, jnp.float32, True, False),
+        ("B=512 bf16-score-mm fused (a'+b)", 512, jnp.float32, True, True),
+        ("B=128 bf16 XLA    (r4 comparator)", 128, jnp.bfloat16, False,
+         False),
     ]
+    only = os.environ.get("ICEE_PROBE_CASES", "")  # comma substring filter
+    subs = [s for s in only.split(",") if s]
     base_ms = None
-    for label, b, dt, fused in cases:
+    for label, b, dt, fused, bf16_mm in cases:
+        if subs and not any(s in label for s in subs):
+            continue
         try:
-            ms, loss, cs = run_case(b, dt, fused)
+            ms, loss, cs = run_case(b, dt, fused, bf16_mm)
         except Exception as e:  # noqa: BLE001
             print(f"{label:36s} FAILED {type(e).__name__}: {str(e)[:180]}",
                   flush=True)

@@ -14,6 +14,12 @@ compares three epochs through the same user-facing trainer
   pinned  : whole split in HBM, ONE dispatch per epoch (ceiling)
 
 Usage: python scripts/probe_stream_epoch.py  [ICEE_PROBE_U=768]
+
+Knobs (env): ICEE_PROBE_U unique images (design point: 6000 ≈ full
+Flickr8k train-split scale, 9.2 GiB of (196,2048) f32 features on a
+16 GiB chip); ICEE_PROBE_REFS captions/image; ICEE_PROBE_REPS timed
+epochs per kind (the host epoch at U=6000 runs minutes — 1 is enough);
+ICEE_PROBE_KINDS comma-list subset of host,stream,pinned.
 """
 
 import os
@@ -27,7 +33,9 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 V, T, E, H, A = 8192, 20, 300, 512, 512
 P, FEAT = 196, 2048
 U = int(os.environ.get("ICEE_PROBE_U", "768"))   # unique images
-REFS = 2                                         # captions per image
+REFS = int(os.environ.get("ICEE_PROBE_REFS", "2"))  # captions per image
+REPS = int(os.environ.get("ICEE_PROBE_REPS", "2"))  # timed epochs/kind
+KINDS = os.environ.get("ICEE_PROBE_KINDS", "host,stream,pinned").split(",")
 B = 128
 CAP_FEATURES = 512                               # streamed buffer rows
 
@@ -83,7 +91,7 @@ def main():
 
     n_caps = len(examples)
     with tempfile.TemporaryDirectory(prefix="icee_probe_") as model_dir:
-        for kind in ("host", "stream", "pinned"):
+        for kind in KINDS:
             src = mk_src(kind)
             tr = MultitaskTrainer(
                 cfg, tcfg, vocab=None, dec_params=dec, head_params=None,
@@ -94,7 +102,7 @@ def main():
             print(f"{kind:7s} compile+epoch0 {time.perf_counter() - t0:.1f}s"
                   f"  loss {st.loss:.4f}", flush=True)
             times = []
-            for _ in range(2):
+            for _ in range(REPS):
                 t0 = time.perf_counter()
                 tr._run_train(src, 0, 10 ** 9, "FAC")
                 times.append(time.perf_counter() - t0)

@@ -89,19 +89,27 @@ def _a_tile_of(a_dim):
     return 128
 
 
-def _score_mm_dtype(wdt):
-    # VERDICT r4 #5(a) probe: ICEE_ATT_BF16_MM=1 casts ONLY the score
-    # (relu(att1+att2) @ full_w) and context (alpha @ feats) matmul
-    # operands — fwd and their bwd counterparts — to bf16 with f32
-    # accumulation, leaving every other op f32.  The full-param-bf16
-    # variant still crashes the remote Mosaic compile service (HTTP 500,
-    # probed twice); this localizes bf16 to the two matmuls the MFU
-    # analysis targets.  Measurement-only knob (changes numerics).
+def _bf16_mm_sites():
+    # VERDICT r4 #5(a) probe: ICEE_ATT_BF16_MM selects which attention
+    # matmuls run on bf16 operands with f32 accumulation — "1"/"all" =
+    # score (relu(att1+att2) @ full_w) AND context (alpha @ feats),
+    # "score"/"ctx" = just one family — fwd and their bwd counterparts,
+    # every other op f32.  Granular because the compile service crashes
+    # (HTTP 500) on some bf16 forms in this kernel: full-param bf16 and
+    # score+ctx both die, so the site split isolates the killer.
+    # Measurement-only knob (changes numerics).
     import os
 
-    if os.environ.get("ICEE_ATT_BF16_MM", "0") == "1":
-        return jnp.bfloat16
-    return wdt
+    v = os.environ.get("ICEE_ATT_BF16_MM", "0")
+    if v in ("1", "all"):
+        return ("score", "ctx")
+    if v in ("score", "ctx"):
+        return (v,)
+    return ()
+
+
+def _score_mm_dtype(wdt, site):
+    return jnp.bfloat16 if site in _bf16_mm_sites() else wdt
 
 
 def _attend_step(h_prev, att1, feat, decw_ref, decb_ref, fullw_ref,
@@ -114,7 +122,8 @@ def _attend_step(h_prev, att1, feat, decw_ref, decb_ref, fullw_ref,
     n, p_dim = h_prev.shape[0], att1.shape[1]
     a_dim = att1.shape[2]
     a_tile = _a_tile_of(a_dim)
-    sdt = _score_mm_dtype(wdt)
+    sdt = _score_mm_dtype(wdt, "score")
+    cdt = _score_mm_dtype(wdt, "ctx")
     att2 = jnp.dot(h_prev.astype(wdt), decw_ref[:],
                    preferred_element_type=jnp.float32) + decb_ref[0, :]
     fwb = jnp.broadcast_to(fullw_ref[:][None],
@@ -131,7 +140,7 @@ def _attend_step(h_prev, att1, feat, decw_ref, decb_ref, fullw_ref,
     e = e[:, :, 0] + fullb_ref[0, 0]
     alpha = jax.nn.softmax(e, axis=1)                        # (n, P)
     ctx = jax.lax.dot_general(
-        alpha[:, None, :].astype(sdt), feat.astype(sdt),
+        alpha[:, None, :].astype(cdt), feat.astype(cdt),
         dimension_numbers=(((2,), (1,)), ((0,), (0,))),
         preferred_element_type=jnp.float32)[:, 0, :]         # (n, FS)
     gate = jax.nn.sigmoid(
@@ -332,12 +341,13 @@ def _bwd_kernel(*refs, kind, f_dim, h_dim, seq_len, sampled):
     gate = jax.nn.sigmoid(
         jnp.dot(h_prev.astype(wdt), fbw_ref[:],
                 preferred_element_type=jnp.float32) + fbb_ref[0, :])
-    sdt = _score_mm_dtype(wdt)
+    sdt = _score_mm_dtype(wdt, "score")
+    cdt = _score_mm_dtype(wdt, "ctx")
     alpha = alpha_ref[0].astype(jnp.float32)  # saved (bitwise forward value)
     # ctx is recomputed from the SAVED alpha so the backward sees exactly
     # the forward's values
     ctx = jax.lax.dot_general(
-        alpha[:, None, :].astype(sdt), feat.astype(sdt),
+        alpha[:, None, :].astype(cdt), feat.astype(cdt),
         dimension_numbers=(((2,), (1,)), ((0,), (0,))),
         preferred_element_type=jnp.float32)[:, 0, :]
     gctx = gate * ctx
@@ -414,7 +424,7 @@ def _bwd_kernel(*refs, kind, f_dim, h_dim, seq_len, sampled):
 
     # ctx = alpha @ features (features cotangent intentionally dropped)
     d_alpha = jax.lax.dot_general(
-        d_ctx[:, None, :].astype(sdt), feat.astype(sdt),
+        d_ctx[:, None, :].astype(cdt), feat.astype(cdt),
         dimension_numbers=(((2,), (2,)), ((0,), (0,))),
         preferred_element_type=jnp.float32)[:, 0, :]         # (n, P)
     d_alpha = d_alpha + dalpha_ref[0].astype(jnp.float32)

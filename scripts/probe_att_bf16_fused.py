@@ -41,10 +41,10 @@ ATT_PIX, T = 196, 25
 REPS = 5
 
 
-def run_case(batch, dtype, fused=True, bf16_mm=False):
+def run_case(batch, dtype, fused=True, bf16_mm="0"):
     # ICEE_ATT_BF16_MM is read at kernel TRACE time (each run_case builds
     # and compiles fresh step fns), so toggling the env here is effective
-    os.environ["ICEE_ATT_BF16_MM"] = "1" if bf16_mm else "0"
+    os.environ["ICEE_ATT_BF16_MM"] = bf16_mm
     cfg = AttentionDecoderConfig(
         vocab_size=V, embed_size=E, hidden_size=H, factored_size=F,
         attention_size=512, feature_size=2048, dropout=0.0)
@@ -94,14 +94,16 @@ def run_case(batch, dtype, fused=True, bf16_mm=False):
 def main():
     print("devices:", jax.devices())
     cases = [
-        ("B=128 f32 fused   (baseline)", 128, jnp.float32, True, False),
-        ("B=128 bf16 fused  (probe a)", 128, jnp.bfloat16, True, False),
-        ("B=128 bf16-score-mm fused (a')", 128, jnp.float32, True, True),
-        ("B=256 f32 fused   (probe b)", 256, jnp.float32, True, False),
-        ("B=512 f32 fused   (probe b)", 512, jnp.float32, True, False),
-        ("B=512 bf16-score-mm fused (a'+b)", 512, jnp.float32, True, True),
+        ("B=128 f32 fused   (baseline)", 128, jnp.float32, True, "0"),
+        ("B=128 bf16 fused  (probe a)", 128, jnp.bfloat16, True, "0"),
+        ("B=128 bf16-score-mm fused (a')", 128, jnp.float32, True, "all"),
+        ("B=256 f32 fused   (probe b)", 256, jnp.float32, True, "0"),
+        ("B=512 f32 fused   (probe b)", 512, jnp.float32, True, "0"),
+        ("B=512 bf16-score-mm fused (a'+b)", 512, jnp.float32, True, "all"),
+        ("B=512 bf16-ctx-only fused", 512, jnp.float32, True, "ctx"),
+        ("B=512 bf16-score-only fused", 512, jnp.float32, True, "score"),
         ("B=128 bf16 XLA    (r4 comparator)", 128, jnp.bfloat16, False,
-         False),
+         "0"),
     ]
     only = os.environ.get("ICEE_PROBE_CASES", "")  # comma substring filter
     subs = [s for s in only.split(",") if s]

@@ -80,8 +80,12 @@ def main():
     print(f"dispatch floor (trivial jitted add): {floor:.2f} ms/call")
 
     # calibration yardstick so the session is comparable to the records
+    # (each iteration must DEPEND on the carry, else XLA hoists the
+    # loop-invariant a @ a and the figure reads absurd — observed 35,811
+    # "TFLOP/s" from the folded form)
     m = jnp.asarray(rng.standard_normal((4096, 4096)), jnp.bfloat16)
-    mm = jax.jit(lambda a: jax.lax.map(lambda _: a @ a, jnp.arange(8))[-1])
+    mm = jax.jit(lambda a: jax.lax.fori_loop(
+        0, 8, lambda i, x: (x @ a) * (1.0 / 64.0), a))
     ms = timeit(lambda: mm(m), inner=8)
     print(f"calib: {2 * 4096**3 * 1e-9 / ms:.1f} TFLOP/s yardstick")
 

@@ -254,7 +254,13 @@ if __name__ == "__main__":
     parser.add_argument("--device_budget_gb", type=float, default=4.0,
                         help="HBM feature budget for --device_resident "
                              "(pin if the split fits; otherwise stream "
-                             "double-buffered chunks of half this size)")
+                             "double-buffered chunks of half this size). "
+                             "Keep <= ~40%% of free HBM: the one-dispatch "
+                             "epoch program makes one XLA copy of the "
+                             "pinned feature array, so pinning needs ~2x "
+                             "the feature bytes (measured: a 8.97 GiB "
+                             "spatial split needs 23.1 GiB and OOMs a "
+                             "16 GiB chip)")
     parser.add_argument("--data_parallel", action="store_true",
                         help="train over all devices: ('data','model') mesh, "
                              "batch sharded over the data axis, gradient "

@@ -112,7 +112,12 @@ class StreamedCaptionData(DeviceCaptionData):
     images, deduplicated and padded to the fixed ``capacity`` so every chunk
     reuses ONE compiled program).  Host ``np.take`` + async ``device_put``
     of chunk c+1 overlap the device compute of chunk c (double-buffered, so
-    ``capacity`` should be sized to HALF the HBM feature budget).  Parameters
+    ``capacity`` should be sized to HALF the HBM feature budget).  Note the
+    PIN side of the gate needs ~2x its feature bytes of free HBM: XLA makes
+    one whole-array copy of the pinned features inside the one-dispatch
+    epoch program (measured on v5e: an 8.97 GiB spatial split compiles to a
+    23.1 GiB program and OOMs the 15.75 GiB chip — streaming is the only
+    device-resident option at that scale).  Parameters
     after a streamed epoch are numerically equivalent to the pinned device
     epoch and the host ``BatchLoader`` loop (same batches, same RNG split
     order; tested to 1e-6 — chunked dispatch boundaries change XLA fusion,

@@ -37,7 +37,7 @@ REFS = int(os.environ.get("ICEE_PROBE_REFS", "2"))  # captions per image
 REPS = int(os.environ.get("ICEE_PROBE_REPS", "2"))  # timed epochs/kind
 KINDS = os.environ.get("ICEE_PROBE_KINDS", "host,stream,pinned").split(",")
 B = 128
-CAP_FEATURES = 512                               # streamed buffer rows
+CAP_FEATURES = int(os.environ.get("ICEE_PROBE_CAP", "512"))  # buffer rows
 
 
 def main():

@@ -84,12 +84,25 @@ def main(args) -> None:
             feat_shape = np.asarray(provider_eval(ds[0].image)).shape
             n_unique = len({e.image for e in ds})
             budget = int(args.device_budget_gb * (1 << 30))
-            if device_data.fits_device(n_unique, feat_shape,
-                                       budget_bytes=budget):
+            plan = device_data.pin_plan(n_unique, feat_shape,
+                                        budget_bytes=budget)
+            per_batch_ok = args.trainer in (
+                "multitask", "multitask_att", "transfer_fac", "transfer")
+            if plan == "per_batch" and not per_batch_ok:
+                # seq2seq/paper device paths have no per-batch tier; their
+                # feature arrays are tiny (global vectors), so the scan
+                # copy is harmless — pin whole-epoch as before
+                plan = "epoch"
+            if plan != "stream":
+                if plan == "per_batch":
+                    print(f"NOTE: {path} features fit the budget once but "
+                          "not twice (the whole-epoch program copies the "
+                          "pinned array); using per-batch dispatches")
                 return device_data.from_examples(
                     ds, batch_size=bs, max_len=tcfg.max_caption_len,
                     image_provider=provider_eval, shuffle=train,
-                    seed=args.seed, mesh=mesh)
+                    seed=args.seed, mesh=mesh,
+                    per_batch=(plan == "per_batch"))
             if args.trainer in ("multitask", "multitask_att", "transfer_fac",
                                 "transfer"):
                 # HBM-oversized split (e.g. full-Flickr8k spatial features):

@@ -39,6 +39,30 @@ import numpy as np
 from icee_tpu.data.pipeline import pad_captions
 
 
+def gather_rows(images, rows):
+    """Copy-free batch gather ``images[rows]`` for jitted epoch programs.
+
+    ``jnp.take(images, rows, axis=0)`` lowers through XLA:TPU's gather
+    path, which materializes a full COPY of the operand
+    (``copy = copy(images)`` + ``mini-gather-slice`` in the HLO; measured
+    round 5, ``scripts/probe_pin_copy.py``) — for a pinned 9 GiB spatial
+    split that copy alone OOMs the chip.  A vmapped
+    ``lax.dynamic_slice_in_dim`` compiles to per-row slices that read the
+    operand IN PLACE (AOT memory analysis: temp 0.19 GiB vs 9.25 GiB at a
+    6 GiB operand) and returns bit-identical values for in-bounds rows
+    (both forms clamp out-of-bounds starts).  Inside a ``lax.scan`` the
+    while-loop constant threading still copies the operand once — the
+    per-batch pinned tier (``DeviceCaptionData.per_batch``) exists for
+    splits where that copy does not fit.
+    """
+    import jax
+
+    def one(r):
+        return jax.lax.dynamic_slice_in_dim(images, r, 1, axis=0)[0]
+
+    return jax.vmap(one)(rows)
+
+
 @dataclasses.dataclass
 class DeviceCaptionData:
     """A caption split pinned on device + the host-side epoch index maker.
@@ -64,6 +88,13 @@ class DeviceCaptionData:
     # styled corpora); translated per batch by :meth:`image_rows` so the
     # device never holds the map
     image_index: Optional[np.ndarray] = None
+    # pinned-per-batch tier (round 5): the whole-epoch lax.scan program
+    # threads the pinned feature array through the XLA while-loop state,
+    # which COPIES it — one-dispatch epochs need ~2x the feature bytes of
+    # HBM.  ``per_batch=True`` keeps features pinned but dispatches one
+    # jitted step per batch (no scan -> no copy; ``pin_plan`` selects the
+    # tier, ``gather_rows`` keeps the per-dispatch gather copy-free).
+    per_batch: bool = False
     _rng: np.random.Generator = dataclasses.field(init=False, repr=False)
 
     def __post_init__(self):
@@ -197,6 +228,7 @@ def from_examples(
     shuffle: bool = True,
     seed: int = 0,
     mesh=None,
+    per_batch: bool = False,
 ) -> DeviceCaptionData:
     """Pack ``CaptionExample``s (+ cached features) into device arrays.
 
@@ -204,7 +236,8 @@ def from_examples(
     tokenized once at dataset build; features come from the same memoized
     provider).  With a mesh the arrays are replicated across it so the
     whole-epoch jit can reshard gathered batches over the data axis without
-    cross-device gathers.
+    cross-device gathers.  ``per_batch=True`` selects the pinned-per-batch
+    tier (see :class:`DeviceCaptionData` / :func:`pin_plan`).
     """
     import jax
     import jax.numpy as jnp
@@ -229,6 +262,7 @@ def from_examples(
         seed=seed,
         references=[e.all_caption_ids for e in examples],
         image_index=image_index,
+        per_batch=per_batch,
     )
 
 
@@ -339,3 +373,32 @@ def fits_device(
     deduplicated by :func:`from_examples` (5-ref splits pin one copy)."""
     per = int(np.prod(feature_shape)) * 4
     return num_examples * per <= budget_bytes
+
+
+def pin_plan(
+    num_examples: int,
+    feature_shape: Tuple[int, ...],
+    budget_bytes: int = 4 << 30,
+) -> str:
+    """Device-residency tier for a split under ``budget_bytes`` of HBM
+    feature budget — program-true accounting (round 5):
+
+    - ``"epoch"``: 2x the feature bytes fit — whole-epoch one-dispatch
+      ``lax.scan`` programs (XLA threads the pinned array through the
+      while-loop state, which copies it once per dispatch);
+    - ``"per_batch"``: 1x fits but 2x does not — features stay pinned and
+      each batch runs as one no-scan jitted dispatch (no loop, no copy;
+      ~25 ms relay dispatch overhead per batch vs re-transferring
+      features at relay bandwidth);
+    - ``"stream"``: features exceed the budget — chunk-streamed epochs
+      (:class:`StreamedCaptionData`).
+
+    ``num_examples`` is the UNIQUE-image count, as for :func:`fits_device`.
+    """
+    per = int(np.prod(feature_shape)) * 4
+    total = num_examples * per
+    if 2 * total <= budget_bytes:
+        return "epoch"
+    if total <= budget_bytes:
+        return "per_batch"
+    return "stream"

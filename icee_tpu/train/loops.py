@@ -242,22 +242,15 @@ class MultitaskTrainer:
             losses.update(float(loss), int(batch.lengths.sum()))
         return EpochStats(loss=losses.avg, batch_time=time.time() - t0)
 
-    def _device_epoch_fn(self, factual: bool):
-        """Jitted WHOLE-EPOCH program for a device-resident split: one
-        ``lax.scan`` over shuffled batch-index rows gathers each minibatch
-        with ``jnp.take`` and runs the same step the host loop would — one
-        dispatch per epoch instead of two host round-trips per batch (the
-        TPU-native answer to the relay's per-dispatch floor; see
-        ``data/device.py``).  RNG splits mirror ``_run_train``'s
-        ``_next_rng`` order exactly, so parameters after a device epoch are
-        bit-identical to the host-loop epoch on the same batch composition.
-        """
-        if not hasattr(self, "_depoch_cache"):
-            self._depoch_cache = {}
-        key = (factual, self.attention)
-        fn = self._depoch_cache.get(key)
-        if fn is not None:
-            return fn
+    def _device_apply_fn(self, factual: bool):
+        """Shared single-batch body of the device-resident training
+        programs: gather one minibatch from the pinned split
+        (``data/device.gather_rows`` — copy-free slices, NOT ``jnp.take``
+        whose XLA:TPU gather copies the whole operand) and run the same
+        step the host loop would.  The RNG split mirrors ``_run_train``'s
+        ``_next_rng`` order exactly."""
+        from icee_tpu.data.device import gather_rows
+
         step = self.factual_step if factual else self.emotion_step
         attention, mesh = self.attention, self.mesh
         if mesh is not None:
@@ -265,43 +258,72 @@ class MultitaskTrainer:
 
             bsh = batch_sharding(mesh)
 
+        def apply(dec, head, opt_state, rng, images, captions, lengths,
+                  bidx, b_img, bvalid, style):
+            rng, k = jax.random.split(rng)
+            # zero padded rows exactly like the host loader's batch
+            # padding (BatchNorm batch statistics see every row, so
+            # gather-padded features would perturb them)
+            feats = gather_rows(images, b_img)
+            feats = feats * bvalid.reshape(
+                (-1,) + (1,) * (feats.ndim - 1)).astype(feats.dtype)
+            caps = jnp.take(captions, bidx, axis=0) * bvalid[:, None]
+            lens = jnp.where(bvalid, jnp.take(lengths, bidx, axis=0), 0)
+            if mesh is not None:
+                # data arrays replicate across the mesh; reshard the
+                # gathered batch over the data axis so the step runs DP
+                feats = jax.lax.with_sharding_constraint(feats, bsh)
+                caps = jax.lax.with_sharding_constraint(caps, bsh)
+            if factual:
+                if attention:
+                    dec, opt_state, loss = step(
+                        dec, opt_state, feats, caps, lens, bvalid, k)
+                else:
+                    dec, head, opt_state, loss = step(
+                        dec, head, opt_state, feats, caps, lens, bvalid,
+                        k)
+            else:
+                if attention:
+                    dec, opt_state, loss = step(
+                        dec, opt_state, feats, caps, lens, bvalid, style,
+                        k)
+                else:
+                    dec, head, opt_state, loss = step(
+                        dec, head, opt_state, feats, caps, lens, bvalid,
+                        style, k)
+            return dec, head, opt_state, rng, loss, lens.sum()
+
+        return apply
+
+    def _device_epoch_fn(self, factual: bool):
+        """Jitted WHOLE-EPOCH program for a device-resident split: one
+        ``lax.scan`` over shuffled batch-index rows running
+        ``_device_apply_fn`` per batch — one dispatch per epoch instead of
+        two host round-trips per batch (the TPU-native answer to the
+        relay's per-dispatch floor; see ``data/device.py``).  Parameters
+        after a device epoch are bit-identical to the host-loop epoch on
+        the same batch composition.  NOTE: the scan threads ``images``
+        through the XLA while-loop state, which copies it — this program
+        needs ~2x the pinned feature bytes (``pin_plan`` keeps
+        over-budget splits on the per-batch tier).
+        """
+        if not hasattr(self, "_depoch_cache"):
+            self._depoch_cache = {}
+        key = (factual, self.attention)
+        fn = self._depoch_cache.get(key)
+        if fn is not None:
+            return fn
+        apply = self._device_apply_fn(factual)
+
         def epoch(dec, head, opt_state, rng, images, captions, lengths,
                   idx, img_rows, valid, style):
             def body(carry, xs):
                 dec, head, opt_state, rng = carry
                 bidx, b_img, bvalid = xs
-                rng, k = jax.random.split(rng)
-                # zero padded rows exactly like the host loader's batch
-                # padding (BatchNorm batch statistics see every row, so
-                # gather-padded features would perturb them)
-                feats = jnp.take(images, b_img, axis=0)
-                feats = feats * bvalid.reshape(
-                    (-1,) + (1,) * (feats.ndim - 1)).astype(feats.dtype)
-                caps = jnp.take(captions, bidx, axis=0) * bvalid[:, None]
-                lens = jnp.where(bvalid, jnp.take(lengths, bidx, axis=0), 0)
-                if mesh is not None:
-                    # data arrays replicate across the mesh; reshard the
-                    # gathered batch over the data axis so the step runs DP
-                    feats = jax.lax.with_sharding_constraint(feats, bsh)
-                    caps = jax.lax.with_sharding_constraint(caps, bsh)
-                if factual:
-                    if attention:
-                        dec, opt_state, loss = step(
-                            dec, opt_state, feats, caps, lens, bvalid, k)
-                    else:
-                        dec, head, opt_state, loss = step(
-                            dec, head, opt_state, feats, caps, lens, bvalid,
-                            k)
-                else:
-                    if attention:
-                        dec, opt_state, loss = step(
-                            dec, opt_state, feats, caps, lens, bvalid, style,
-                            k)
-                    else:
-                        dec, head, opt_state, loss = step(
-                            dec, head, opt_state, feats, caps, lens, bvalid,
-                            style, k)
-                return (dec, head, opt_state, rng), (loss, lens.sum())
+                dec, head, opt_state, rng, loss, ntok = apply(
+                    dec, head, opt_state, rng, images, captions, lengths,
+                    bidx, b_img, bvalid, style)
+                return (dec, head, opt_state, rng), (loss, ntok)
 
             (dec, head, opt_state, rng), (losses, ntoks) = jax.lax.scan(
                 body, (dec, head, opt_state, rng), (idx, img_rows, valid))
@@ -309,6 +331,23 @@ class MultitaskTrainer:
 
         fn = jax.jit(epoch)
         self._depoch_cache[key] = fn
+        return fn
+
+    def _device_batch_fn(self, factual: bool):
+        """Jitted SINGLE-BATCH program for the pinned-per-batch tier
+        (``DeviceCaptionData.per_batch``): identical math and RNG chain to
+        one ``_device_epoch_fn`` scan iteration, but with NO scan — no XLA
+        while loop means the pinned feature array is read in place instead
+        of being copied into the loop state, so splits between budget/2
+        and budget stay device-resident (measured: the one-dispatch epoch
+        needs ~2x feature bytes, ``scripts/probe_pin_copy.py``)."""
+        if not hasattr(self, "_dbatch_cache"):
+            self._dbatch_cache = {}
+        key = (factual, self.attention)
+        fn = self._dbatch_cache.get(key)
+        if fn is None:
+            fn = jax.jit(self._device_apply_fn(factual))
+            self._dbatch_cache[key] = fn
         return fn
 
     def _run_train_device(self, ddata, style: Optional[int], log_step: int,
@@ -329,6 +368,10 @@ class MultitaskTrainer:
 
         if isinstance(ddata, StreamedCaptionData):
             return self._run_train_streamed(
+                ddata, style, log_step, tag, epoch=epoch, pass_idx=pass_idx,
+                start_row=start_row, loss_prefix=loss_prefix)
+        if getattr(ddata, "per_batch", False):
+            return self._run_train_device_per_batch(
                 ddata, style, log_step, tag, epoch=epoch, pass_idx=pass_idx,
                 start_row=start_row, loss_prefix=loss_prefix)
         t0 = time.time()
@@ -378,6 +421,71 @@ class MultitaskTrainer:
             ntoks = np.asarray(ntoks, np.float64)
         for i in range(0, len(losses), max(log_step, 1)):
             print(f"Step [{i}/{len(losses)}], [{tag}], "
+                  f"Loss: {float(losses[i]):.4f}")
+        total = float(ntoks.sum())
+        avg = float((losses * ntoks).sum() / total) if total else 0.0
+        return EpochStats(loss=avg, batch_time=time.time() - t0)
+
+    def _run_train_device_per_batch(self, ddata, style: Optional[int],
+                                    log_step: int, tag: str,
+                                    epoch: Optional[int] = None,
+                                    pass_idx: int = 0, start_row: int = 0,
+                                    loss_prefix=None) -> EpochStats:
+        """One training epoch over a pinned-per-batch split
+        (``DeviceCaptionData.per_batch`` — features fit HBM once but not
+        twice, so the one-dispatch scan program's while-loop copy would
+        OOM; see ``pin_plan``).
+
+        Same epoch composition and RNG split order as the whole-epoch scan
+        (bit-identical parameters); each batch is one no-scan jitted
+        dispatch reading the pinned features in place.  Loss transfers are
+        deferred to the end (or to progress-checkpoint boundaries) so the
+        dispatch queue stays full — the loop never blocks on a device
+        value between batches.
+        """
+        t0 = time.time()
+        factual = style is None or style == 0
+        idx, valid = ddata.epoch_indices()
+        img_rows = ddata.image_rows(idx)
+        fn = self._device_batch_fn(factual)
+        style_arr = jnp.asarray(style if style is not None else 0)
+        nb = idx.shape[0]
+        prog_every = int(getattr(self.tcfg, "progress_chunk", 0) or 0)
+        save_progress = prog_every > 0 and epoch is not None
+        last_saved = start_row
+        losses = np.zeros(nb, np.float64)
+        ntoks = np.zeros(nb, np.float64)
+        if loss_prefix is not None:
+            pl_, pn_ = loss_prefix
+            losses[:start_row] = np.asarray(pl_, np.float64)[:start_row]
+            ntoks[:start_row] = np.asarray(pn_, np.float64)[:start_row]
+        pending = []
+        for r in range(start_row, nb):
+            opt_state = self.opt_state if factual else self.lang_opt_state
+            dec, head, opt_state, self.rng, ls, nt = fn(
+                self.dec, self.head, opt_state, self.rng,
+                ddata.images, ddata.captions, ddata.lengths,
+                jnp.asarray(idx[r]), jnp.asarray(img_rows[r]),
+                jnp.asarray(valid[r]), style_arr)
+            self.dec, self.head = dec, head
+            if factual:
+                self.opt_state = opt_state
+            else:
+                self.lang_opt_state = opt_state
+            pending.append((r, ls, nt))
+            if save_progress and (r + 1 - last_saved >= prog_every
+                                  or r + 1 == nb):
+                for p, pls, pnt in pending:
+                    losses[p] = float(pls)
+                    ntoks[p] = float(pnt)
+                pending = []
+                last_saved = r + 1
+                self._save_progress(epoch, pass_idx, r + 1, losses, ntoks)
+        for p, pls, pnt in pending:
+            losses[p] = float(pls)
+            ntoks[p] = float(pnt)
+        for i in range(0, nb, max(log_step, 1)):
+            print(f"Step [{i}/{nb}], [{tag}], "
                   f"Loss: {float(losses[i]):.4f}")
         total = float(ntoks.sum())
         avg = float((losses * ntoks).sum() / total) if total else 0.0
@@ -554,37 +662,60 @@ class MultitaskTrainer:
             self._dval_cache = None
         if self._dval_cache is not None:
             return self._dval_cache
-        val_step, attention, mesh = self.val_step, self.attention, self.mesh
-        if mesh is not None:
-            from icee_tpu.parallel.mesh import batch_sharding
-
-            bsh = batch_sharding(mesh)
+        apply = self._val_apply_fn()
 
         def epoch(dec, head, images, captions, lengths, idx, img_rows,
                   valid, style):
             def body(_, xs):
                 bidx, b_img, bvalid = xs
-                feats = jnp.take(images, b_img, axis=0)
-                feats = feats * bvalid.reshape(
-                    (-1,) + (1,) * (feats.ndim - 1)).astype(feats.dtype)
-                caps = jnp.take(captions, bidx, axis=0) * bvalid[:, None]
-                lens = jnp.where(bvalid, jnp.take(lengths, bidx, axis=0), 0)
-                if mesh is not None:
-                    feats = jax.lax.with_sharding_constraint(feats, bsh)
-                    caps = jax.lax.with_sharding_constraint(caps, bsh)
-                if attention:
-                    loss, top5, preds = val_step(dec, feats, caps, lens,
-                                                 bvalid, style)
-                else:
-                    loss, top5, preds = val_step(dec, head, feats, caps,
-                                                 lens, bvalid, style)
-                return 0, (loss, top5, lens.sum(), preds)
+                return 0, apply(dec, head, images, captions, lengths,
+                                bidx, b_img, bvalid, style)
 
             _, out = jax.lax.scan(body, 0, (idx, img_rows, valid))
             return out
 
         self._dval_cache = jax.jit(epoch)
         return self._dval_cache
+
+    def _val_apply_fn(self):
+        """Shared single-batch body of the device-resident validation
+        programs (copy-free pinned gather, same metrics as the host
+        ``_run_val`` batch)."""
+        from icee_tpu.data.device import gather_rows
+
+        val_step, attention, mesh = self.val_step, self.attention, self.mesh
+        if mesh is not None:
+            from icee_tpu.parallel.mesh import batch_sharding
+
+            bsh = batch_sharding(mesh)
+
+        def apply(dec, head, images, captions, lengths, bidx, b_img,
+                  bvalid, style):
+            feats = gather_rows(images, b_img)
+            feats = feats * bvalid.reshape(
+                (-1,) + (1,) * (feats.ndim - 1)).astype(feats.dtype)
+            caps = jnp.take(captions, bidx, axis=0) * bvalid[:, None]
+            lens = jnp.where(bvalid, jnp.take(lengths, bidx, axis=0), 0)
+            if mesh is not None:
+                feats = jax.lax.with_sharding_constraint(feats, bsh)
+                caps = jax.lax.with_sharding_constraint(caps, bsh)
+            if attention:
+                loss, top5, preds = val_step(dec, feats, caps, lens,
+                                             bvalid, style)
+            else:
+                loss, top5, preds = val_step(dec, head, feats, caps,
+                                             lens, bvalid, style)
+            return loss, top5, lens.sum(), preds
+
+        return apply
+
+    def _val_batch_fn(self):
+        """Jitted SINGLE-BATCH validation program for the pinned-per-batch
+        tier (no scan — the pinned features are read in place instead of
+        being copied into the while-loop state; see ``pin_plan``)."""
+        if getattr(self, "_dval_batch_cache", None) is None:
+            self._dval_batch_cache = jax.jit(self._val_apply_fn())
+        return self._dval_batch_cache
 
     def _run_val_device(self, ddata, style: int) -> EpochStats:
         """Whole-split validation over a :class:`DeviceCaptionData` —
@@ -625,6 +756,20 @@ class MultitaskTrainer:
             ntoks = np.concatenate(
                 [np.asarray(o[2], np.float64) for o in outs])
             preds = np.concatenate([np.asarray(o[3]) for o in outs], axis=0)
+        elif getattr(ddata, "per_batch", False):
+            # pinned-per-batch tier: one no-scan dispatch per batch (the
+            # whole-epoch scan would copy the pinned features; pin_plan)
+            bfn = self._val_batch_fn()
+            img_rows = ddata.image_rows(idx)
+            outs = [bfn(self.dec, self.head, ddata.images, ddata.captions,
+                        ddata.lengths, jnp.asarray(idx[b]),
+                        jnp.asarray(img_rows[b]), jnp.asarray(valid[b]),
+                        jnp.asarray(style))
+                    for b in range(idx.shape[0])]
+            losses = np.asarray([float(o[0]) for o in outs], np.float64)
+            top5s = np.asarray([float(o[1]) for o in outs], np.float64)
+            ntoks = np.asarray([float(o[2]) for o in outs], np.float64)
+            preds = np.stack([np.asarray(o[3]) for o in outs], axis=0)
         else:
             losses, top5s, ntoks, preds = fn(
                 self.dec, self.head, ddata.images, ddata.captions,
@@ -1118,7 +1263,9 @@ class Seq2SeqTrainer:
         (padded rows zeroed exactly like the host loader's batch padding —
         the encoder head's BatchNorm sees every row).  ``b_img`` holds the
         unique-image gather rows (``DeviceCaptionData.image_rows``)."""
-        imgs = jnp.take(images, b_img, axis=0)
+        from icee_tpu.data.device import gather_rows
+
+        imgs = gather_rows(images, b_img)
         imgs = imgs * bvalid[:, None].astype(imgs.dtype)
         caps = jnp.take(captions, bidx, axis=0) * bvalid[:, None]
         lens = jnp.where(bvalid, jnp.take(lengths, bidx, axis=0), 0)

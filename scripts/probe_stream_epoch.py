@@ -85,9 +85,12 @@ def main():
                   f"{sd.rows_per_chunk} rows/chunk, "
                   f"{-(-len(sd) // sd.rows_per_chunk)} dispatches/epoch")
             return sd
+        # "pinned" = whole-epoch scan (program needs ~2x feature bytes);
+        # "pinned_pb" = the per-batch tier (features resident, no scan,
+        # no copy — pin_plan's middle tier, round 5)
         return device_data.from_examples(
             examples, batch_size=B, max_len=T, image_provider=provider,
-            shuffle=True, seed=0)
+            shuffle=True, seed=0, per_batch=(kind == "pinned_pb"))
 
     n_caps = len(examples)
     with tempfile.TemporaryDirectory(prefix="icee_probe_") as model_dir:

@@ -518,3 +518,113 @@ def test_device_epoch_seq2seq_on_mesh(data, tmp_path):
         np.testing.assert_allclose(
             np.asarray(b), np.asarray(a), rtol=2e-3, atol=5e-4,
             err_msg=f"param mismatch at {jax.tree_util.keystr(path)}")
+
+
+# -- pinned-per-batch tier (round 5: the whole-epoch scan program copies --
+# -- the pinned feature array into the XLA while-loop state, so splits   --
+# -- between budget/2 and budget dispatch per batch instead; pin_plan    --
+
+
+def test_pin_plan_tiers():
+    per = 196 * 2048 * 4
+    budget = 10 * per
+    assert device_data.pin_plan(5, (196, 2048), budget) == "epoch"
+    assert device_data.pin_plan(8, (196, 2048), budget) == "per_batch"
+    assert device_data.pin_plan(11, (196, 2048), budget) == "stream"
+
+
+def test_gather_rows_matches_take():
+    """The copy-free vmapped dynamic_slice gather is value-identical to
+    jnp.take (incl. repeated rows)."""
+    rng = np.random.default_rng(0)
+    a = jnp.asarray(rng.standard_normal((7, 3, 5)).astype(np.float32))
+    rows = jnp.asarray([0, 6, 2, 2], jnp.int32)
+    np.testing.assert_array_equal(
+        np.asarray(device_data.gather_rows(a, rows)),
+        np.asarray(jnp.take(a, rows, axis=0)))
+
+
+@pytest.mark.parametrize("style", [0, 1])
+def test_per_batch_epoch_matches_scan(data, tmp_path, style):
+    """The pinned-per-batch tier trains numerically identically to the
+    whole-epoch scan program (same batches, same RNG chain; only the
+    dispatch boundaries differ)."""
+    vocab, ds, feats = data
+
+    def run(per_batch):
+        tr = _trainer(vocab, tmp_path, tag=f"pb{per_batch}{style}")
+        src = device_data.from_examples(
+            ds, batch_size=B, max_len=MAXLEN,
+            image_provider=lambda n: feats[n], shuffle=True, seed=3,
+            per_batch=per_batch)
+        st = tr._run_train(src, style, 10_000, "T")
+        return tr, st
+
+    tr_s, st_s = run(False)
+    tr_b, st_b = run(True)
+    assert np.isfinite(st_b.loss)
+    np.testing.assert_allclose(st_b.loss, st_s.loss, rtol=1e-6)
+    for (path, a), (_, b) in zip(
+            jax.tree_util.tree_flatten_with_path(tr_s.dec)[0],
+            jax.tree_util.tree_flatten_with_path(tr_b.dec)[0]):
+        np.testing.assert_allclose(
+            np.asarray(b), np.asarray(a), rtol=1e-6, atol=1e-7,
+            err_msg=f"param mismatch at {jax.tree_util.keystr(path)}")
+    for (path, a), (_, b) in zip(
+            jax.tree_util.tree_flatten_with_path(tr_s.head)[0],
+            jax.tree_util.tree_flatten_with_path(tr_b.head)[0]):
+        np.testing.assert_allclose(
+            np.asarray(b), np.asarray(a), rtol=1e-6, atol=1e-7,
+            err_msg=f"head mismatch at {jax.tree_util.keystr(path)}")
+
+
+def test_per_batch_val_matches_scan(data, tmp_path):
+    """_run_val over a per-batch split: metrics equal the whole-epoch val
+    program (and hence the host loop, test_device_val_matches_host)."""
+    vocab, ds, feats = data
+    tr = _trainer(vocab, tmp_path, tag="pbval")
+
+    def mk(per_batch):
+        return device_data.from_examples(
+            ds, batch_size=B, max_len=MAXLEN,
+            image_provider=lambda n: feats[n], shuffle=False, seed=0,
+            per_batch=per_batch)
+
+    va_s = tr._run_val(mk(False), 0)
+    va_b = tr._run_val(mk(True), 0)
+    np.testing.assert_allclose(va_b.loss, va_s.loss, rtol=1e-6)
+    np.testing.assert_allclose(va_b.top5, va_s.top5, rtol=1e-6)
+    np.testing.assert_allclose(va_b.bleu4, va_s.bleu4, rtol=1e-9)
+
+
+def test_per_batch_attention_family(data, tmp_path):
+    """Per-batch tier through the attention family (the design-point
+    workload: spatial features too big to scan-copy)."""
+    vocab, ds, _ = data
+    cfg = AttentionDecoderConfig(
+        vocab_size=len(vocab), embed_size=16, hidden_size=24,
+        factored_size=24, attention_size=16, feature_size=FEAT, dropout=0.0,
+        max_seq_length=10)
+    rng = np.random.default_rng(1)
+    sp_feats = {e.image: rng.standard_normal((5, FEAT)).astype(np.float32)
+                for e in ds}
+
+    def run(per_batch):
+        tr = _trainer(vocab, tmp_path, family="factored_att", cfg=cfg,
+                      tag=f"pbatt{per_batch}")
+        src = device_data.from_examples(
+            ds, batch_size=B, max_len=MAXLEN,
+            image_provider=lambda n: sp_feats[n], shuffle=True, seed=3,
+            per_batch=per_batch)
+        st = tr._run_train(src, 1, 10_000, "T")
+        return tr, st
+
+    tr_s, st_s = run(False)
+    tr_b, st_b = run(True)
+    np.testing.assert_allclose(st_b.loss, st_s.loss, rtol=1e-6)
+    for (path, a), (_, b) in zip(
+            jax.tree_util.tree_flatten_with_path(tr_s.dec)[0],
+            jax.tree_util.tree_flatten_with_path(tr_b.dec)[0]):
+        np.testing.assert_allclose(
+            np.asarray(b), np.asarray(a), rtol=1e-6, atol=1e-7,
+            err_msg=f"param mismatch at {jax.tree_util.keystr(path)}")

@@ -275,3 +275,40 @@ def test_transfer_kill_resume(data, tmp_path):
     resumed.train_transfer(*emo_loaders(), num_epochs=2)
     _assert_trees_equal(ref.dec, resumed.dec, "dec")
     assert prog_mod.peek_progress(mdir, "prog") is None
+
+
+def test_per_batch_kill_resume_bitmatch(data, tmp_path):
+    """The pinned-per-batch tier (``pin_plan`` middle tier, round 5)
+    writes the same progress records per batch row and resumes mid-epoch
+    bit-identically — each batch is its own dispatch, so chunk boundaries
+    cannot even change the compiled program."""
+    vocab, ds, ds_emo, feats = data
+
+    def loaders():
+        train, val, emo, val_emo = _loaders(ds, ds_emo, feats)
+        train.per_batch = True
+        emo.per_batch = True
+        return train, val, emo, val_emo
+
+    ref = _trainer(vocab, str(tmp_path / "pbref"), 1)
+    ref.train(*loaders(), num_epochs=2)
+
+    mdir = str(tmp_path / "pbkill")
+    victim = _trainer(vocab, mdir, 1)
+
+    def hook(epoch, pass_idx, row):
+        if (epoch, pass_idx, row) == (1, 0, 2):
+            raise Killed
+
+    victim._progress_hook = hook
+    with pytest.raises(Killed):
+        victim.train(*loaders(), num_epochs=2)
+    assert prog_mod.peek_progress(mdir, "prog") is not None
+
+    resumed = _trainer(vocab, mdir, 1)
+    resumed.train(*loaders(), num_epochs=2)
+    _assert_trees_equal(ref.dec, resumed.dec, "dec")
+    _assert_trees_equal(ref.head, resumed.head, "head")
+    np.testing.assert_array_equal(np.asarray(ref.rng),
+                                  np.asarray(resumed.rng))
+    assert prog_mod.peek_progress(mdir, "prog") is None

@@ -628,3 +628,31 @@ def test_per_batch_attention_family(data, tmp_path):
         np.testing.assert_allclose(
             np.asarray(b), np.asarray(a), rtol=1e-6, atol=1e-7,
             err_msg=f"param mismatch at {jax.tree_util.keystr(path)}")
+
+
+def test_per_batch_on_mesh_matches_single(data, tmp_path):
+    """The per-batch tier under the 8-device DP mesh: each no-scan batch
+    dispatch reshards its gathered batch over the data axis, matching the
+    single-device per-batch run up to cross-device reduction
+    reassociation (same tolerance as the scan-program mesh test)."""
+    vocab, ds, feats = data
+
+    def run(mesh):
+        tr = _trainer(vocab, tmp_path, mesh=mesh,
+                      tag=f"pbmesh{mesh is not None}")
+        ddata = device_data.from_examples(
+            ds, batch_size=8, max_len=MAXLEN,
+            image_provider=lambda n: feats[n], shuffle=True, seed=2,
+            mesh=mesh, per_batch=True)
+        st = tr._run_train(ddata, 0, 10_000, "FAC")
+        return tr, st
+
+    tr_s, st_s = run(None)
+    tr_m, st_m = run(make_mesh((8, 1)))
+    np.testing.assert_allclose(st_m.loss, st_s.loss, rtol=2e-3)
+    for (path, a), (_, b) in zip(
+            jax.tree_util.tree_flatten_with_path(tr_s.dec)[0],
+            jax.tree_util.tree_flatten_with_path(tr_m.dec)[0]):
+        np.testing.assert_allclose(
+            np.asarray(b), np.asarray(a), rtol=2e-3, atol=5e-4,
+            err_msg=f"param mismatch at {jax.tree_util.keystr(path)}")

@@ -84,8 +84,16 @@ def main(args) -> None:
             feat_shape = np.asarray(provider_eval(ds[0].image)).shape
             n_unique = len({e.image for e in ds})
             budget = int(args.device_budget_gb * (1 << 30))
+            fdt = None
+            fdt_bytes = 4
+            if args.feature_dtype == "bfloat16":
+                import ml_dtypes
+
+                fdt = ml_dtypes.bfloat16
+                fdt_bytes = 2
             plan = device_data.pin_plan(n_unique, feat_shape,
-                                        budget_bytes=budget)
+                                        budget_bytes=budget,
+                                        bytes_per_feature=fdt_bytes)
             per_batch_ok = args.trainer in (
                 "multitask", "multitask_att", "transfer_fac", "transfer")
             if plan == "per_batch" and not per_batch_ok:
@@ -102,7 +110,7 @@ def main(args) -> None:
                     ds, batch_size=bs, max_len=tcfg.max_caption_len,
                     image_provider=provider_eval, shuffle=train,
                     seed=args.seed, mesh=mesh,
-                    per_batch=(plan == "per_batch"))
+                    per_batch=(plan == "per_batch"), feature_dtype=fdt)
             if args.trainer in ("multitask", "multitask_att", "transfer_fac",
                                 "transfer"):
                 # HBM-oversized split (e.g. full-Flickr8k spatial features):
@@ -114,7 +122,8 @@ def main(args) -> None:
                 return device_data.from_examples_streamed(
                     ds, batch_size=bs, max_len=tcfg.max_caption_len,
                     image_provider=provider_eval, shuffle=train,
-                    seed=args.seed, mesh=mesh, budget_bytes=budget)
+                    seed=args.seed, mesh=mesh, budget_bytes=budget,
+                    feature_dtype=fdt)
             print(f"WARNING: {path} features exceed the device-resident "
                   "budget; falling back to the host loader")
         return caption_dataset_loader(
@@ -264,6 +273,15 @@ if __name__ == "__main__":
                              "--feature_cache); splits over the feature "
                              "budget stream per-chunk buffers instead "
                              "(multitask/transfer trainers)")
+    parser.add_argument("--feature_dtype", default="float32",
+                        choices=["float32", "bfloat16"],
+                        help="storage dtype for --device_resident feature "
+                             "arrays; bfloat16 halves every pin/stream "
+                             "wall (the epoch programs cast each gathered "
+                             "batch back to f32 — the only numerical "
+                             "difference is the one-time storage rounding, "
+                             "and TPU default f32 matmul precision rounds "
+                             "operands to bf16 anyway)")
     parser.add_argument("--device_budget_gb", type=float, default=4.0,
                         help="HBM feature budget for --device_resident "
                              "(pin if the split fits; otherwise stream "

@@ -229,6 +229,7 @@ def from_examples(
     seed: int = 0,
     mesh=None,
     per_batch: bool = False,
+    feature_dtype=None,
 ) -> DeviceCaptionData:
     """Pack ``CaptionExample``s (+ cached features) into device arrays.
 
@@ -238,6 +239,13 @@ def from_examples(
     whole-epoch jit can reshard gathered batches over the data axis without
     cross-device gathers.  ``per_batch=True`` selects the pinned-per-batch
     tier (see :class:`DeviceCaptionData` / :func:`pin_plan`).
+
+    ``feature_dtype`` (e.g. ``ml_dtypes.bfloat16``) stores the pinned
+    features in a narrower dtype — halving every tier's HBM wall — and the
+    epoch programs cast each gathered batch back to f32 before the step,
+    so the only numerical difference is the one-time storage rounding
+    (exact for features already representable in the storage dtype; the
+    TPU's default f32 matmul precision rounds operands to bf16 anyway).
     """
     import jax
     import jax.numpy as jnp
@@ -245,6 +253,8 @@ def from_examples(
     captions, lengths = pad_captions([e.caption_ids for e in examples],
                                      max_len)
     images, image_index = _pack_unique(examples, image_provider)
+    if feature_dtype is not None:
+        images = images.astype(feature_dtype)
     if mesh is not None:
         from icee_tpu.parallel.mesh import replicated
 
@@ -288,17 +298,22 @@ def from_examples_streamed(
     seed: int = 0,
     mesh=None,
     budget_bytes: int = 4 << 30,
+    feature_dtype=None,
 ) -> StreamedCaptionData:
     """Pack a split that FAILS ``fits_device`` for chunk-streamed
     whole-epoch training: captions/lengths pinned on device, features kept
     host-side with per-chunk buffers sized to half the budget (the stream
-    double-buffers — chunk c+1 transfers while chunk c computes)."""
+    double-buffers — chunk c+1 transfers while chunk c computes).
+    ``feature_dtype``: see :func:`from_examples` (narrower storage halves
+    both the buffer HBM and the per-chunk transfer bytes)."""
     import jax
     import jax.numpy as jnp
 
     captions, lengths = pad_captions([e.caption_ids for e in examples],
                                      max_len)
     images, image_index = _pack_unique(examples, image_provider)
+    if feature_dtype is not None:
+        images = images.astype(feature_dtype)
     per = int(images[0].nbytes)
     capacity = max(int((budget_bytes // 2) // per), batch_size)
     # a chunk never needs more unique rows than the split has, or than one
@@ -379,6 +394,7 @@ def pin_plan(
     num_examples: int,
     feature_shape: Tuple[int, ...],
     budget_bytes: int = 4 << 30,
+    bytes_per_feature: int = 4,
 ) -> str:
     """Device-residency tier for a split under ``budget_bytes`` of HBM
     feature budget — program-true accounting (round 5):
@@ -393,9 +409,11 @@ def pin_plan(
     - ``"stream"``: features exceed the budget — chunk-streamed epochs
       (:class:`StreamedCaptionData`).
 
-    ``num_examples`` is the UNIQUE-image count, as for :func:`fits_device`.
+    ``num_examples`` is the UNIQUE-image count, as for :func:`fits_device`;
+    ``bytes_per_feature`` follows the storage dtype (2 for bf16 features —
+    ``from_examples(feature_dtype=...)`` halves every wall).
     """
-    per = int(np.prod(feature_shape)) * 4
+    per = int(np.prod(feature_shape)) * bytes_per_feature
     total = num_examples * per
     if 2 * total <= budget_bytes:
         return "epoch"

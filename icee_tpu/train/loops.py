@@ -263,8 +263,10 @@ class MultitaskTrainer:
             rng, k = jax.random.split(rng)
             # zero padded rows exactly like the host loader's batch
             # padding (BatchNorm batch statistics see every row, so
-            # gather-padded features would perturb them)
-            feats = gather_rows(images, b_img)
+            # gather-padded features would perturb them); the f32 cast is
+            # a no-op for f32 splits and restores the step's dtype for
+            # narrow feature storage (from_examples(feature_dtype=...))
+            feats = gather_rows(images, b_img).astype(jnp.float32)
             feats = feats * bvalid.reshape(
                 (-1,) + (1,) * (feats.ndim - 1)).astype(feats.dtype)
             caps = jnp.take(captions, bidx, axis=0) * bvalid[:, None]
@@ -691,7 +693,7 @@ class MultitaskTrainer:
 
         def apply(dec, head, images, captions, lengths, bidx, b_img,
                   bvalid, style):
-            feats = gather_rows(images, b_img)
+            feats = gather_rows(images, b_img).astype(jnp.float32)
             feats = feats * bvalid.reshape(
                 (-1,) + (1,) * (feats.ndim - 1)).astype(feats.dtype)
             caps = jnp.take(captions, bidx, axis=0) * bvalid[:, None]
@@ -805,7 +807,8 @@ class MultitaskTrainer:
                 feat = ddata.sample_feature(ui)
             else:
                 feat = ddata.images[ui:ui + 1]
-            print(self.sample_fn(self.dec, self.head, feat, style))
+            print(self.sample_fn(self.dec, self.head,
+                                 jnp.asarray(feat, jnp.float32), style))
         return EpochStats(loss=loss, top5=top5, bleu4=bleu4,
                           batch_time=time.time() - t0)
 
@@ -1265,7 +1268,7 @@ class Seq2SeqTrainer:
         unique-image gather rows (``DeviceCaptionData.image_rows``)."""
         from icee_tpu.data.device import gather_rows
 
-        imgs = gather_rows(images, b_img)
+        imgs = gather_rows(images, b_img).astype(jnp.float32)
         imgs = imgs * bvalid[:, None].astype(imgs.dtype)
         caps = jnp.take(captions, bidx, axis=0) * bvalid[:, None]
         lens = jnp.where(bvalid, jnp.take(lengths, bidx, axis=0), 0)

@@ -87,10 +87,17 @@ def main():
             return sd
         # "pinned" = whole-epoch scan (program needs ~2x feature bytes);
         # "pinned_pb" = the per-batch tier (features resident, no scan,
-        # no copy — pin_plan's middle tier, round 5)
+        # no copy — pin_plan's middle tier, round 5); ICEE_PROBE_FDT=bf16
+        # stores features in bfloat16 (halves every wall)
+        fdt = None
+        if os.environ.get("ICEE_PROBE_FDT", "") == "bf16":
+            import ml_dtypes
+
+            fdt = ml_dtypes.bfloat16
         return device_data.from_examples(
             examples, batch_size=B, max_len=T, image_provider=provider,
-            shuffle=True, seed=0, per_batch=(kind == "pinned_pb"))
+            shuffle=True, seed=0, per_batch=(kind == "pinned_pb"),
+            feature_dtype=fdt)
 
     n_caps = len(examples)
     with tempfile.TemporaryDirectory(prefix="icee_probe_") as model_dir:

@@ -656,3 +656,48 @@ def test_per_batch_on_mesh_matches_single(data, tmp_path):
         np.testing.assert_allclose(
             np.asarray(b), np.asarray(a), rtol=2e-3, atol=5e-4,
             err_msg=f"param mismatch at {jax.tree_util.keystr(path)}")
+
+
+def test_bf16_feature_storage_matches_f32(data, tmp_path):
+    """bf16 feature storage (half the HBM wall per tier): on features
+    already representable in bf16, training is identical to f32 storage —
+    the epoch program's cast back to f32 restores the exact values."""
+    import ml_dtypes
+
+    vocab, ds, feats = data
+    rfeats = {k: v.astype(ml_dtypes.bfloat16).astype(np.float32)
+              for k, v in feats.items()}
+
+    def run(fdt, per_batch):
+        tr = _trainer(vocab, tmp_path, tag=f"fdt{fdt}{per_batch}")
+        src = device_data.from_examples(
+            ds, batch_size=B, max_len=MAXLEN,
+            image_provider=lambda n: rfeats[n], shuffle=True, seed=3,
+            per_batch=per_batch, feature_dtype=fdt)
+        st = tr._run_train(src, 0, 10_000, "T")
+        return tr, st
+
+    tr_f, st_f = run(None, False)
+    for per_batch in (False, True):
+        tr_b, st_b = run(ml_dtypes.bfloat16, per_batch)
+        np.testing.assert_allclose(st_b.loss, st_f.loss, rtol=1e-6)
+        for (path, a), (_, b) in zip(
+                jax.tree_util.tree_flatten_with_path(tr_f.dec)[0],
+                jax.tree_util.tree_flatten_with_path(tr_b.dec)[0]):
+            np.testing.assert_allclose(
+                np.asarray(b), np.asarray(a), rtol=1e-6, atol=1e-7,
+                err_msg=f"param mismatch at {jax.tree_util.keystr(path)} "
+                        f"(per_batch={per_batch})")
+
+
+def test_pin_plan_bf16_halves_walls():
+    per_f32 = 196 * 2048 * 4
+    budget = 10 * per_f32
+    # 11 images stream in f32 but pin whole-epoch in bf16 (22 half-images
+    # = 11 f32-equivalents > budget... 2*11*per/2 = 11*per > 10*per? no:
+    # epoch needs 2x11x(per/2) = 11 per_f32 > budget -> per_batch)
+    assert device_data.pin_plan(11, (196, 2048), budget) == "stream"
+    assert device_data.pin_plan(
+        11, (196, 2048), budget, bytes_per_feature=2) == "per_batch"
+    assert device_data.pin_plan(
+        9, (196, 2048), budget, bytes_per_feature=2) == "epoch"

@@ -94,12 +94,12 @@ def main(args) -> None:
             plan = device_data.pin_plan(n_unique, feat_shape,
                                         budget_bytes=budget,
                                         bytes_per_feature=fdt_bytes)
-            per_batch_ok = args.trainer in (
-                "multitask", "multitask_att", "transfer_fac", "transfer")
-            if plan == "per_batch" and not per_batch_ok:
-                # seq2seq/paper device paths have no per-batch tier; their
-                # feature arrays are tiny (global vectors), so the scan
-                # copy is harmless — pin whole-epoch as before
+            # every captioner trainer inherits MultitaskTrainer's
+            # per-batch/streamed tiers; only Seq2SeqTrainer is a separate
+            # class without them (its features are tiny global vectors,
+            # so the scan copy is harmless there)
+            tiered_ok = args.trainer != "seq2seq"
+            if plan == "per_batch" and not tiered_ok:
                 plan = "epoch"
             if plan != "stream":
                 if plan == "per_batch":
@@ -111,8 +111,7 @@ def main(args) -> None:
                     image_provider=provider_eval, shuffle=train,
                     seed=args.seed, mesh=mesh,
                     per_batch=(plan == "per_batch"), feature_dtype=fdt)
-            if args.trainer in ("multitask", "multitask_att", "transfer_fac",
-                                "transfer"):
+            if tiered_ok:
                 # HBM-oversized split (e.g. full-Flickr8k spatial features):
                 # stream fixed-capacity feature chunks instead of paying the
                 # per-batch host dispatch floor (data/device.py)
@@ -285,7 +284,9 @@ if __name__ == "__main__":
     parser.add_argument("--device_budget_gb", type=float, default=4.0,
                         help="HBM feature budget for --device_resident "
                              "(pin if the split fits; otherwise stream "
-                             "double-buffered chunks of half this size). "
+                             "double-buffered chunks of a third this size "
+                             "— the epoch scan holds one extra copy of "
+                             "the active buffer). "
                              "Keep <= ~40%% of free HBM: the one-dispatch "
                              "epoch program makes one XLA copy of the "
                              "pinned feature array, so pinning needs ~2x "

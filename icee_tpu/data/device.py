@@ -142,8 +142,10 @@ class StreamedCaptionData(DeviceCaptionData):
     dispatch — with a compact per-chunk feature array (the chunk's unique
     images, deduplicated and padded to the fixed ``capacity`` so every chunk
     reuses ONE compiled program).  Host ``np.take`` + async ``device_put``
-    of chunk c+1 overlap the device compute of chunk c (double-buffered, so
-    ``capacity`` should be sized to HALF the HBM feature budget).  Note the
+    of chunk c+1 overlap the device compute of chunk c (double-buffered, and
+    the epoch scan's loop state copies the active buffer once per dispatch,
+    so ``capacity`` should be sized to a THIRD of the HBM feature budget —
+    ``from_examples_streamed`` does).  Note the
     PIN side of the gate needs ~2x its feature bytes of free HBM: XLA makes
     one whole-array copy of the pinned features inside the one-dispatch
     epoch program (measured on v5e: an 8.97 GiB spatial split compiles to a
@@ -302,10 +304,14 @@ def from_examples_streamed(
 ) -> StreamedCaptionData:
     """Pack a split that FAILS ``fits_device`` for chunk-streamed
     whole-epoch training: captions/lengths pinned on device, features kept
-    host-side with per-chunk buffers sized to half the budget (the stream
-    double-buffers — chunk c+1 transfers while chunk c computes).
-    ``feature_dtype``: see :func:`from_examples` (narrower storage halves
-    both the buffer HBM and the per-chunk transfer bytes)."""
+    host-side with per-chunk buffers sized to a THIRD of the budget: the
+    stream double-buffers (chunk c+1 transfers while chunk c computes) and
+    the epoch scan's while-loop state holds one more copy of the active
+    buffer during each dispatch (the same XLA loop-constant copy
+    ``pin_plan`` accounts for on the pinned tier), so peak feature HBM is
+    3x the buffer size.  ``feature_dtype``: see :func:`from_examples`
+    (narrower storage shrinks both the buffer HBM and the per-chunk
+    transfer bytes)."""
     import jax
     import jax.numpy as jnp
 
@@ -315,7 +321,7 @@ def from_examples_streamed(
     if feature_dtype is not None:
         images = images.astype(feature_dtype)
     per = int(images[0].nbytes)
-    capacity = max(int((budget_bytes // 2) // per), batch_size)
+    capacity = max(int((budget_bytes // 3) // per), batch_size)
     # a chunk never needs more unique rows than the split has, or than one
     # full-dedup chunk of rows_per_chunk batches can reference
     capacity = min(capacity, images.shape[0])

@@ -352,6 +352,29 @@ class MultitaskTrainer:
             self._dbatch_cache[key] = fn
         return fn
 
+    @staticmethod
+    def _init_loss_trace(nb, start_row, loss_prefix):
+        """(nb,) loss/ntok traces with a resumed prefix restored (shared by
+        the chunked, per-batch and streamed epoch loops)."""
+        losses = np.zeros(nb, np.float64)
+        ntoks = np.zeros(nb, np.float64)
+        if loss_prefix is not None:
+            pl_, pn_ = loss_prefix
+            losses[:start_row] = np.asarray(pl_, np.float64)[:start_row]
+            ntoks[:start_row] = np.asarray(pn_, np.float64)[:start_row]
+        return losses, ntoks
+
+    @staticmethod
+    def _epoch_stats(losses, ntoks, log_step, tag, t0):
+        """Step logging + token-weighted epoch loss (shared epilogue of
+        every device-resident training loop)."""
+        for i in range(0, len(losses), max(log_step, 1)):
+            print(f"Step [{i}/{len(losses)}], [{tag}], "
+                  f"Loss: {float(losses[i]):.4f}")
+        total = float(ntoks.sum())
+        avg = float((losses * ntoks).sum() / total) if total else 0.0
+        return EpochStats(loss=avg, batch_time=time.time() - t0)
+
     def _run_train_device(self, ddata, style: Optional[int], log_step: int,
                           tag: str, epoch: Optional[int] = None,
                           pass_idx: int = 0, start_row: int = 0,
@@ -385,12 +408,7 @@ class MultitaskTrainer:
         chunk = getattr(self.tcfg, "progress_chunk", 0)
         nb = idx.shape[0]
         if chunk and epoch is not None:
-            losses = np.zeros(nb, np.float64)
-            ntoks = np.zeros(nb, np.float64)
-            if loss_prefix is not None:
-                pl_, pn_ = loss_prefix
-                losses[:start_row] = np.asarray(pl_, np.float64)[:start_row]
-                ntoks[:start_row] = np.asarray(pn_, np.float64)[:start_row]
+            losses, ntoks = self._init_loss_trace(nb, start_row, loss_prefix)
             for r0 in range(start_row, nb, chunk):
                 r1 = min(r0 + chunk, nb)
                 opt_state = self.opt_state if factual else self.lang_opt_state
@@ -421,12 +439,7 @@ class MultitaskTrainer:
                 self.lang_opt_state = opt_state
             losses = np.asarray(losses, np.float64)
             ntoks = np.asarray(ntoks, np.float64)
-        for i in range(0, len(losses), max(log_step, 1)):
-            print(f"Step [{i}/{len(losses)}], [{tag}], "
-                  f"Loss: {float(losses[i]):.4f}")
-        total = float(ntoks.sum())
-        avg = float((losses * ntoks).sum() / total) if total else 0.0
-        return EpochStats(loss=avg, batch_time=time.time() - t0)
+        return self._epoch_stats(losses, ntoks, log_step, tag, t0)
 
     def _run_train_device_per_batch(self, ddata, style: Optional[int],
                                     log_step: int, tag: str,
@@ -455,12 +468,7 @@ class MultitaskTrainer:
         prog_every = int(getattr(self.tcfg, "progress_chunk", 0) or 0)
         save_progress = prog_every > 0 and epoch is not None
         last_saved = start_row
-        losses = np.zeros(nb, np.float64)
-        ntoks = np.zeros(nb, np.float64)
-        if loss_prefix is not None:
-            pl_, pn_ = loss_prefix
-            losses[:start_row] = np.asarray(pl_, np.float64)[:start_row]
-            ntoks[:start_row] = np.asarray(pn_, np.float64)[:start_row]
+        losses, ntoks = self._init_loss_trace(nb, start_row, loss_prefix)
         pending = []
         for r in range(start_row, nb):
             opt_state = self.opt_state if factual else self.lang_opt_state
@@ -486,12 +494,7 @@ class MultitaskTrainer:
         for p, pls, pnt in pending:
             losses[p] = float(pls)
             ntoks[p] = float(pnt)
-        for i in range(0, nb, max(log_step, 1)):
-            print(f"Step [{i}/{nb}], [{tag}], "
-                  f"Loss: {float(losses[i]):.4f}")
-        total = float(ntoks.sum())
-        avg = float((losses * ntoks).sum() / total) if total else 0.0
-        return EpochStats(loss=avg, batch_time=time.time() - t0)
+        return self._epoch_stats(losses, ntoks, log_step, tag, t0)
 
     def _run_train_streamed(self, ddata, style: Optional[int], log_step: int,
                             tag: str, epoch: Optional[int] = None,
@@ -520,12 +523,7 @@ class MultitaskTrainer:
         prog_every = int(getattr(self.tcfg, "progress_chunk", 0) or 0)
         save_progress = prog_every > 0 and epoch is not None
         last_saved = start_row
-        losses = np.zeros(nb, np.float64)
-        ntoks = np.zeros(nb, np.float64)
-        if loss_prefix is not None:
-            pl_, pn_ = loss_prefix
-            losses[:start_row] = np.asarray(pl_, np.float64)[:start_row]
-            ntoks[:start_row] = np.asarray(pn_, np.float64)[:start_row]
+        losses, ntoks = self._init_loss_trace(nb, start_row, loss_prefix)
         bounds = [(r0, min(r0 + R, nb)) for r0 in range(start_row, nb, R)]
         pending = []
         nxt = None
@@ -568,12 +566,7 @@ class MultitaskTrainer:
         for r0, r1, ls, nt in pending:
             losses[r0:r1] = np.asarray(ls, np.float64)
             ntoks[r0:r1] = np.asarray(nt, np.float64)
-        for i in range(0, nb, max(log_step, 1)):
-            print(f"Step [{i}/{nb}], [{tag}], "
-                  f"Loss: {float(losses[i]):.4f}")
-        total = float(ntoks.sum())
-        avg = float((losses * ntoks).sum() / total) if total else 0.0
-        return EpochStats(loss=avg, batch_time=time.time() - t0)
+        return self._epoch_stats(losses, ntoks, log_step, tag, t0)
 
     # -- mid-epoch progress (checkpoint/progress.py) ------------------------
 

@@ -18,7 +18,6 @@ Usage: python scripts/probe_pin_copy.py
 
 import os
 import sys
-from functools import partial
 
 import numpy as np
 

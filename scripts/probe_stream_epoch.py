@@ -79,7 +79,7 @@ def main():
         if kind == "stream":
             sd = device_data.from_examples_streamed(
                 examples, batch_size=B, max_len=T, image_provider=provider,
-                shuffle=True, seed=0, budget_bytes=2 * CAP_FEATURES * per)
+                shuffle=True, seed=0, budget_bytes=3 * CAP_FEATURES * per)
             print(f"stream: capacity {sd.capacity} features "
                   f"({sd.capacity * per / 2**30:.2f} GiB/buffer), "
                   f"{sd.rows_per_chunk} rows/chunk, "

@@ -101,7 +101,7 @@ def _streamed(ds, feats, seed, capacity, shuffle=True, mesh=None,
     sd = device_data.from_examples_streamed(
         ds, batch_size=B, max_len=MAXLEN, image_provider=provider,
         shuffle=shuffle, seed=seed, mesh=mesh,
-        budget_bytes=2 * capacity * int(
+        budget_bytes=3 * capacity * int(
             np.asarray(provider(ds[0].image)).nbytes))
     assert sd.capacity == min(capacity, sd.host_features.shape[0])
     return sd
@@ -223,7 +223,7 @@ def test_streamed_on_mesh_matches_single(data, tmp_path):
         sd = device_data.from_examples_streamed(
             ds, batch_size=8, max_len=MAXLEN,
             image_provider=lambda n: feats[n], shuffle=True, seed=2,
-            mesh=mesh, budget_bytes=2 * 16 * FEAT * 4)
+            mesh=mesh, budget_bytes=3 * 16 * FEAT * 4)
         st = tr._run_train(sd, 0, 10_000, "FAC")
         return tr, st
 
@@ -286,13 +286,14 @@ def test_streamed_progress_checkpoints(data, tmp_path):
 
 
 def test_streamed_builder_capacity(data):
-    """from_examples_streamed sizes the buffer to HALF the budget (double
-    buffering) and never above the unique-image count."""
+    """from_examples_streamed sizes the buffer to a THIRD of the budget
+    (double buffering + the epoch scan's loop-state copy of the active
+    buffer) and never above the unique-image count."""
     _, ds, feats = data
     per = FEAT * 4
     sd = device_data.from_examples_streamed(
         ds, batch_size=B, max_len=MAXLEN,
-        image_provider=lambda n: feats[n], budget_bytes=12 * per)
+        image_provider=lambda n: feats[n], budget_bytes=18 * per)
     assert sd.capacity == max(6, B)
     sd = device_data.from_examples_streamed(
         ds, batch_size=B, max_len=MAXLEN,
